@@ -1,0 +1,1120 @@
+"""Query registry: every SURVEY.md §2 operator shape, Spark-first, with a
+semantically identical DuckDB oracle twin.
+
+Each entry is ``name -> (builder(spark, sf_dir) -> DataFrame, oracle_sql)``.
+The driver runs both at sf=0.01 and compares row-count + schema +
+order-insensitive value hash, so:
+
+* every computed column is aliased identically on both sides;
+* float aggregates are made bit-deterministic: money-like sums go through
+  ``DECIMAL(18,2)`` (exact, order-independent) and are cast back to double;
+  genuinely floating results (stddev, ratios, cosines) are rounded to 4-6
+  decimals on both sides — far below either engine's ulp drift;
+* every LIMIT query carries a total tie-break ordering.
+
+SURVEY §2 operator IDs are cited per query (e.g. A6 = hash group-by
+multi-aggregate, ``payer_analysis.py:17-77``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import scrub as SC
+from ..functions import text as TX
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col, alias: str):
+    """Order-independent exact sum of a 2-decimal money column → double."""
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+
+
+def _dsum_sql(col: str, alias: str) -> str:
+    return f"CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) AS {alias}"
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish) — the generic aggregation layer that backs the
+# reference's ~60 checks (SURVEY §2.4).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark, sf_dir):
+    """A6+A8 hash group-by multi-aggregate (payer_analysis.py:17-77 shape) —
+    TPC-H Q1 over lineitem; one scan, partial aggregation map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity", "sum_qty"),
+            _dsum("l_extendedprice", "sum_base_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q02_filtered_count",
+    """
+    SELECT COUNT(*) AS n_open,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_amount
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'P') AND o_totalprice BETWEEN 1000 AND 200000
+    """,
+)
+def q02(spark, sf_dir):
+    """P1+P2+P3+A2 equality/membership/range filter + filtered count
+    (claim_analysis.py:14-35, count_documents shape)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        F.col("o_orderstatus").isin("O", "P")
+        & F.col("o_totalprice").between(1000, 200000)
+    ).agg(F.count("*").alias("n_open"), _dsum("o_totalprice", "total_amount"))
+
+
+@_register(
+    "q03_conditional_agg",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS total_orders,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS finished_amount,
+           ROUND(CASE WHEN SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) > 0
+                 THEN CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                               THEN CAST(o_totalprice AS DECIMAL(18,2))
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                      / SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                 ELSE 0.0 END, 6) AS avg_finished_amount
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q03(spark, sf_dir):
+    """A7 conditional aggregates + F3 safe-divide (payer_analysis.py:26-74:
+    $cond count/sum then avg_denied_amount with divide-by-zero guard)."""
+    o = _t(spark, sf_dir, "orders")
+    fin = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    fin_amt = F.sum(
+        F.when(
+            F.col("o_orderstatus") == "F", F.col("o_totalprice").cast("decimal(18,2)")
+        ).otherwise(F.lit(0).cast("decimal(18,2)"))
+    ).cast("double")
+    n_fin = F.sum(fin)
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("total_orders"),
+        n_fin.alias("n_finished"),
+        fin_amt.alias("finished_amount"),
+        F.round(
+            F.when(n_fin > 0, fin_amt / n_fin).otherwise(F.lit(0.0)), 6
+        ).alias("avg_finished_amount"),
+    )
+
+
+@_register(
+    "q04_global_stats",
+    """
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS mean,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           ROUND(STDDEV_POP(l_extendedprice), 4) AS std_price
+    FROM lineitem
+    """,
+)
+def q04(spark, sf_dir):
+    """A8+A9 global aggregate block incl. stddev_pop
+    (chargespattern_analysis.py:31-58, generate_stats_collection.py:143-187)."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+    return li.agg(
+        F.count("*").alias("n"),
+        s.alias("total"),
+        F.round(s / F.count("*"), 6).alias("mean"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.round(F.stddev_pop("l_extendedprice"), 4).alias("std_price"),
+    )
+
+
+@_register(
+    "q05_distinct_values",
+    "SELECT DISTINCT c_mktsegment AS segment FROM customer",
+)
+def q05(spark, sf_dir):
+    """A4 distinct values (payer_analysis.py:9-10 distinct('payerMCO'))."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+    )
+
+
+@_register(
+    "q06_distinct_count",
+    """
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q06(spark, sf_dir):
+    """A5 distinct count via group ($group _id:$code → $count,
+    diagnosis_analysis.py:197-213)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@_register(
+    "q07_topk_revenue",
+    """
+    SELECT p_brand,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    ORDER BY revenue DESC, p_brand
+    LIMIT 10
+    """,
+)
+def q07(spark, sf_dir):
+    """T1+T2 sort+limit top-k over a J2 broadcast equi-join
+    (cpt_code_analysis.py:100-114 top revenue CPTs; stats join shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q08_rank_assignment",
+    """
+    SELECT p_type, n_items,
+           ROW_NUMBER() OVER (ORDER BY n_items DESC, p_type) AS rnk
+    FROM (SELECT p_type, COUNT(*) AS n_items FROM part GROUP BY p_type)
+    QUALIFY rnk <= 15
+    """,
+)
+def q08(spark, sf_dir):
+    """T4 rank assignment (cpt_code_analysis.py:39-48 enumerate→rank) as a
+    window row_number with total tie-break."""
+    counts = _t(spark, sf_dir, "part").groupBy("p_type").agg(
+        F.count("*").alias("n_items")
+    )
+    w = Window.orderBy(F.desc("n_items"), F.asc("p_type"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 15
+    )
+
+
+@_register(
+    "q09_rare_codes",
+    """
+    SELECT p_brand AS code, COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand HAVING COUNT(*) <= 200
+    """,
+)
+def q09(spark, sf_dir):
+    """T5 threshold slice — 'rare codes' with usage ≤ k
+    (cpt_code_analysis.py:50-60)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("code"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= 200)
+    )
+
+
+_BUCKETS = ((0, 50000), (50000, 100000), (100000, 200000), (200000, 300000))
+
+
+def _bucket_label_spark(c):
+    expr = F.when(F.col(c) < 0, F.lit("negative"))
+    for lo, hi in _BUCKETS:
+        expr = expr.when(
+            (F.col(c) >= lo) & (F.col(c) < hi), F.lit(f"[{lo},{hi})")
+        )
+    return expr.otherwise(F.lit(f"[{_BUCKETS[-1][1]},inf)"))
+
+
+def _bucket_label_sql(c: str) -> str:
+    parts = [f"WHEN {c} < 0 THEN 'negative'"]
+    for lo, hi in _BUCKETS:
+        parts.append(f"WHEN {c} >= {lo} AND {c} < {hi} THEN '[{lo},{hi})'")
+    return (
+        "CASE "
+        + " ".join(parts)
+        + f" ELSE '[{_BUCKETS[-1][1]},inf)' END"
+    )
+
+
+@_register(
+    "q10_histogram",
+    f"""
+    SELECT {_bucket_label_sql('o_totalprice')} AS bucket, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS amount
+    FROM orders GROUP BY bucket
+    """,
+)
+def q10(spark, sf_dir):
+    """A16 bucketed histogram — the reference runs 6 scans, one per charge
+    range (chargespattern_analysis.py:60-97); here ONE pass with half-open
+    buckets (SURVEY §1.3 quirk 2: gapped [0,500],[501,1000] → [lo,hi))."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.withColumn("bucket", _bucket_label_spark("o_totalprice"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), _dsum("o_totalprice", "amount"))
+    )
+
+
+@_register(
+    "q11_duplicate_rows",
+    """
+    SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS duplicate_rows,
+           COUNT(*) AS duplicate_groups
+    FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+          GROUP BY l_orderkey HAVING COUNT(*) > 1)
+    """,
+)
+def q11(spark, sf_dir):
+    """A12 re-aggregation duplicates — Σ(count) over groups with count>1,
+    counting ROWS not groups (claim_analysis.py:225-247, SURVEY quirk 5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    groups = li.groupBy("l_orderkey").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") > 1
+    )
+    return groups.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("duplicate_rows"),
+        F.count("*").alias("duplicate_groups"),
+    )
+
+
+@_register(
+    "q12_coverage_semi_join",
+    """
+    SELECT CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS covered,
+           COUNT(*) AS total,
+           ROUND(CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*) * 100, 6) AS coverage_pct
+    FROM (SELECT DISTINCT l_partkey,
+                 l_partkey IN (SELECT p_partkey FROM part) AS covered
+          FROM lineitem)
+    """,
+)
+def q12(spark, sf_dir):
+    """J1 set-coverage semi/anti join — |stats ∩ claims| / |claims| CPT
+    coverage (charge_analysis_checks.py:666-699) as ONE distributed plan:
+    distinct keys, broadcast left join marker, conditional count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey").distinct()
+    p = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .distinct()
+        .withColumn("m", F.lit(1))
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left")
+    covered = F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)).cast("long")
+    total = F.count("*")
+    return joined.agg(
+        covered.alias("covered"),
+        total.alias("total"),
+        F.round(covered.cast("double") / total * 100, 6).alias("coverage_pct"),
+    )
+
+
+@_register(
+    "q13_anti_join",
+    """
+    SELECT COUNT(*) AS n_customers_without_orders
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q13(spark, sf_dir):
+    """J1 anti-join — the uncovered set (charge_analysis_checks.py:666-699)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    n = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("n_customers_without_orders")
+    )
+    return n
+
+
+@_register(
+    "q14_multi_join",
+    """
+    SELECT r_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q14(spark, sf_dir):
+    """J2 multi-way equi-join with broadcast dims (Catalyst join reordering;
+    the stats-join-back shape of generate_stats_collection.py:143-148)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice", "revenue"))
+    )
+
+
+@_register(
+    "q15_quality_bands",
+    """
+    SELECT event_type,
+           CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+           CAST(SUM(CASE WHEN value >= 10 AND value < 100 THEN 1 ELSE 0 END) AS BIGINT) AS medium_quality,
+           CAST(SUM(CASE WHEN value < 10 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality
+    FROM events GROUP BY event_type
+    """,
+)
+def q15(spark, sf_dir):
+    """A15 per-group quality bands (generate_stats_collection.py:278-306:
+    record_count ≥10 / 3-9 / <3 quality histogram) in ONE pass."""
+    e = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(v >= 100, 1).otherwise(0)).alias("high_quality"),
+        F.sum(F.when((v >= 10) & (v < 100), 1).otherwise(0)).alias("medium_quality"),
+        F.sum(F.when(v < 10, 1).otherwise(0)).alias("low_quality"),
+    )
+
+
+@_register(
+    "q16_bottom_k",
+    """
+    SELECT c_custkey, c_acctbal FROM customer
+    ORDER BY c_acctbal ASC, c_custkey ASC LIMIT 10
+    """,
+)
+def q16(spark, sf_dir):
+    """T3 bottom-10 slice (payer_analysis.py:124 payer_table[-10:]) done as
+    an ascending TakeOrderedAndProject, never a driver-side slice."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_acctbal")
+        .orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "q17_events_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
+    FROM events GROUP BY day
+    """,
+)
+def q17(spark, sf_dir):
+    """F10 date bucketing + A6 (events daily rollup; date_format shapes of
+    shared/utils.py:50-51)."""
+    e = _t(spark, sf_dir, "events")
+    s = F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+    return (
+        e.withColumn("day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"))
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(s / F.count("*"), 6).alias("avg_value"),
+        )
+    )
+
+
+@_register(
+    "q18_staleness",
+    """
+    SELECT strftime(MAX(ts), '%Y-%m-%d') AS latest,
+           CAST(datediff('day', CAST(MAX(ts) AS DATE), DATE '2026-01-01') AS INTEGER) AS days_stale,
+           datediff('day', CAST(MAX(ts) AS DATE), DATE '2026-01-01') > 30 AS is_stale
+    FROM events
+    """,
+)
+def q18(spark, sf_dir):
+    """S8 point lookup max-by + F11 staleness gate
+    (charge_analysis_checks.py:813-846: find_one(sort last_updated desc),
+    datediff > threshold). Fixed anchor date keeps the test deterministic."""
+    e = _t(spark, sf_dir, "events")
+    latest = F.max("ts").cast("date")
+    days = F.datediff(F.lit("2026-01-01").cast("date"), latest)
+    return e.agg(
+        F.date_format(F.max("ts"), "yyyy-MM-dd").alias("latest"),
+        days.alias("days_stale"),
+        (days > 30).alias("is_stale"),
+    )
+
+
+@_register(
+    "q19_first_per_group",
+    """
+    SELECT ROUND(CAST(SUM(CAST(first_price AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_first_price,
+           COUNT(*) AS n_orders
+    FROM (
+      SELECT l_orderkey, l_extendedprice AS first_price,
+             ROW_NUMBER() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    """,
+)
+def q19(spark, sf_dir):
+    """A10 $first within group (claim_analysis.py:196-205) made deterministic
+    via row_number over the line number, then re-aggregated."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the test data — the full
+    # tie-break makes $first deterministic on both engines.
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    firsts = (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("l_extendedprice").alias("first_price"))
+    )
+    s = F.sum(F.col("first_price").cast("decimal(18,2)")).cast("double")
+    return firsts.agg(
+        F.round(s / F.count("*"), 6).alias("avg_first_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@_register(
+    "q20_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q20(spark, sf_dir):
+    """Per-dimension + global metrics in one pass via GROUPING SETS — the
+    rebuild's generalization of the reference's separate per-dimension
+    queries (SURVEY §2.4 note)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+# ---------------------------------------------------------------------------
+# Text-analysis / quality-filter layer over `documents` — the flagship
+# pipeline's caption-side rules (north_rule) expressed with full SQL oracles.
+# ---------------------------------------------------------------------------
+
+from ..operators import rules as RU  # noqa: E402  (placed after relational core)
+
+
+@_register(
+    "q21_lang_histogram",
+    "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang",
+)
+def q21(spark, sf_dir):
+    """A14 group-count distribution — the langid histogram metric
+    (cpt_code_analysis.py:11-32 shape; north-star langid histogram)."""
+    return _t(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+@_register(
+    "q22_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG({TX.n_tokens_sql('text')}), 6) AS avg_tokens,
+           ROUND(AVG({TX.symbol_ratio_sql('text')}), 6) AS avg_symbol_ratio,
+           ROUND(AVG({TX.distinct_token_ratio_sql('text')}), 6) AS avg_distinct_ratio
+    FROM documents GROUP BY lang
+    """,
+)
+def q22(spark, sf_dir):
+    """Token counting + quality scoring aggregates (north-star text
+    analysis; A6 shape). All heuristics are JVM column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(TX.n_tokens(c)), 6).alias("avg_tokens"),
+        F.round(F.avg(TX.symbol_ratio(c)), 6).alias("avg_symbol_ratio"),
+        F.round(F.avg(TX.distinct_token_ratio(c)), 6).alias("avg_distinct_ratio"),
+    )
+
+
+@_register(
+    "q23_quality_verdict",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {TX.keep_verdict_sql('text')} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN {TX.keep_verdict_sql('text')} THEN 0 ELSE 1 END) AS BIGINT) AS n_drop
+    FROM documents GROUP BY lang
+    """,
+)
+def q23(spark, sf_dir):
+    """The keep/drop verdict aggregate — Gopher/C4 heuristic conjunction
+    (F14 _validate_stats shape, additional_charge_checks.py:840-868)."""
+    d = _t(spark, sf_dir, "documents")
+    keep = F.coalesce(TX.keep_verdict(F.col("text")), F.lit(False))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_drop"),
+    )
+
+
+def _h60_sql(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _h60_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+@_register(
+    "q24_pii_scrub",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {SC.pii_flag_sql('text', 'email')} THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+           CAST(SUM(CASE WHEN {SC.pii_flag_sql('text', 'ssn')} THEN 1 ELSE 0 END) AS BIGINT) AS n_ssn,
+           CAST(SUM(CASE WHEN {SC.pii_flag_sql('text', 'phone')} THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+           CAST(SUM(CASE WHEN {SC.scrub_sql('text')} <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           bit_xor({_h60_sql(SC.scrub_sql('text'))}) AS scrub_checksum
+    FROM documents GROUP BY source
+    """,
+)
+def q24(spark, sf_dir):
+    """North-star PII scrub as native regexp_replace (JVM codegen, zero
+    Python); per-source hit counts + order-independent XOR checksum of the
+    scrubbed text proves byte-exact scrubbing."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    scrubbed = SC.scrub(c)
+    flags = SC.pii_flags(c)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(flags["has_email"], 1).otherwise(0)).cast("long").alias("n_email"),
+        F.sum(F.when(flags["has_ssn"], 1).otherwise(0)).cast("long").alias("n_ssn"),
+        F.sum(F.when(flags["has_phone"], 1).otherwise(0)).cast("long").alias("n_phone"),
+        F.sum(F.when(scrubbed != c, 1).otherwise(0)).cast("long").alias("n_changed"),
+        F.bit_xor(_h60_spark(scrubbed)).alias("scrub_checksum"),
+    )
+
+
+@_register(
+    "q25_exact_dedup",
+    """
+    SELECT COALESCE(CAST(SUM(cnt) AS BIGINT), 0) AS duplicate_rows,
+           COUNT(*) AS duplicate_groups,
+           COALESCE(CAST(SUM(cnt - 1) AS BIGINT), 0) AS removable_rows
+    FROM (SELECT md5(text) AS fp, COUNT(*) AS cnt FROM documents
+          WHERE text IS NOT NULL GROUP BY fp HAVING COUNT(*) > 1)
+    """,
+)
+def q25(spark, sf_dir):
+    """Exact deduplication by content fingerprint (hash-groupBy) — quirk-5
+    row-counting semantics (claim_analysis.py:225-247): Σcount over groups
+    with count>1, plus the removable surplus."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    groups = (
+        d.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+    return groups.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("duplicate_rows"),
+        F.count("*").alias("duplicate_groups"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("long").alias("removable_rows"),
+    )
+
+
+_MINHASH_SEEDS = tuple(range(8))
+
+
+def _minhash_sql_expr(seed: int, text: str = "text") -> str:
+    shingles = (
+        f"list_transform(range(1, length({text}) - 3), i -> substr({text}, i, 5))"
+    )
+    hashed = _h60_sql(f"concat('{seed}:', x)")
+    return f"list_min(list_transform({shingles}, x -> {hashed})) AS mh{seed}"
+
+
+@_register(
+    "q26_minhash_signatures",
+    f"""
+    SELECT doc_id, {", ".join(_minhash_sql_expr(s) for s in _MINHASH_SEEDS)}
+    FROM documents WHERE text IS NOT NULL AND length(text) >= 5
+    """,
+)
+def q26(spark, sf_dir):
+    """MinHash signatures over 5-char shingles — the signature stage of
+    MinHash+LSH near-dup detection.  Computed entirely per-row with
+    higher-order functions: NO explode, NO shuffle — embarrassingly
+    parallel at 100 TB.  Hashes are md5-derived so the DuckDB oracle is
+    bit-identical."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length("text") >= 5)
+    )
+    shingles = F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
+
+    def _hash_fn(seed: int):
+        # NB: must be a unary lambda — a second (defaulted) parameter makes
+        # PySpark pass the array INDEX as the second argument.
+        return lambda x: _h60_spark(F.concat(F.lit(f"{seed}:"), x))
+
+    cols = [F.col("doc_id")]
+    for s in _MINHASH_SEEDS:
+        cols.append(F.array_min(F.transform(shingles, _hash_fn(s))).alias(f"mh{s}"))
+    return d.select(*cols)
+
+
+@_register(
+    "q27_simhash",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ), h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM toks
+    ), bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, range(60) r(j) GROUP BY doc_id, j
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q27(spark, sf_dir):
+    """SimHash (60-bit) document fingerprint for near-dup detection.
+    Spark side folds token hash bit-votes per row with higher-order
+    functions (aggregate + zip_with) — no explode, no shuffle; the oracle
+    uses the classic unnest+group formulation.  Integer arithmetic ⇒ exact
+    agreement."""
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    )
+    simhash = F.expr(
+        """
+        aggregate(
+          zip_with(
+            aggregate(
+              split(lower(trim(text)), '\\\\s+'),
+              transform(sequence(0, 59), j -> 0L),
+              (acc, t) -> zip_with(acc,
+                transform(sequence(0, 59), j ->
+                  CASE WHEN (shiftright(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), j) & 1L) = 1L
+                       THEN 1L ELSE -1L END),
+                (a, b) -> a + b)
+            ),
+            sequence(0, 59),
+            (votes, j) -> CASE WHEN votes > 0 THEN shiftleft(1L, j) ELSE 0L END
+          ),
+          0L, (s, v) -> s + v
+        )
+        """
+    )
+    return d.select("doc_id", simhash.alias("simhash"))
+
+
+_BOW_SQL = (
+    "array_to_string(list_sort(list_distinct("
+    + TX._sql_tokens("lower(text)")
+    + ")), ' ')"
+)
+
+
+@_register(
+    "q28_ngram_fingerprint",
+    f"""
+    SELECT doc_id,
+           {_h60_sql("substr(text, 1, 64)")} AS prefix_fp,
+           CAST({TX.n_tokens_sql("text")} AS BIGINT) AS n_tokens,
+           {_h60_sql(_BOW_SQL)} AS bow_fp
+    FROM documents WHERE text IS NOT NULL
+    """,
+)
+def q28(spark, sf_dir):
+    """Document fingerprinting: prefix hash + sorted bag-of-words hash
+    (rolling-hash analogue; n-gram Jaccard prefilter for dedup)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = TX.tokens(F.col("text"))
+    toks_l = TX.tokens(F.lower(F.col("text")))
+    bow = F.array_join(F.array_sort(F.array_distinct(toks_l)), " ")
+    return d.select(
+        "doc_id",
+        _h60_spark(F.substring("text", 1, 64)).alias("prefix_fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        _h60_spark(bow).alias("bow_fp"),
+    )
+
+# ---------------------------------------------------------------------------
+# Similarity search over `embeddings` (array<float> column) — ANN layer.
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold dot product in double (deterministic order)."""
+    return (
+        f"list_sum(list_transform({a}, (x, i) -> "
+        f"CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"ROUND({_dot_sql(a, b)} / sqrt({_dot_sql(a, a)}) / sqrt({_dot_sql(b, b)}), 6)"
+
+
+_DOT_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _cos_spark(a: str, b: str):
+    dot = _DOT_SPARK.format(a=a, b=b)
+    na = _DOT_SPARK.format(a=a, b=a)
+    nb = _DOT_SPARK.format(a=b, b=b)
+    return F.expr(f"round({dot} / sqrt({na}) / sqrt({nb}), 6)")
+
+
+@_register(
+    "q29_knn_bruteforce",
+    f"""
+    SELECT e.vec_id, {_cos_sql("e.embedding", "q.embedding")} AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def q29(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline: broadcast the query vector,
+    score every row with a JVM higher-order-function dot product (no Python,
+    no shuffle except the final top-k), TakeOrderedAndProject for the k."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", _cos_spark("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _bucket_sql(e: str) -> str:
+    terms = [
+        f"(CASE WHEN CAST({e}[{i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _bucket_spark(e: str):
+    terms = [
+        f"(CASE WHEN CAST(element_at({e}, {i + 1}) AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(8)
+    ]
+    return F.expr("(" + " + ".join(terms) + ")")
+
+
+@_register(
+    "q30_ann_lsh_bucket",
+    f"""
+    SELECT e.vec_id, {_bucket_sql("e.embedding")} AS bucket,
+           {_cos_sql("e.embedding", "q.embedding")} AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+      AND {_bucket_sql("e.embedding")} = {_bucket_sql("q.embedding")}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q30(spark, sf_dir):
+    """LSH-bucketed ANN scale path: sign-bit bucket (8 hyperplane signs) is
+    a partition-prunable key — at 100 TB the bucket column is a partition
+    key and only ~1/256 of the data is scanned; here the filter expresses
+    the same pruning."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("bucket", _bucket_spark("embedding"))
+        .filter(F.col("bucket") == _bucket_spark("qvec"))
+        .select("vec_id", "bucket", _cos_spark("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@_register(
+    "q31_array_predicates",
+    """
+    SELECT CAST(SUM(CASE WHEN len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.4)) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_large,
+           CAST(SUM(CASE WHEN len(list_filter(embedding,
+                         x -> NOT (CAST(x AS DOUBLE) BETWEEN -0.45 AND 0.45))) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_all_bounded,
+           COUNT(*) AS total
+    FROM embeddings
+    """,
+)
+def q31(spark, sf_dir):
+    """P8 array-element existential + P9 negated-existential predicates
+    ($elemMatch / $nor, charge_analysis_checks.py:410-422,
+    diagnosis_analysis.py:31-36) via higher-order exists/forall — no
+    explode."""
+    e = _t(spark, sf_dir, "embeddings")
+    has_large = F.exists("embedding", lambda x: x.cast("double") > 0.4)
+    all_bounded = F.forall(
+        "embedding", lambda x: x.cast("double").between(-0.45, 0.45)
+    )
+    return e.agg(
+        F.sum(F.when(has_large, 1).otherwise(0)).cast("long").alias("n_has_large"),
+        F.sum(F.when(all_bounded, 1).otherwise(0)).cast("long").alias("n_all_bounded"),
+        F.count("*").alias("total"),
+    )
+
+
+@_register(
+    "q32_explode_stats",
+    """
+    SELECT label,
+           COUNT(*) AS n_elems,
+           ROUND(AVG(CAST(x AS DOUBLE)), 5) AS mean_elem,
+           ROUND(MIN(CAST(x AS DOUBLE)), 6) AS min_elem,
+           ROUND(MAX(CAST(x AS DOUBLE)), 6) AS max_elem,
+           ROUND(STDDEV_POP(CAST(x AS DOUBLE)), 5) AS std_elem
+    FROM (SELECT label, unnest(embedding) AS x FROM embeddings)
+    GROUP BY label
+    """,
+)
+def q32(spark, sf_dir):
+    """P15 unnest/$unwind + A9 full stats block per group
+    (generate_stats_collection.py:120-187: unwind→group→mean/min/max/
+    stddev_pop) — explode then one-pass aggregate, no collect_list."""
+    e = _t(spark, sf_dir, "embeddings")
+    x = F.col("x").cast("double")
+    return (
+        e.select("label", F.explode("embedding").alias("x"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_elems"),
+            F.round(F.avg(x), 5).alias("mean_elem"),
+            F.round(F.min(x), 6).alias("min_elem"),
+            F.round(F.max(x), 6).alias("max_elem"),
+            F.round(F.stddev_pop(x), 5).alias("std_elem"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Metrics / readiness layer (the reference's check+score semantics).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "q33_rule_metrics",
+    RU.rule_metrics_sql("documents", "text"),
+)
+def q33(spark, sf_dir):
+    """The fused rule-metrics pass: every registry rule evaluated as a
+    conditional aggregate in ONE scan (vs the reference's ~60 sequential
+    count_documents calls, main.py:20-25; SURVEY §4.2)."""
+    return RU.rule_metrics(_t(spark, sf_dir, "documents"), "text")
+
+
+@_register(
+    "q34_readiness_score",
+    f"""
+    WITH m AS ({RU.rule_metrics_sql("documents", "text")}),
+    w AS (
+      SELECT CASE WHEN fail_count > 0 THEN
+               CASE severity WHEN 'critical' THEN 0.4 WHEN 'high' THEN 0.3
+                             WHEN 'medium' THEN 0.2 WHEN 'low' THEN 0.1
+                             ELSE 0.2 END
+             ELSE 0.2 END AS w,
+             CASE WHEN fail_count = 0 THEN 0.2 ELSE 0.0 END AS pw
+      FROM m)
+    SELECT ROUND(SUM(pw) / SUM(w) * 100, 4) AS score,
+           CASE WHEN ROUND(SUM(pw) / SUM(w) * 100, 4) >= 80 THEN 'Ready'
+                WHEN ROUND(SUM(pw) / SUM(w) * 100, 4) >= 50 THEN 'Partial'
+                ELSE 'Not Ready' END AS status
+    FROM w
+    """,
+)
+def q34(spark, sf_dir):
+    """Severity-weighted readiness score + band (base_standalone.py:300-376:
+    failed→severity weight, passed→0.2, ≥80 Ready / ≥50 Partial)."""
+    metrics = RU.rule_metrics(_t(spark, sf_dir, "documents"), "text")
+    return RU.readiness_score(metrics)
+
+
+@_register(
+    "q35_stats_materialization",
+    """
+    SELECT lang, source,
+           COUNT(*) AS record_count,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           ROUND(STDDEV_POP(n_chars), 4) AS std_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q35(spark, sf_dir):
+    """EP3 materialized stats table (generate_stats_collection.py:120-197:
+    group by composite key → mean/min/max/stddev_pop + record_count) —
+    direct partial+final aggregation, no $push/collect_list intermediate."""
+    d = _t(spark, sf_dir, "documents")
+    s = F.sum("n_chars").cast("double")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("record_count"),
+        F.round(s / F.count("*"), 6).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.stddev_pop("n_chars"), 4).alias("std_chars"),
+    )
+
+
+@_register(
+    "q36_doc_verdicts",
+    f"""
+    SELECT doc_id,
+           {TX.keep_verdict_sql('text')} AS keep,
+           CAST({TX.n_tokens_sql('text')} AS BIGINT) AS n_tokens,
+           ROUND({TX.symbol_ratio_sql('text')}, 6) AS symbol_ratio,
+           md5({SC.scrub_sql('text')}) AS scrub_fp
+    FROM documents
+    """,
+)
+def q36(spark, sf_dir):
+    """Per-record verdict + scrubbed-caption fingerprint — the strongest
+    oracle check: row-level equality of the whole filter+scrub surface."""
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        TX.keep_verdict(c).alias("keep"),
+        TX.n_tokens(c).cast("long").alias("n_tokens"),
+        F.round(TX.symbol_ratio(c), 6).alias("symbol_ratio"),
+        F.md5(SC.scrub(c)).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Public API consumed by __spark_entry__.py
+# ---------------------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLE)
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: the one-pass rule-metrics + verdict summary over documents
+    (the caption half of the image+caption quality filter)."""
+    d = _t(spark, sf_dir, "documents")
+    keep = F.coalesce(TX.keep_verdict(F.col("text")), F.lit(False))
+    verdicts = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias("n_drop"),
+    )
+    return verdicts
