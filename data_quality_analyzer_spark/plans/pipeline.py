@@ -1,0 +1,216 @@
+"""The flagship pipeline: language-ID + quality-filter + PII/toxicity scrub
+over image+caption tables (BASELINE.json north_rule).
+
+One declarative DataFrame plan per batch of rows:
+
+1. **Caption heuristics** — native JVM column expressions (whole-stage
+   codegen; zero Python): blank/length/token/symbol/repetition/word-length/
+   toxicity rules + PII scrub via ``regexp_replace``.
+2. **Model scores** — two Arrow-batched pandas UDFs (langid, perplexity),
+   weights broadcast once per executor.
+3. **Language-aware stopword rule** — native expression selected by the
+   predicted language (per-language stopword lists baked as literals).
+4. **Image validation** — one pandas UDF over exactly (bytes,w,h,fmt);
+   `bytes` passes through JVM-side untouched (byte-exact invariant).
+5. **Verdict** — keep = AND of all rule flags; fail_rules = sorted failed
+   keys (the record-level CheckResult, base_standalone.py:44-66).
+
+The matching pure-pandas oracle is ``oracle/pandas_oracle.py``; both are
+exercised by tests/test_pipeline_oracle.py (F1 ≥ 0.99 gate — in practice
+exact agreement).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import langid as LI
+from ..functions import perplexity as PX
+from ..functions import scrub as SC
+from ..functions import text as TX
+from ..operators import images as IM
+from ..sources import seed_corpus as SCorp
+
+# Per-language stopword lists = the 40 most common vocabulary words.
+STOPWORDS_BY_LANG = {lang: SCorp.VOCAB[lang][:40] for lang in SCorp.LANGS}
+
+# (rule_key, severity) — severities feed the readiness score
+# (base_standalone.py:300-353 weights).
+PIPELINE_RULES: tuple[tuple[str, str], ...] = (
+    ("caption_present", "critical"),
+    ("min_length", "high"),
+    ("max_length", "medium"),
+    ("token_bounds", "high"),
+    ("symbol_ratio", "medium"),
+    ("stopword_lang", "medium"),
+    ("repetition", "medium"),
+    ("word_length", "low"),
+    ("toxicity", "critical"),
+    ("lang_confident", "high"),
+    ("ppl_bound", "high"),
+    ("bytes_present", "critical"),
+    ("magic_ok", "high"),
+    ("decodable", "critical"),
+    ("dims_match", "high"),
+    ("dims_bounds", "medium"),
+)
+
+RULE_KEYS = tuple(k for k, _ in PIPELINE_RULES)
+
+
+def _stopword_ratio_for(c: Column, words: tuple[str, ...]) -> Column:
+    toks = TX.tokens(F.lower(c))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
+
+
+def _lang_aware_stopword_ratio(c: Column, lang_pred: Column) -> Column:
+    """Stopword ratio against the predicted language's list (falls back to
+    English for unknown predictions)."""
+    expr = None
+    for lang, words in STOPWORDS_BY_LANG.items():
+        ratio = _stopword_ratio_for(c, words)
+        expr = F.when(lang_pred == lang, ratio) if expr is None else expr.when(
+            lang_pred == lang, ratio
+        )
+    return expr.otherwise(_stopword_ratio_for(c, STOPWORDS_BY_LANG["en"]))
+
+
+def run_pipeline(spark: SparkSession, images: DataFrame) -> DataFrame:
+    """images(input_hint schema) → verdict table.
+
+    Output: all input columns (bytes untouched) + caption_scrubbed,
+    lang_pred, lang_conf, perplexity, has_email/ssn/phone,
+    pass_<rule> flags, keep, fail_rules.
+    """
+    c = F.col("caption")
+
+    # -- stage 1: native caption heuristics + scrub (pure JVM) -------------
+    df = images.withColumns(
+        {
+            "caption_scrubbed": SC.scrub(c),
+            "has_email": F.coalesce(c.rlike(SC.PII_PATTERNS[0][1]), F.lit(False)),
+            "has_ssn": F.coalesce(c.rlike(SC.PII_PATTERNS[1][1]), F.lit(False)),
+            "has_phone": F.coalesce(c.rlike(SC.PII_PATTERNS[2][1]), F.lit(False)),
+            "pass_caption_present": ~TX.is_blank(c),
+            # NULL caption fails every caption rule (missing ∨ null ∨ ''
+            # collapse, SURVEY §1.3) — hence raw length, not coalesced-to-0.
+            "pass_min_length": F.coalesce(F.length(c) >= TX.MIN_CHARS, F.lit(False)),
+            "pass_max_length": F.coalesce(F.length(c) <= TX.MAX_CHARS, F.lit(False)),
+            "pass_token_bounds": F.coalesce(
+                TX.n_tokens(c).between(TX.MIN_TOKENS, TX.MAX_TOKENS), F.lit(False)
+            ),
+            "pass_symbol_ratio": F.coalesce(
+                c.isNotNull() & (TX.symbol_ratio(c) <= TX.MAX_SYMBOL_RATIO),
+                F.lit(False),
+            ),
+            "pass_repetition": F.coalesce(
+                TX.distinct_token_ratio(c) >= TX.MIN_DISTINCT_RATIO, F.lit(False)
+            ),
+            "pass_word_length": F.coalesce(
+                TX.mean_word_len(c).between(
+                    TX.MIN_MEAN_WORD_LEN, TX.MAX_MEAN_WORD_LEN
+                ),
+                F.lit(False),
+            ),
+            "pass_toxicity": ~F.coalesce(TX.has_toxicity(c), F.lit(False)),
+        }
+    )
+
+    # -- stage 2: model scores (Arrow-batched pandas UDFs) -----------------
+    langid = LI.langid_udf(spark)
+    ppl = PX.perplexity_udf(spark)
+    df = df.withColumn("_li", langid(c)).withColumn("perplexity", ppl(c))
+    df = df.withColumn("lang_pred", F.col("_li.lang_pred")).withColumn(
+        "lang_conf", F.col("_li.lang_conf")
+    ).drop("_li")
+    df = df.withColumns(
+        {
+            "pass_lang_confident": F.coalesce(
+                F.col("lang_conf") >= LI.MIN_CONFIDENCE, F.lit(False)
+            ),
+            "pass_ppl_bound": F.coalesce(
+                F.col("perplexity") <= PX.MAX_PERPLEXITY, F.lit(False)
+            ),
+        }
+    )
+
+    # -- stage 3: language-aware stopword rule (native, after langid) ------
+    df = df.withColumn(
+        "pass_stopword_lang",
+        F.coalesce(
+            _lang_aware_stopword_ratio(c, F.col("lang_pred"))
+            >= TX.MIN_STOPWORD_RATIO,
+            F.lit(False),
+        ),
+    )
+
+    # -- stage 4: image validation (bytes cross Python exactly once) -------
+    validator = IM.image_validator_udf()
+    df = df.withColumn(
+        "_img", validator(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+    )
+    df = df.withColumns(
+        {
+            "pass_bytes_present": F.col("bytes").isNotNull()
+            & (F.length("bytes") > 0),
+            "pass_magic_ok": F.coalesce(F.col("_img.magic_ok"), F.lit(False)),
+            "pass_decodable": F.coalesce(F.col("_img.decodable"), F.lit(False)),
+            "pass_dims_match": F.coalesce(F.col("_img.dims_match"), F.lit(False)),
+            "pass_dims_bounds": F.coalesce(F.col("_img.dims_bounds"), F.lit(False)),
+        }
+    ).drop("_img")
+
+    # -- stage 5: verdict ---------------------------------------------------
+    keep = F.lit(True)
+    for key in RULE_KEYS:
+        keep = keep & F.col(f"pass_{key}")
+    fails = F.array_sort(
+        F.filter(
+            F.array(
+                *[
+                    F.when(~F.col(f"pass_{k}"), F.lit(k)).otherwise(F.lit(None))
+                    for k in RULE_KEYS
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    return df.withColumn("keep", keep).withColumn("fail_rules", fails)
+
+
+def pipeline_metrics(verdicts: DataFrame) -> DataFrame:
+    """ONE-PASS per-rule pass/fail counts over a verdict table (long format:
+    rule_key, severity, pass_count, fail_count) — SURVEY A2-fusion."""
+    aggs = []
+    for key, _sev in PIPELINE_RULES:
+        p = F.col(f"pass_{key}")
+        aggs.append(F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"p_{key}"))
+        aggs.append(F.sum(F.when(p, 0).otherwise(1)).cast("long").alias(f"f_{key}"))
+    aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"))
+    aggs.append(F.count("*").alias("n_total"))
+    wide = verdicts.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{k}', '{sev}', p_{k}, f_{k}" for k, sev in PIPELINE_RULES
+    )
+    long = wide.selectExpr(
+        f"stack({len(PIPELINE_RULES)}, {stack_args}) AS "
+        "(rule_key, severity, pass_count, fail_count)",
+        "n_keep",
+        "n_total",
+    )
+    return long
+
+
+def langid_histogram(verdicts: DataFrame) -> DataFrame:
+    """Per-language keep/drop histogram (A14 shape; north-star metric)."""
+    return (
+        verdicts.groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        )
+        .orderBy(F.desc("n"), F.asc_nulls_last("lang_pred"))
+    )

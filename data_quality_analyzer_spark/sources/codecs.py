@@ -1,0 +1,279 @@
+"""Pure-numpy image codecs: PNG (zlib + filters), PPM (P6), BMP (24-bit).
+
+The sandbox has no PIL/cv2/imageio (SURVEY §7.0), so the image stage of the
+quality filter ships its own self-contained codecs.  They are used by
+
+* the fixture generator (encode deterministic pixel arrays),
+* the Spark image-validation operator (decode inside ``mapInPandas``),
+* the pandas oracle (same functions ⇒ engine-vs-oracle parity).
+
+Supported: 8-bit grayscale and RGB.  PNG decode handles all five standard
+scanline filters (None/Sub/Up/Average/Paeth); encode uses filter 0 with
+maximum-speed zlib.  PSNR is provided for the lossy-format invariant
+(``BASELINE.json`` input_hint: decoded-pixel allclose, PSNR ≥ 40 dB).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+BMP_MAGIC = b"BM"
+PPM_MAGIC = b"P6"
+
+
+class CodecError(ValueError):
+    """Raised for corrupt / unsupported image bytes."""
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode HxW (gray) or HxWx3 (RGB) uint8 array as PNG (filter 0)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    else:
+        raise CodecError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = img.reshape(h, w * channels)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    # a=left, b=up, c=up-left; all int16 vectors
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode an 8-bit gray/RGB PNG into an HxW[x3] uint8 array."""
+    if not data.startswith(PNG_MAGIC):
+        raise CodecError("bad PNG magic")
+    pos = len(PNG_MAGIC)
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise CodecError("truncated chunk")
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if bit_depth != 8 or color_type not in (0, 2) or interlace != 0:
+                raise CodecError(
+                    f"unsupported PNG: depth={bit_depth} color={color_type}"
+                )
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None or not idat:
+        raise CodecError("missing IHDR/IDAT")
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise CodecError(f"zlib: {exc}") from exc
+    if len(raw) != (stride + 1) * height:
+        raise CodecError("bad decompressed length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    filters = arr[:, 0]
+    scan = arr[:, 1:].astype(np.int16)
+    out = np.zeros((height, stride), dtype=np.int16)
+    bpp = channels
+    for y in range(height):
+        f = filters[y]
+        cur = scan[y].copy()
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int16)
+        if f == 0:
+            out[y] = cur
+        elif f == 1:  # Sub
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (cur[x] + left) & 0xFF
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                out[y, x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                left = out[y, x - bpp] if x >= bpp else 0
+                ul = prev[x - bpp] if x >= bpp else 0
+                out[y, x] = (cur[x] + _paeth(
+                    np.int16(left), prev[x], np.int16(ul)
+                )) & 0xFF
+        else:
+            raise CodecError(f"bad filter {f}")
+    img = out.astype(np.uint8).reshape(height, width, channels)
+    return img[:, :, 0] if channels == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6, binary RGB)
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise CodecError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    if not data.startswith(PPM_MAGIC):
+        raise CodecError("bad PPM magic")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    fields: list[bytes] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":  # comment
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise CodecError("truncated PPM header")
+        fields.append(data[start:pos])
+    pos += 1  # single whitespace after maxval
+    try:
+        w, h, maxval = (int(f) for f in fields)
+    except ValueError as exc:
+        raise CodecError("bad PPM header") from exc
+    if maxval != 255:
+        raise CodecError("unsupported maxval")
+    need = w * h * 3
+    raster = data[pos : pos + need]
+    if len(raster) != need:
+        raise CodecError("truncated PPM raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit, BI_RGB, bottom-up)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.stack([img] * 3, axis=-1)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise CodecError(f"unsupported array shape {img.shape}")
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    pad = row_size - w * 3
+    # BMP stores BGR bottom-up
+    bgr = img[::-1, :, ::-1]
+    body = b"".join(
+        bgr[y].tobytes() + b"\x00" * pad for y in range(h)
+    )
+    pixel_offset = 14 + 40
+    file_size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + dib + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    if not data.startswith(BMP_MAGIC):
+        raise CodecError("bad BMP magic")
+    if len(data) < 54:
+        raise CodecError("truncated BMP header")
+    pixel_offset = struct.unpack_from("<I", data, 10)[0]
+    dib_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0 or h <= 0:
+        raise CodecError("unsupported BMP variant")
+    row_size = (w * 3 + 3) & ~3
+    need = row_size * h
+    body = data[pixel_offset : pixel_offset + need]
+    if len(body) != need:
+        raise CodecError("truncated BMP raster")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(h, row_size)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    return bgr[::-1, :, ::-1].copy()
+
+
+# ---------------------------------------------------------------------------
+# Dispatch + PSNR
+# ---------------------------------------------------------------------------
+
+ENCODERS = {"png": encode_png, "ppm": encode_ppm, "bmp": encode_bmp}
+DECODERS = {"png": decode_png, "ppm": decode_ppm, "bmp": decode_bmp}
+MAGIC = {"png": PNG_MAGIC, "ppm": PPM_MAGIC, "bmp": BMP_MAGIC}
+LOSSY_FORMATS: frozenset[str] = frozenset()  # jpeg hook reserved (FIXTURES.md F1)
+
+
+def sniff_format(data: bytes | None) -> str | None:
+    if not data:
+        return None
+    for fmt, magic in MAGIC.items():
+        if data.startswith(magic):
+            return fmt
+    return None
+
+
+def decode(data: bytes, fmt: str | None = None) -> np.ndarray:
+    fmt = fmt or sniff_format(data)
+    if fmt not in DECODERS:
+        raise CodecError(f"unknown format {fmt!r}")
+    return DECODERS[fmt](data)
+
+
+def decode_jpeg_stub(data: bytes) -> np.ndarray:
+    """Reserved lossy-format hook: no JPEG decoder library exists in this
+    sandbox (no PIL/cv2), so rows with fmt='jpeg' are routed here and fail
+    validation with a clear marker.  When a decoder lands, plug it in and
+    the PSNR≥40dB path in operators/images.py activates unchanged."""
+    raise NotImplementedError("jpeg decode requires an external codec library")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    if a.shape != b.shape:
+        raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0**2 / mse))

@@ -1,0 +1,166 @@
+"""The correctness gate: Spark pipeline vs pure-pandas oracle on the
+deterministic fixture corpus (BASELINE.md targets: keep/drop F1 ≥ 0.99 —
+achieved exactly — caption/scrub equality, byte-exact passthrough), plus
+property-based invariants (SURVEY §5 item 3)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.oracle.pandas_oracle import (
+    f1_keep,
+    oracle_metrics,
+    oracle_verdicts,
+)
+from data_quality_analyzer_spark.plans.pipeline import (
+    PIPELINE_RULES,
+    RULE_KEYS,
+    langid_histogram,
+    pipeline_metrics,
+    run_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def spark_verdicts(spark, corpus_path):
+    images = spark.read.parquet(corpus_path)
+    return run_pipeline(spark, images)
+
+
+@pytest.fixture(scope="module")
+def aligned(spark_verdicts, corpus_pdf):
+    m = (
+        spark_verdicts.drop("bytes")
+        .toPandas()
+        .sort_values(["image_id", "caption"], na_position="first")
+        .reset_index(drop=True)
+    )
+    orc = oracle_verdicts(corpus_pdf)
+    o = (
+        orc.join(corpus_pdf[["caption"]])
+        .sort_values(["image_id", "caption"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert (m["image_id"] == o["image_id"]).all()
+    return m, o
+
+
+def test_keep_f1(aligned):
+    m, o = aligned
+    f1 = f1_keep(m["keep"], o["keep"])
+    assert f1 >= 0.99  # BASELINE target; exact agreement in practice
+    assert (m["keep"] == o["keep"]).all()
+
+
+def test_every_rule_flag_matches(aligned):
+    m, o = aligned
+    for k in RULE_KEYS:
+        assert (m[f"pass_{k}"] == o[f"pass_{k}"]).all(), k
+
+
+def test_fail_rules_match(aligned):
+    m, o = aligned
+    for a, b in zip(m["fail_rules"], o["fail_rules"]):
+        assert list(a) == list(b)
+
+
+def test_scrubbed_caption_equality(aligned):
+    m, o = aligned
+    a = m["caption_scrubbed"].fillna("<NULL>")
+    b = o["caption_scrubbed"].fillna("<NULL>")
+    assert (a == b).all()
+
+
+def test_langid_matches(aligned):
+    m, o = aligned
+    assert (m["lang_pred"].fillna("<N>") == o["lang_pred"].fillna("<N>")).all()
+
+
+def test_every_rule_has_failures(aligned):
+    """The fixture plants a violation cohort for every rule."""
+    _, o = aligned
+    for k in RULE_KEYS:
+        assert (~o[f"pass_{k}"]).sum() > 0, f"rule {k} never fails in fixture"
+
+
+def test_bytes_passthrough(spark, corpus_path, spark_verdicts):
+    """Byte-exact passthrough invariant (input_hint)."""
+    src = (
+        spark.read.parquet(corpus_path)
+        .select("image_id", F.md5("bytes").alias("fp"))
+        .toPandas()
+    )
+    out = spark_verdicts.select("image_id", F.md5("bytes").alias("fp")).toPandas()
+    a = src.sort_values(["image_id", "fp"], na_position="first").reset_index(drop=True)
+    b = out.sort_values(["image_id", "fp"], na_position="first").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_metrics_match_oracle(spark_verdicts, corpus_pdf):
+    got = (
+        pipeline_metrics(spark_verdicts)
+        .select("rule_key", "severity", "pass_count", "fail_count")
+        .toPandas()
+        .sort_values("rule_key")
+        .reset_index(drop=True)
+    )
+    want = (
+        oracle_metrics(oracle_verdicts(corpus_pdf))
+        .sort_values("rule_key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"pass_count": "int64", "fail_count": "int64"}), want
+    )
+
+
+def test_invariants(spark_verdicts):
+    """keep+drop = total; pass+fail = total per rule; histogram sums."""
+    met = pipeline_metrics(spark_verdicts).toPandas()
+    total = met["n_total"].iloc[0]
+    assert ((met["pass_count"] + met["fail_count"]) == total).all()
+    assert 0 <= met["n_keep"].iloc[0] <= total
+    hist = langid_histogram(spark_verdicts).toPandas()
+    assert hist["n"].sum() == total
+    assert (hist["n_keep"] <= hist["n"]).all()
+
+
+def test_verdict_invariant_under_repartition(spark, corpus_path):
+    """Verdicts must not depend on physical partitioning (SURVEY §5 item 3)."""
+    images = spark.read.parquet(corpus_path)
+    a = (
+        run_pipeline(spark, images.repartition(17))
+        .select("image_id", "caption", "keep")
+        .toPandas()
+        .sort_values(["image_id", "caption"], na_position="first")
+        .reset_index(drop=True)
+    )
+    b = (
+        run_pipeline(spark, images.coalesce(1))
+        .select("image_id", "caption", "keep")
+        .toPandas()
+        .sort_values(["image_id", "caption"], na_position="first")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_readiness_score_semantics(spark):
+    """base_standalone.py:300-376 semantics on a crafted metrics table."""
+    from data_quality_analyzer_spark.operators.rules import readiness_score
+
+    pdf = pd.DataFrame(
+        {
+            "rule_key": ["a", "b", "c", "d"],
+            "severity": ["critical", "high", "medium", "low"],
+            "pass_count": [10, 10, 10, 10],
+            "fail_count": [0, 1, 0, 1],
+        }
+    )
+    got = readiness_score(spark.createDataFrame(pdf)).collect()[0]
+    # weights: a passed 0.2, b failed 0.3, c passed 0.2, d failed 0.1
+    # score = (0.2+0.2)/(0.2+0.3+0.2+0.1)*100 = 50.0 -> Partial
+    assert got["score"] == 50.0
+    assert got["status"] == "Partial"
