@@ -34,11 +34,16 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 
 
 def scrub(col: Column) -> Column:
-    """caption → caption_scrubbed as a chain of native regexp_replace."""
+    """caption → caption_scrubbed as a chain of native regexp_replace.
+
+    Guarded by a single combined rlike: the overwhelmingly common PII-free
+    row pays one scan and zero string allocations instead of three
+    replace-and-copy passes."""
+    any_pii = "|".join(f"(?:{pat})" for _n, pat, _r in PII_PATTERNS)
     out = col
     for _name, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
-    return out
+    return F.when(col.rlike(any_pii), out).otherwise(col)
 
 
 def pii_flags(col: Column) -> dict[str, Column]:

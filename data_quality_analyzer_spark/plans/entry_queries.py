@@ -718,41 +718,44 @@ def q25(spark, sf_dir):
 
 _MINHASH_SEEDS = tuple(range(8))
 
+from ..functions import hashing as HH  # noqa: E402
 
-def _minhash_sql_expr(seed: int, text: str = "text") -> str:
-    shingles = (
-        f"list_transform(range(1, length({text}) - 3), i -> substr({text}, i, 5))"
-    )
-    hashed = _h60_sql(f"concat('{seed}:', x)")
-    return f"list_min(list_transform({shingles}, x -> {hashed})) AS mh{seed}"
+_DUCK_SHINGLE_HASHES = (
+    "list_transform(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5)), "
+    f"x -> {HH.h60_sql('x')})"
+)
+_SPARK_SHINGLE_HASHES = (
+    "transform(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)), "
+    f"x -> {HH.h60_spark_sql('x')})"
+)
 
 
 @_register(
     "q26_minhash_signatures",
     f"""
-    SELECT doc_id, {", ".join(_minhash_sql_expr(s) for s in _MINHASH_SEEDS)}
-    FROM documents WHERE text IS NOT NULL AND length(text) >= 5
+    SELECT doc_id,
+           {", ".join(f"list_min(list_transform(hs, h -> {HH.mix_sql('h', s)})) AS mh{s}" for s in _MINHASH_SEEDS)}
+    FROM (SELECT doc_id, {_DUCK_SHINGLE_HASHES} AS hs
+          FROM documents WHERE text IS NOT NULL AND length(text) >= 5)
     """,
 )
 def q26(spark, sf_dir):
     """MinHash signatures over 5-char shingles — the signature stage of
     MinHash+LSH near-dup detection.  Computed entirely per-row with
     higher-order functions: NO explode, NO shuffle — embarrassingly
-    parallel at 100 TB.  Hashes are md5-derived so the DuckDB oracle is
-    bit-identical."""
+    parallel at 100 TB.  Each shingle is md5-hashed ONCE; per-seed
+    permutations are overflow-free affine mixes (functions/hashing.py), so
+    the DuckDB oracle is bit-identical and the md5 cost does not multiply
+    by the number of seeds."""
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length("text") >= 5)
     )
-    shingles = F.expr("transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))")
-
-    def _hash_fn(seed: int):
-        # NB: must be a unary lambda — a second (defaulted) parameter makes
-        # PySpark pass the array INDEX as the second argument.
-        return lambda x: _h60_spark(F.concat(F.lit(f"{seed}:"), x))
-
+    d = d.withColumn("_hs", F.expr(_SPARK_SHINGLE_HASHES))
     cols = [F.col("doc_id")]
     for s in _MINHASH_SEEDS:
-        cols.append(F.array_min(F.transform(shingles, _hash_fn(s))).alias(f"mh{s}"))
+        cols.append(
+            F.expr(f"array_min(transform(_hs, h -> {HH.mix_spark_sql('h', s)}))").alias(f"mh{s}")
+        )
     return d.select(*cols)
 
 
@@ -782,17 +785,25 @@ def q27(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
     )
+    # md5 once per token (column _th), THEN fold bit-votes over the hashes —
+    # the naive form re-hashed every token once per bit (60× md5 cost).
+    d = d.withColumn(
+        "_th",
+        F.expr(
+            "transform(split(lower(trim(text)), '\\\\s+'), "
+            f"t -> {HH.h60_spark_sql('t')})"
+        ),
+    )
     simhash = F.expr(
         """
         aggregate(
           zip_with(
             aggregate(
-              split(lower(trim(text)), '\\\\s+'),
+              _th,
               transform(sequence(0, 59), j -> 0L),
-              (acc, t) -> zip_with(acc,
+              (acc, hv) -> zip_with(acc,
                 transform(sequence(0, 59), j ->
-                  CASE WHEN (shiftright(CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT), j) & 1L) = 1L
-                       THEN 1L ELSE -1L END),
+                  CASE WHEN (shiftright(hv, j) & 1L) = 1L THEN 1L ELSE -1L END),
                 (a, b) -> a + b)
             ),
             sequence(0, 59),

@@ -60,9 +60,8 @@ RULE_KEYS = tuple(k for k, _ in PIPELINE_RULES)
 
 
 def _stopword_ratio_for(c: Column, words: tuple[str, ...]) -> Column:
-    toks = TX.tokens(F.lower(c))
-    n = F.size(toks)
-    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    n = TX.n_tokens(c)
+    hits = TX.stopword_count(c, words)
     return F.when(n == 0, F.lit(0.0)).otherwise(hits.cast("double") / n.cast("double"))
 
 
@@ -167,15 +166,18 @@ def run_pipeline(spark: SparkSession, images: DataFrame) -> DataFrame:
     keep = F.lit(True)
     for key in RULE_KEYS:
         keep = keep & F.col(f"pass_{key}")
-    fails = F.array_sort(
-        F.filter(
+    # sort_array + array_compact instead of a filter() lambda: whole-stage
+    # codegen keeps working (higher-order functions are CodegenFallback)
+    fails = F.sort_array(
+        F.array_compact(
             F.array(
                 *[
-                    F.when(~F.col(f"pass_{k}"), F.lit(k)).otherwise(F.lit(None))
+                    F.when(~F.col(f"pass_{k}"), F.lit(k)).otherwise(
+                        F.lit(None).cast("string")
+                    )
                     for k in RULE_KEYS
                 ]
-            ),
-            lambda x: x.isNotNull(),
+            )
         )
     )
     return df.withColumn("keep", keep).withColumn("fail_rules", fails)

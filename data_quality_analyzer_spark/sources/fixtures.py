@@ -155,9 +155,19 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pd.DataFrame:
     return pdf
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> str:
-    """Write images.parquet under out_dir; returns the file path."""
+def write_corpus(
+    out_dir: str, n_rows: int, seed: int = 42, n_files: int | None = None
+) -> str:
+    """Write the images table under out_dir; returns the table path.
+
+    Large tiers are written as a DIRECTORY of part files: a single parquet
+    file with one huge row group is unsplittable, which serializes the scan
+    stage no matter how many cores the session has (and faked an early
+    scaling measurement).  ≥2 files per core keeps every level fully
+    subscribed (BASELINE.md §3 protocol: ≥128 tasks).
+    """
     import os
+    import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -176,6 +186,19 @@ def write_corpus(out_dir: str, n_rows: int, seed: int = 42) -> str:
         ]
     )
     table = pa.Table.from_pandas(pdf, schema=schema, preserve_index=False)
+    if n_files is None:
+        n_files = 128 if n_rows >= 50_000 else 1
     path = os.path.join(out_dir, "images.parquet")
-    pq.write_table(table, path)
+    if n_files == 1:
+        pq.write_table(table, path)
+        return path
+    if os.path.isfile(path):
+        os.remove(path)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    per = (n_rows + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = table.slice(i * per, per)
+        if chunk.num_rows:
+            pq.write_table(chunk, os.path.join(path, f"part-{i:05d}.parquet"))
     return path

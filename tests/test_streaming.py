@@ -1,0 +1,81 @@
+"""Structured Streaming layer: windowed metrics equal the batch computation
+on the same input; the foreachBatch verdict sink reuses the batch pipeline."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.streaming import stream as ST
+
+OUT = os.path.join(os.path.dirname(__file__), "..", ".fixtures", "stream")
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark):
+    """Split sf0.001 events into several files (one per micro-batch)."""
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = os.path.join(OUT, "events_in")
+    shutil.rmtree(d, ignore_errors=True)
+    src.repartition(4).write.parquet(d)
+    return d
+
+
+def test_stream_matches_batch(spark, events_dir):
+    got = (
+        ST.run_metrics_stream_once(spark, events_dir, "qm_test")
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    # batch twin: same aggregation expressed statically
+    e = spark.read.parquet(events_dir)
+    want = (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("value") < 10.0, 1).otherwise(0)).cast("long").alias("low_value_fails"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("long").alias("null_value_fails"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n", "low_value_fails", "null_value_fails", "avg_value",
+        )
+        .toPandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    assert (got["n"].values == want["n"].values).all()
+    assert (got["low_value_fails"].values == want["low_value_fails"].values).all()
+
+
+def test_stream_verdict_sink(spark, corpus_path):
+    images_dir = os.path.join(OUT, "images_in")
+    out_dir = os.path.join(OUT, "verdicts_out")
+    ckpt = os.path.join(OUT, "ckpt")
+    for d in (images_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    src = spark.read.parquet(corpus_path).limit(300)
+    src.repartition(3).write.parquet(images_dir)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(images_dir)
+    )
+    q = ST.stream_verdicts_foreach_batch(spark, stream, out_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 300
+    assert "keep" in out.columns and "caption_scrubbed" in out.columns
+    # multiple micro-batches actually happened
+    assert out.select("epoch").distinct().count() >= 2
