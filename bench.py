@@ -89,6 +89,7 @@ def _run_pinned_level(images_path: str, cpus: int) -> dict:
     two-level comparison measures nothing."""
     import subprocess
 
+    time.sleep(15)  # let the previous level's JVM/page-cache churn settle
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_ROWS"] = str(BENCH_ROWS)
@@ -150,12 +151,34 @@ def main() -> None:
 
     if scaling:
         spark.stop()
-        levels = {}
-        for cpus in (4, 8, 16, 32):
-            r = _run_pinned_level(images_path, cpus)
-            levels[cpus] = {"sec": r["sec"], "rows": r["rows"], "ips": r["rows"] / r["sec"]}
-        eff_4_16 = (levels[16]["ips"] / levels[4]["ips"]) / 4.0
-        eff_8_32 = (levels[32]["ips"] / levels[8]["ips"]) / 4.0
+        # Interleaved pairing: this VM's absolute throughput drifts +-25%
+        # over minutes (co-tenants), so each N/4N ratio is taken from
+        # back-to-back runs (same noise environment) and the median of
+        # three such ratios is reported.
+        import statistics
+
+        def paired_efficiency(n: int, n4: int, reps: int = 3):
+            ratios, samples = [], {n: [], n4: []}
+            for _ in range(reps):
+                a = _run_pinned_level(images_path, n)
+                b = _run_pinned_level(images_path, n4)
+                ips_a = a["rows"] / a["sec"]
+                ips_b = b["rows"] / b["sec"]
+                samples[n].append(ips_a)
+                samples[n4].append(ips_b)
+                ratios.append((ips_b / ips_a) / 4.0)
+            return statistics.median(ratios), samples
+
+        eff_4_16, s416 = paired_efficiency(4, 16)
+        eff_8_32, s832 = paired_efficiency(8, 32)
+        levels = {
+            4: {"ips": max(s416[4]), "rows": BENCH_ROWS},
+            8: {"ips": max(s832[8]), "rows": BENCH_ROWS},
+            16: {"ips": max(s416[16]), "rows": BENCH_ROWS},
+            32: {"ips": max(s832[32]), "rows": BENCH_ROWS},
+        }
+        for c in levels:
+            levels[c]["sec"] = BENCH_ROWS / levels[c]["ips"]
         result["scaling"] = {
             "ips": {str(c): round(levels[c]["ips"], 1) for c in levels},
             "efficiency_4_to_16": round(eff_4_16, 3),
@@ -176,8 +199,12 @@ def main() -> None:
                 "in its own process pinned with `taskset -c` so JVM task threads AND\n"
                 "Python UDF worker processes are both constrained to N cores — an\n"
                 "unpinned local[N] session lets its UDF workers spread over every\n"
-                "physical core, which would fake the comparison.  Best-of-3\n"
-                "steady-state runs (this VM shows 0-17% CPU steal from co-tenants).\n\n"
+                "physical core, which would fake the comparison.  Because this VM's\n"
+                "absolute throughput drifts +-25% over minutes (co-tenant noise,\n"
+                "0-17% CPU steal observed), each N/4N efficiency is the MEDIAN of\n"
+                "three back-to-back interleaved N,4N run pairs (same noise\n"
+                "environment within a pair); each run is itself best-of-3\n"
+                "steady-state (warm-up excluded).  Table shows per-level maxima.\n\n"
                 "| cores | images/sec | wall (s) |\n|---|---|---|\n"
                 f"{rows_tbl}\n\n"
                 f"**Scaling efficiency N=4 → 4N=16: {eff_4_16:.3f}** (target ≥ 0.8)\n"
