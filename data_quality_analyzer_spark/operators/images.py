@@ -28,9 +28,15 @@ _FLAG_SCHEMA = (
 
 
 def validate_batch(
-    data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
+    data: pd.Series,
+    w: pd.Series,
+    h: pd.Series,
+    fmt: pd.Series,
+    min_dim: int = MIN_DIM,
+    max_dim: int = MAX_DIM,
 ) -> pd.DataFrame:
-    """Shared by the Spark UDF and the pandas oracle (engine parity)."""
+    """Shared by the Spark UDF and the pandas oracle (engine parity).
+    Dimension bounds come from PipelineSettings (config.py)."""
     n = len(data)
     magic_ok = np.zeros(n, dtype=bool)
     decodable = np.zeros(n, dtype=bool)
@@ -54,7 +60,7 @@ def validate_batch(
         decodable[i] = True
         ih, iw = img.shape[:2]
         dims_match[i] = (iw == w.iloc[i]) and (ih == h.iloc[i])
-        dims_bounds[i] = MIN_DIM <= iw <= MAX_DIM and MIN_DIM <= ih <= MAX_DIM
+        dims_bounds[i] = min_dim <= iw <= max_dim and min_dim <= ih <= max_dim
         # PSNR invariant activates only for lossy formats (decode→reencode
         # roundtrip ≥ 40 dB); lossless formats are byte-exact by design.
     return pd.DataFrame(
@@ -68,14 +74,15 @@ def validate_batch(
     )
 
 
-def image_validator_udf():
-    """pandas_udf (bytes, w, h, fmt) -> struct of validity flags."""
+def image_validator_udf(min_dim: int = MIN_DIM, max_dim: int = MAX_DIM):
+    """pandas_udf (bytes, w, h, fmt) -> struct of validity flags.  The
+    dimension bounds are closed over (tiny ints shipped with the UDF)."""
     from pyspark.sql import functions as F
 
     @F.pandas_udf(_FLAG_SCHEMA)
     def _validate(
         data: pd.Series, w: pd.Series, h: pd.Series, fmt: pd.Series
     ) -> pd.DataFrame:
-        return validate_batch(data, w, h, fmt)
+        return validate_batch(data, w, h, fmt, min_dim, max_dim)
 
     return _validate

@@ -15,6 +15,7 @@ import re
 import numpy as np
 import pandas as pd
 
+from ..config import DEFAULT_SETTINGS, PipelineSettings
 from ..functions import langid as LI
 from ..functions import perplexity as PX
 from ..functions import scrub as SC
@@ -62,17 +63,52 @@ def _stopword_ratio(text: str | None, words: tuple[str, ...]) -> float:
     return sum(t in sw for t in toks) / len(toks)
 
 
-def oracle_verdicts(images: pd.DataFrame) -> pd.DataFrame:
+def oracle_verdicts(
+    images: pd.DataFrame,
+    settings: PipelineSettings | None = None,
+    short_circuit: bool = True,
+) -> pd.DataFrame:
     """images pdf (input_hint schema) → oracle verdict pdf (same columns as
-    plans.pipeline.run_pipeline output, minus the passthrough bytes)."""
+    plans.pipeline.run_pipeline output, minus the passthrough bytes).
+
+    Mirrors the engine's critical short-circuit: rows failing a cheap
+    critical rule (caption_present, toxicity, bytes_present) never reach
+    langid / perplexity / image decode — their model columns are the null
+    fast-path values and their downstream flags read False (skipped)."""
+    s = settings or DEFAULT_SETTINGS
     n = len(images)
     cap = images["caption"]
 
+    tox = set(TX.TOXICITY_WORDS)
+
+    def _gate(i: int) -> bool:
+        t = cap.iloc[i]
+        is_str = isinstance(t, str)
+        if (not is_str) or t.strip() == "":
+            return False  # caption_present fails
+        if any(tok in tox for tok in _tokens(t.lower())):
+            return False  # toxicity fails
+        b = images["bytes"].iloc[i]
+        return b is not None and len(b) > 0  # bytes_present
+
+    gate = pd.Series(
+        [True] * n if not short_circuit else [_gate(i) for i in range(n)],
+        index=images.index,
+    )
+    cap_gated = cap.where(gate)
+
     li_model = LI.get_model()
     lm = PX.get_model()
-    li = LI.predict_batch(cap, li_model)
-    ppl = PX.score_batch(cap, lm)
-    img_flags = IM.validate_batch(images["bytes"], images["w"], images["h"], images["fmt"])
+    li = LI.predict_batch(cap_gated, li_model)
+    ppl = PX.score_batch(cap_gated, lm)
+    img_flags = IM.validate_batch(
+        images["bytes"].where(gate),
+        images["w"],
+        images["h"],
+        images["fmt"],
+        s.min_dim,
+        s.max_dim,
+    )
 
     out = pd.DataFrame({"image_id": images["image_id"]})
     out["caption_scrubbed"] = cap.map(SC.scrub_python, na_action="ignore")
@@ -85,8 +121,6 @@ def oracle_verdicts(images: pd.DataFrame) -> pd.DataFrame:
     out["lang_conf"] = li["lang_conf"]
     out["perplexity"] = ppl.values
 
-    tox = set(TX.TOXICITY_WORDS)
-
     def passes(row_i: int) -> dict[str, bool]:
         t = cap.iloc[row_i]
         is_str = isinstance(t, str)
@@ -98,18 +132,18 @@ def oracle_verdicts(images: pd.DataFrame) -> pd.DataFrame:
         sw_words = STOPWORDS_BY_LANG.get(lang, STOPWORDS_BY_LANG["en"])
         return {
             "caption_present": not blank,
-            "min_length": is_str and nc >= TX.MIN_CHARS,
-            "max_length": is_str and nc <= TX.MAX_CHARS,
-            "token_bounds": TX.MIN_TOKENS <= nt <= TX.MAX_TOKENS,
-            "symbol_ratio": is_str and _symbol_ratio(t) <= TX.MAX_SYMBOL_RATIO,
+            "min_length": is_str and nc >= s.min_chars,
+            "max_length": is_str and nc <= s.max_chars,
+            "token_bounds": s.min_tokens <= nt <= s.max_tokens,
+            "symbol_ratio": is_str and _symbol_ratio(t) <= s.max_symbol_ratio,
             "stopword_lang": is_str
-            and _stopword_ratio(t, sw_words) >= TX.MIN_STOPWORD_RATIO,
-            "repetition": is_str and _distinct_ratio(t) >= TX.MIN_DISTINCT_RATIO,
+            and _stopword_ratio(t, sw_words) >= s.min_stopword_ratio,
+            "repetition": is_str and _distinct_ratio(t) >= s.min_distinct_ratio,
             "word_length": is_str
-            and TX.MIN_MEAN_WORD_LEN <= _mean_word_len(t) <= TX.MAX_MEAN_WORD_LEN,
+            and s.min_mean_word_len <= _mean_word_len(t) <= s.max_mean_word_len,
             "toxicity": not any(tok in tox for tok in _tokens(t.lower() if is_str else None)),
-            "lang_confident": out["lang_conf"].iloc[row_i] >= LI.MIN_CONFIDENCE,
-            "ppl_bound": out["perplexity"].iloc[row_i] <= PX.MAX_PERPLEXITY,
+            "lang_confident": out["lang_conf"].iloc[row_i] >= s.min_lang_confidence,
+            "ppl_bound": out["perplexity"].iloc[row_i] <= s.max_perplexity,
             "bytes_present": images["bytes"].iloc[row_i] is not None
             and len(images["bytes"].iloc[row_i]) > 0,
             "magic_ok": bool(img_flags["magic_ok"].iloc[row_i]),

@@ -15,6 +15,20 @@ One declarative DataFrame plan per batch of rows:
 5. **Verdict** — keep = AND of all rule flags; fail_rules = sorted failed
    keys (the record-level CheckResult, base_standalone.py:44-66).
 
+**Critical short-circuit** (SURVEY §4.3 "deterministic costing of rules";
+reference semantics: a critical failure stops further checks,
+charge_analysis_checks.py:87-90): the expensive stages (langid, perplexity,
+image decode) only see rows that passed every *cheap native critical* rule
+(caption_present, toxicity, bytes_present).  Masking is a ``when(gate, x)``
+on the UDF *input*, so for dropped rows the bytes/caption never cross the
+JVM→Python Arrow boundary at all; the UDFs fast-path the resulting nulls.
+Downstream rule flags of a gated row read False ("not evaluated"), exactly
+like the reference's skipped checks — mirrored by the pandas oracle.
+
+Every threshold comes from :class:`..config.PipelineSettings` (the
+app-settings singleton analogue, appsettings.py:14-160) and lands in the
+plan as a constant-folded literal.
+
 The matching pure-pandas oracle is ``oracle/pandas_oracle.py``; both are
 exercised by tests/test_pipeline_oracle.py (F1 ≥ 0.99 gate — in practice
 exact agreement).
@@ -31,6 +45,8 @@ from ..functions import scrub as SC
 from ..functions import text as TX
 from ..operators import images as IM
 from ..sources import seed_corpus as SCorp
+
+from .. import config as CFG
 
 # Per-language stopword lists = the 40 most common vocabulary words.
 STOPWORDS_BY_LANG = {lang: SCorp.VOCAB[lang][:40] for lang in SCorp.LANGS}
@@ -77,13 +93,24 @@ def _lang_aware_stopword_ratio(c: Column, lang_pred: Column) -> Column:
     return expr.otherwise(_stopword_ratio_for(c, STOPWORDS_BY_LANG["en"]))
 
 
-def run_pipeline(spark: SparkSession, images: DataFrame) -> DataFrame:
+def run_pipeline(
+    spark: SparkSession,
+    images: DataFrame,
+    settings: CFG.PipelineSettings | None = None,
+    short_circuit: bool = True,
+) -> DataFrame:
     """images(input_hint schema) → verdict table.
 
     Output: all input columns (bytes untouched) + caption_scrubbed,
     lang_pred, lang_conf, perplexity, has_email/ssn/phone,
     pass_<rule> flags, keep, fail_rules.
+
+    ``short_circuit=False`` disables the critical-gate masking (every UDF
+    sees every row) — the keep verdict is identical either way because a
+    gated row already failed a critical rule; only the skipped rules' flags
+    and fail_rules entries differ (tested both ways).
     """
+    s = settings or CFG.DEFAULT_SETTINGS
     c = F.col("caption")
 
     # -- stage 1: native caption heuristics + scrub (pure JVM) -------------
@@ -96,42 +123,59 @@ def run_pipeline(spark: SparkSession, images: DataFrame) -> DataFrame:
             "pass_caption_present": ~TX.is_blank(c),
             # NULL caption fails every caption rule (missing ∨ null ∨ ''
             # collapse, SURVEY §1.3) — hence raw length, not coalesced-to-0.
-            "pass_min_length": F.coalesce(F.length(c) >= TX.MIN_CHARS, F.lit(False)),
-            "pass_max_length": F.coalesce(F.length(c) <= TX.MAX_CHARS, F.lit(False)),
+            "pass_min_length": F.coalesce(F.length(c) >= s.min_chars, F.lit(False)),
+            "pass_max_length": F.coalesce(F.length(c) <= s.max_chars, F.lit(False)),
             "pass_token_bounds": F.coalesce(
-                TX.n_tokens(c).between(TX.MIN_TOKENS, TX.MAX_TOKENS), F.lit(False)
+                TX.n_tokens(c).between(s.min_tokens, s.max_tokens), F.lit(False)
             ),
             "pass_symbol_ratio": F.coalesce(
-                c.isNotNull() & (TX.symbol_ratio(c) <= TX.MAX_SYMBOL_RATIO),
+                c.isNotNull() & (TX.symbol_ratio(c) <= s.max_symbol_ratio),
                 F.lit(False),
             ),
             "pass_repetition": F.coalesce(
-                TX.distinct_token_ratio(c) >= TX.MIN_DISTINCT_RATIO, F.lit(False)
+                TX.distinct_token_ratio(c) >= s.min_distinct_ratio, F.lit(False)
             ),
             "pass_word_length": F.coalesce(
                 TX.mean_word_len(c).between(
-                    TX.MIN_MEAN_WORD_LEN, TX.MAX_MEAN_WORD_LEN
+                    s.min_mean_word_len, s.max_mean_word_len
                 ),
                 F.lit(False),
             ),
             "pass_toxicity": ~F.coalesce(TX.has_toxicity(c), F.lit(False)),
+            "pass_bytes_present": F.col("bytes").isNotNull()
+            & (F.length("bytes") > 0),
         }
     )
+
+    # critical gate: the cheap native critical rules.  Rows that fail any of
+    # them are already dropped, so the expensive stages skip them entirely
+    # (their UDF input is masked to NULL → never serialized into the Arrow
+    # batch payload; UDFs fast-path nulls).
+    gate = (
+        F.col("pass_caption_present")
+        & F.col("pass_toxicity")
+        & F.col("pass_bytes_present")
+        if short_circuit
+        else F.lit(True)
+    )
+    c_gated = F.when(gate, c)
 
     # -- stage 2: model scores (Arrow-batched pandas UDFs) -----------------
     langid = LI.langid_udf(spark)
     ppl = PX.perplexity_udf(spark)
-    df = df.withColumn("_li", langid(c)).withColumn("perplexity", ppl(c))
+    df = df.withColumn("_li", langid(c_gated)).withColumn(
+        "perplexity", ppl(c_gated)
+    )
     df = df.withColumn("lang_pred", F.col("_li.lang_pred")).withColumn(
         "lang_conf", F.col("_li.lang_conf")
     ).drop("_li")
     df = df.withColumns(
         {
             "pass_lang_confident": F.coalesce(
-                F.col("lang_conf") >= LI.MIN_CONFIDENCE, F.lit(False)
+                F.col("lang_conf") >= s.min_lang_confidence, F.lit(False)
             ),
             "pass_ppl_bound": F.coalesce(
-                F.col("perplexity") <= PX.MAX_PERPLEXITY, F.lit(False)
+                F.col("perplexity") <= s.max_perplexity, F.lit(False)
             ),
         }
     )
@@ -141,20 +185,20 @@ def run_pipeline(spark: SparkSession, images: DataFrame) -> DataFrame:
         "pass_stopword_lang",
         F.coalesce(
             _lang_aware_stopword_ratio(c, F.col("lang_pred"))
-            >= TX.MIN_STOPWORD_RATIO,
+            >= s.min_stopword_ratio,
             F.lit(False),
         ),
     )
 
-    # -- stage 4: image validation (bytes cross Python exactly once) -------
-    validator = IM.image_validator_udf()
+    # -- stage 4: image validation (bytes cross Python exactly once, and
+    # only for rows that survived the critical gate) ------------------------
+    validator = IM.image_validator_udf(min_dim=s.min_dim, max_dim=s.max_dim)
     df = df.withColumn(
-        "_img", validator(F.col("bytes"), F.col("w"), F.col("h"), F.col("fmt"))
+        "_img",
+        validator(F.when(gate, F.col("bytes")), F.col("w"), F.col("h"), F.col("fmt")),
     )
     df = df.withColumns(
         {
-            "pass_bytes_present": F.col("bytes").isNotNull()
-            & (F.length("bytes") > 0),
             "pass_magic_ok": F.coalesce(F.col("_img.magic_ok"), F.lit(False)),
             "pass_decodable": F.coalesce(F.col("_img.decodable"), F.lit(False)),
             "pass_dims_match": F.coalesce(F.col("_img.dims_match"), F.lit(False)),
