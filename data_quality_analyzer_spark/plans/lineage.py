@@ -6,7 +6,8 @@ files are written first, then the manifest is atomically replaced
 (``os.replace``).  A reader only trusts buckets listed in the manifest, so
 a killed run leaves no torn state; restart recomputes only pending buckets
 (anti-join against the ledger).  Swap this layer for a real Iceberg catalog
-when the runtime jar exists — the pipeline code does not change.
+when the runtime jar exists — the pipeline code does not change (see
+tests/test_resume.py::test_writer_seam_is_swappable).
 
 Reference analogue: the clear-then-reload idempotence pattern
 (``scripts/load_data.py:69-77``, ``generate_stats_collection.py:87-108``
@@ -15,6 +16,21 @@ delete-and-recreate) upgraded to partition-granular atomic commits
 
 Partitioning follows the north rule: **phash buckets** (`pmod(phash, NB)`),
 the same key the 100 TB table would be bucket-partitioned by.
+
+Scale design (the two round-1 scale-killers, now gone):
+
+* **One input scan, one pipeline execution per run** in the default
+  single-pass mode: all pending buckets are filtered in one pass, written
+  with ``partitionBy("bucket")`` in one job, and only then committed.
+  Per-bucket lineage stats are derived from the **just-written parquet**
+  (columnar scan of bucket+keep only — no second UDF execution).
+* The chunked mode (``chunk_size=k``) trades scans for commit granularity:
+  k buckets commit per snapshot, so a crash loses at most one chunk of
+  work.  Use it when the *input itself* is bucket-partitioned (then the
+  per-chunk ``filter(bucket.isin(chunk))`` prunes at the source and each
+  chunk reads only its own partitions, not the full table).  Its stats are
+  also read back from the written parquet — the expensive UDF stages run
+  exactly once per row in both modes.
 """
 
 from __future__ import annotations
@@ -26,6 +42,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..config import PipelineSettings
 from .pipeline import run_pipeline
 
 # underscore prefix: Spark's parquet reader skips _-prefixed files, so the
@@ -52,17 +69,64 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
     os.replace(tmp, os.path.join(out_dir, MANIFEST))  # atomic commit point
 
 
+def _clear_bucket_dirs(out_dir: str, buckets: list[int]) -> None:
+    """Idempotent re-execution: drop torn data files of uncommitted buckets
+    before rewriting them."""
+    for b in buckets:
+        bucket_dir = os.path.join(out_dir, f"bucket={b}")
+        if os.path.exists(bucket_dir):
+            shutil.rmtree(bucket_dir)
+
+
+def _written_bucket_stats(
+    spark: SparkSession, out_dir: str, buckets: list[int]
+) -> dict[str, dict[str, int]]:
+    """Per-bucket lineage stats from the just-written parquet — a columnar
+    scan of (bucket, keep) only.  This is what replaced the round-1
+    double-compute: the UDF stages never run a second time."""
+    try:
+        df = spark.read.parquet(out_dir)
+    except Exception:  # no data files yet (all pending buckets were empty)
+        return {}
+    df = df.filter(F.col("bucket").isin(buckets))
+    return {
+        str(r["bucket"]): {"rows": r["rows"], "n_keep": r["n_keep"]}
+        for r in df.groupBy("bucket")
+        .agg(
+            F.count("*").alias("rows"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
+        )
+        .collect()
+    }
+
+
+def _write_buckets(verdicts: DataFrame, out_dir: str) -> None:
+    # no repartition: every task writes its rows into per-bucket
+    # subdirectories in parallel (hash-repartitioning to 1 file per
+    # bucket would serialize the write and shuffle the whole chunk)
+    verdicts.drop("bytes").write.mode("append").partitionBy("bucket").parquet(
+        out_dir
+    )
+
+
 def run_with_checkpoints(
     spark: SparkSession,
     images: DataFrame,
     out_dir: str,
     run_id: str,
     num_buckets: int = 16,
-    chunk_size: int = 4,
+    chunk_size: int | None = None,
     fail_after_chunks: int | None = None,
     commit_ts: str = "1970-01-01T00:00:00Z",
+    settings: PipelineSettings | None = None,
 ) -> dict:
-    """Run the filter+scrub pipeline bucket-by-bucket with atomic commits.
+    """Run the filter+scrub pipeline with atomic per-bucket commits.
+
+    ``chunk_size=None`` (default): single-pass mode — ONE input scan, ONE
+    pipeline execution, one partitioned write, then every pending bucket
+    commits from that write.  ``chunk_size=k``: chunked mode — k buckets
+    per snapshot commit; requires bucket-partitioned input to avoid
+    re-scanning (see module docstring).
 
     ``fail_after_chunks`` injects a crash for the resume test.
     Returns the final manifest.  Idempotent: re-invoking after a crash
@@ -72,47 +136,47 @@ def run_with_checkpoints(
     manifest = read_manifest(out_dir)
     if manifest["run_id"] not in (None, run_id):
         raise ValueError(f"out_dir holds run {manifest['run_id']!r}")
+    # a resumed run MUST use the original bucket modulus: buckets committed
+    # under a different num_buckets cover different row sets, so mixing
+    # moduli would silently duplicate or drop rows.
+    if manifest["num_buckets"] not in (None, num_buckets):
+        raise ValueError(
+            f"out_dir was bucketed with num_buckets={manifest['num_buckets']}, "
+            f"got {num_buckets}; resume with the original value"
+        )
     manifest["run_id"] = run_id
     manifest["num_buckets"] = num_buckets
 
     pending = [
         b for b in range(num_buckets) if str(b) not in manifest["committed"]
     ]
+    if not pending:
+        _commit_manifest(out_dir, manifest)
+        return manifest
     bucketed = images.withColumn("bucket", phash_bucket(num_buckets))
 
-    chunks = [
-        pending[i : i + chunk_size] for i in range(0, len(pending), chunk_size)
-    ]
+    if chunk_size is None:
+        chunks = [pending]  # single pass: one scan, one pipeline execution
+    else:
+        chunks = [
+            pending[i : i + chunk_size]
+            for i in range(0, len(pending), chunk_size)
+        ]
+
     for ci, chunk in enumerate(chunks):
         if fail_after_chunks is not None and ci >= fail_after_chunks:
             raise RuntimeError("injected failure (resume test)")
-        part = bucketed.filter(F.col("bucket").isin(chunk))
-        verdicts = run_pipeline(spark, part)
-        # write data files for the chunk's buckets (overwrite = idempotent
-        # re-execution of a torn chunk)
-        for b in chunk:
-            bucket_dir = os.path.join(out_dir, f"bucket={b}")
-            if os.path.exists(bucket_dir):
-                shutil.rmtree(bucket_dir)
-        # no repartition: every task writes its rows into per-bucket
-        # subdirectories in parallel (hash-repartitioning to 1 file per
-        # bucket would serialize the write and shuffle the whole chunk)
-        (
-            verdicts.drop("bytes")
-            .write.mode("append")
-            .partitionBy("bucket")
-            .parquet(out_dir)
+        part = (
+            bucketed.filter(F.col("bucket").isNotNull())
+            if len(chunk) == num_buckets
+            else bucketed.filter(F.col("bucket").isin(chunk))
         )
-        # per-bucket lineage rows, then the atomic manifest commit
-        stats = {
-            str(r["bucket"]): {"rows": r["rows"], "n_keep": r["n_keep"]}
-            for r in verdicts.groupBy("bucket")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_keep"),
-            )
-            .collect()
-        }
+        verdicts = run_pipeline(spark, part, settings=settings)
+        _clear_bucket_dirs(out_dir, chunk)
+        _write_buckets(verdicts, out_dir)
+        # per-bucket lineage rows from the completed write (cheap columnar
+        # re-read, no UDFs), then the atomic manifest commit
+        stats = _written_bucket_stats(spark, out_dir, chunk)
         for b in chunk:
             s = stats.get(str(b), {"rows": 0, "n_keep": 0})
             manifest["committed"][str(b)] = {

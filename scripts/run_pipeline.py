@@ -37,8 +37,10 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--num-buckets", type=int, default=64,
                     help="phash buckets (= resume granularity)")
-    ap.add_argument("--chunk-size", type=int, default=8,
-                    help="buckets committed per snapshot")
+    ap.add_argument("--chunk-size", type=int, default=None,
+                    help="buckets committed per snapshot; default single-pass "
+                         "(one input scan + one pipeline execution; use chunks "
+                         "only when the input is bucket-partitioned)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] override; omit under spark-submit")
     args = ap.parse_args()

@@ -1,11 +1,17 @@
 """Checkpoint/resume: a crashed run resumes from the manifest and converges
-to the same output as an uninterrupted run (SURVEY §7.4 hard part 4)."""
+to the same output as an uninterrupted run (SURVEY §7.4 hard part 4).
+
+Also pins the round-2 scale fixes: the pipeline's expensive stages execute
+exactly once per row (no lineage double-compute), the bucket modulus is
+guarded across resumes, and the writer seam is swappable (Iceberg drop-in,
+SURVEY §7.0)."""
 
 from __future__ import annotations
 
 import os
 import shutil
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -16,7 +22,7 @@ OUT = os.path.join(os.path.dirname(__file__), "..", ".fixtures", "resume_out")
 
 @pytest.fixture()
 def clean_out():
-    for sub in ("a", "b"):
+    for sub in ("a", "b", "c"):
         shutil.rmtree(os.path.join(OUT, sub), ignore_errors=True)
     yield
 
@@ -37,12 +43,12 @@ def _summary(spark, path):
 def test_crash_resume_converges(spark, corpus_path, clean_out):
     images = spark.read.parquet(corpus_path).limit(400)
 
-    # uninterrupted run
+    # uninterrupted run — default single-pass mode
     full_dir = os.path.join(OUT, "a")
-    m1 = LN.run_with_checkpoints(spark, images, full_dir, "run1", num_buckets=8, chunk_size=2)
+    m1 = LN.run_with_checkpoints(spark, images, full_dir, "run1", num_buckets=8)
     assert len(m1["committed"]) == 8
 
-    # crashed-then-resumed run
+    # crashed-then-resumed run — chunked mode (commit granularity)
     crash_dir = os.path.join(OUT, "b")
     with pytest.raises(RuntimeError, match="injected failure"):
         LN.run_with_checkpoints(
@@ -59,10 +65,106 @@ def test_crash_resume_converges(spark, corpus_path, clean_out):
     b = _summary(spark, crash_dir)
     assert a.equals(b)
 
+    # single-pass resume of a chunked crash also converges
+    c_dir = os.path.join(OUT, "c")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        LN.run_with_checkpoints(
+            spark, images, c_dir, "run3", num_buckets=8, chunk_size=2,
+            fail_after_chunks=1,
+        )
+    LN.run_with_checkpoints(spark, images, c_dir, "run3", num_buckets=8)
+    assert a.equals(_summary(spark, c_dir))
+
 
 def test_manifest_guards_foreign_run(spark, corpus_path, clean_out):
     images = spark.read.parquet(corpus_path).limit(50)
     d = os.path.join(OUT, "a")
-    LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=2, chunk_size=2)
+    LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=2)
     with pytest.raises(ValueError, match="holds run"):
         LN.run_with_checkpoints(spark, images, d, "other", num_buckets=2)
+
+
+def test_manifest_guards_num_buckets(spark, corpus_path, clean_out):
+    """Resuming with a different bucket modulus would silently duplicate or
+    drop rows (buckets committed under the old modulus cover different row
+    sets) — it must be rejected."""
+    images = spark.read.parquet(corpus_path).limit(100)
+    d = os.path.join(OUT, "a")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        LN.run_with_checkpoints(
+            spark, images, d, "run1", num_buckets=8, chunk_size=2,
+            fail_after_chunks=1,
+        )
+    with pytest.raises(ValueError, match="num_buckets=8"):
+        LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=16)
+    # original modulus still resumes fine
+    m = LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=8)
+    assert len(m["committed"]) == 8
+
+
+def test_pipeline_executes_once_per_row(spark, corpus_path, clean_out):
+    """The round-1 scale-killer: lineage stats used to re-execute the whole
+    pipeline (UDFs ran 2x per chunk).  A per-row tick UDF on the caption
+    column proves each row now crosses the Python stages exactly once —
+    stats come from the written parquet, not a re-run."""
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.pandas_udf("string")
+    def tick(s: pd.Series) -> pd.Series:
+        acc.add(len(s))
+        return s
+
+    # pre-materialize the slice: a `limit` in the measured plan would make
+    # Spark close the Arrow stream early and drop accumulator updates
+    small = os.path.join(OUT, "small_input")
+    shutil.rmtree(small, ignore_errors=True)
+    spark.read.parquet(corpus_path).limit(300).write.parquet(small)
+    images = spark.read.parquet(small).withColumn(
+        "caption", tick(F.col("caption"))
+    )
+    n = 300
+
+    d = os.path.join(OUT, "a")
+    LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=8)
+    assert acc.value == n, f"pipeline executed {acc.value / n:.1f}x per row"
+
+    # chunked mode: each chunk's rows tick once — still n total, because the
+    # tick sits above the bucket filter and stats never re-run the pipeline
+    acc.value = 0
+    d2 = os.path.join(OUT, "b")
+    LN.run_with_checkpoints(spark, images, d2, "run2", num_buckets=8, chunk_size=2)
+    assert acc.value == n, f"chunked mode executed {acc.value / n:.1f}x per row"
+
+
+def test_writer_seam_is_swappable(spark, corpus_path, clean_out, monkeypatch):
+    """Iceberg drop-in seam (SURVEY §7.0): run_with_checkpoints talks to
+    storage only through _write_buckets/_written_bucket_stats/_commit_manifest
+    — swapping them for a fake catalog leaves the pipeline code untouched."""
+    images = spark.read.parquet(corpus_path).limit(120)
+    fake_tables: list[pd.DataFrame] = []
+    fake_commits: list[dict] = []
+
+    def fake_write(verdicts, out_dir):
+        fake_tables.append(verdicts.select("bucket", "keep").toPandas())
+
+    def fake_stats(spark_, out_dir, buckets):
+        df = pd.concat(fake_tables, ignore_index=True)
+        df = df[df["bucket"].isin(buckets)]
+        g = df.groupby("bucket")["keep"].agg(["count", "sum"])
+        return {
+            str(int(b)): {"rows": int(r["count"]), "n_keep": int(r["sum"])}
+            for b, r in g.iterrows()
+        }
+
+    def fake_commit(out_dir, manifest):
+        fake_commits.append({k: dict(v) if isinstance(v, dict) else v for k, v in manifest.items()})
+
+    monkeypatch.setattr(LN, "_write_buckets", fake_write)
+    monkeypatch.setattr(LN, "_written_bucket_stats", fake_stats)
+    monkeypatch.setattr(LN, "_commit_manifest", fake_commit)
+    monkeypatch.setattr(LN, "_clear_bucket_dirs", lambda *a: None)
+
+    m = LN.run_with_checkpoints(spark, images, os.path.join(OUT, "a"), "r", num_buckets=4)
+    assert len(m["committed"]) == 4
+    assert sum(v["rows"] for v in m["committed"].values()) == 120
+    assert fake_commits, "manifest commit went through the seam"
