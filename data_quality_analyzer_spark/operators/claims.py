@@ -55,27 +55,30 @@ def claims_analysis(claims: DataFrame) -> DataFrame:
         + F.coalesce(F.col("claim_adj_amount"), F.lit(0.0))
         > F.col("claim_amount")
     )  # :252-264
+    denied = F.col("claim_status") == "Denied"
+    denied_paid = denied & (F.col("claim_amount_paid") > 0)  # :89-92
+    pending = F.col("claim_status").isin("Open", "Sent to Payor")
     no_remit = F.col("charge_remittances").isNull() | (
         F.size("charge_remittances") == 0
-    )  # :113-120
+    )
     agg = claims.agg(
         F.count("*").alias("total_claims"),
         F.sum(F.when(F.col("claim_status") == "Open", 1).otherwise(0))
         .cast("long")
         .alias("open_claims"),  # :14-17
-        F.sum(
-            F.when(F.col("claim_status").isin("Open", "Sent to Payor"), 1).otherwise(0)
-        )
+        F.sum(F.when(pending, 1).otherwise(0))
         .cast("long")
         .alias("in_flight_claims"),  # :30-35 ($in)
-        F.sum("claim_amount").alias("total_amount"),  # :36-45
+        F.sum(F.when(pending, F.col("claim_amount")).otherwise(0.0)).alias(
+            "pending_amount"
+        ),  # :25-45 (pending-only $match before the $sum)
         F.avg("claim_amount").alias("avg_amount"),
-        F.sum(F.when(F.col("claim_amount_paid") > 0, 1).otherwise(0))
+        F.sum(F.when(denied_paid, 1).otherwise(0))
         .cast("long")
-        .alias("paid_claims"),  # :89-92
+        .alias("denied_with_payment"),  # :89-95 (Denied AND paid > 0)
         F.sum(
-            F.when(F.col("claim_amount_paid") > 0, F.col("claim_amount_paid")).otherwise(0.0)
-        ).alias("total_paid"),  # :100-104 (Python sum → aggregate)
+            F.when(denied_paid, F.col("claim_amount_paid")).otherwise(0.0)
+        ).alias("denied_paid_total"),  # :100-104 (Python sum → aggregate)
         F.sum(F.when(paid_gt_amount, 1).otherwise(0))
         .cast("long")
         .alias("overpaid_claims"),
@@ -86,14 +89,16 @@ def claims_analysis(claims: DataFrame) -> DataFrame:
         F.sum(F.when(over_total, 1).otherwise(0))
         .cast("long")
         .alias("incorrect_payment_claims"),
-        F.sum(F.when(no_remit, 1).otherwise(0))
+        F.sum(F.when(denied & no_remit, 1).otherwise(0))
         .cast("long")
-        .alias("claims_without_remittances"),
+        .alias("claims_without_remittances"),  # :113-120 (Denied-only $or)
     )
     return agg.withColumns(
         {
             "open_pct": _pct(F.col("open_claims"), F.col("total_claims")),
-            "paid_pct": _pct(F.col("paid_claims"), F.col("total_claims")),
+            "denied_with_payment_pct": _pct(
+                F.col("denied_with_payment"), F.col("total_claims")
+            ),  # :95
             "avg_amount": F.bround("avg_amount", 2),  # round() quirk 6
         }
     )
@@ -249,7 +254,9 @@ def diagnosis_analysis(claims: DataFrame) -> DataFrame:
     """
     d = F.col("diagnoses")
     has_dx = d.isNotNull() & (F.size(d) > 0)
-    no_primary = has_dx & ~F.coalesce(
+    # $nor semantics (:31-36): claims with NO primary diagnosis, INCLUDING
+    # claims that have no diagnoses at all (no has_dx guard).
+    no_primary = ~F.coalesce(
         F.exists(d, lambda x: x["is_primary_diagnosis"]), F.lit(False)
     )
     multi_primary = (
@@ -395,6 +402,31 @@ def stats_quality_bands(stats: DataFrame) -> DataFrame:
         F.sum(F.when(rc >= 10, 1).otherwise(0)).cast("long").alias("high_quality"),
         F.sum(F.when((rc >= 3) & (rc < 10), 1).otherwise(0)).cast("long").alias("medium_quality"),
         F.sum(F.when(rc < 3, 1).otherwise(0)).cast("long").alias("low_quality"),
+    )
+
+
+def stats_quality_bands_by_payer(
+    stats: DataFrame, min_record_count: int = 3
+) -> DataFrame:
+    """Per-payer record_count distribution (charge_analysis_checks.py:
+    758-806: the per-payer $match→$group pipeline of Check 3): quality bands
+    grouped by payer plus the CPT count that clears the quality floor —
+    one shuffle on the payer key."""
+    rc = F.col("record_count")
+    return (
+        stats.groupBy("payer_mco")
+        .agg(
+            F.count("*").alias("total_combinations"),
+            F.sum(F.when(rc >= 10, 1).otherwise(0)).cast("long").alias("high_quality"),
+            F.sum(F.when((rc >= 3) & (rc < 10), 1).otherwise(0))
+            .cast("long")
+            .alias("medium_quality"),
+            F.sum(F.when(rc < 3, 1).otherwise(0)).cast("long").alias("low_quality"),
+            F.sum(F.when(rc >= min_record_count, 1).otherwise(0))
+            .cast("long")
+            .alias("cpts_with_sufficient_stats"),
+        )
+        .orderBy(F.desc("cpts_with_sufficient_stats"), F.asc_nulls_last("payer_mco"))
     )
 
 

@@ -36,32 +36,42 @@ BLANK = "({c} IS NULL OR {c} = '')"
 
 
 def test_claims_analysis(claims, duck):
+    """Reference semantics (claim_analysis.py): denied_with_payment is
+    Denied AND paid>0 (:89-95), pending_amount sums pending claims only
+    (:25-45), claims_without_remittances is Denied-only (:113-120)."""
     got = CL.claims_analysis(claims).collect()[0]
     want = duck.sql(
         """
         SELECT COUNT(*) AS total_claims,
           SUM(CASE WHEN claim_status = 'Open' THEN 1 ELSE 0 END) AS open_claims,
           SUM(CASE WHEN claim_status IN ('Open','Sent to Payor') THEN 1 ELSE 0 END) AS in_flight,
-          SUM(CASE WHEN claim_amount_paid > 0 THEN 1 ELSE 0 END) AS paid_claims,
+          SUM(CASE WHEN claim_status = 'Denied' AND claim_amount_paid > 0 THEN 1 ELSE 0 END) AS denied_with_payment,
           SUM(CASE WHEN claim_amount_paid > claim_amount THEN 1 ELSE 0 END) AS overpaid,
           SUM(CASE WHEN coalesce(claim_amount_paid,0)+coalesce(claim_adj_amount,0) > claim_amount
               THEN 1 ELSE 0 END) AS incorrect,
-          SUM(CASE WHEN charge_remittances IS NULL OR len(charge_remittances)=0
+          SUM(CASE WHEN claim_status = 'Denied'
+              AND (charge_remittances IS NULL OR len(charge_remittances)=0)
               THEN 1 ELSE 0 END) AS no_remit,
-          SUM(claim_amount) AS total_amount
+          SUM(CASE WHEN claim_status IN ('Open','Sent to Payor') THEN claim_amount ELSE 0 END) AS pending_amount,
+          SUM(CASE WHEN claim_status = 'Denied' AND claim_amount_paid > 0
+              THEN claim_amount_paid ELSE 0 END) AS denied_paid_total
         FROM claims
         """
     ).fetchone()
     assert got["total_claims"] == want[0]
     assert got["open_claims"] == want[1]
     assert got["in_flight_claims"] == want[2]
-    assert got["paid_claims"] == want[3]
+    assert got["denied_with_payment"] == want[3]
     assert got["overpaid_claims"] == want[4]
     assert got["incorrect_payment_claims"] == want[5]
     assert got["claims_without_remittances"] == want[6]
-    assert got["total_amount"] == pytest.approx(want[7])
+    assert got["pending_amount"] == pytest.approx(want[7])
+    assert got["denied_paid_total"] == pytest.approx(float(want[8]))
     # every cohort planted
-    for k in ("overpaid_claims", "incorrect_payment_claims", "claims_without_remittances"):
+    for k in (
+        "overpaid_claims", "incorrect_payment_claims",
+        "claims_without_remittances", "denied_with_payment",
+    ):
         assert got[k] > 0, k
 
 
@@ -153,11 +163,13 @@ def test_diagnosis_analysis(claims, duck):
         "SELECT COUNT(*) FROM claims WHERE diagnoses IS NULL OR len(diagnoses)=0"
     ).fetchone()[0]
     assert got["claims_without_dx"] == no_dx
+    # $nor semantics: no-diagnosis claims count as missing-primary too
     no_primary = duck.sql(
-        """SELECT COUNT(*) FROM claims WHERE len(diagnoses) > 0
-           AND len(list_filter(diagnoses, x -> x.is_primary_diagnosis)) = 0"""
+        """SELECT COUNT(*) FROM claims WHERE diagnoses IS NULL OR
+           len(list_filter(diagnoses, x -> coalesce(x.is_primary_diagnosis, FALSE))) = 0"""
     ).fetchone()[0]
     assert got["claims_no_primary_dx"] == no_primary > 0
+    assert got["claims_no_primary_dx"] >= got["claims_without_dx"]
     multi = duck.sql(
         """SELECT COUNT(*) FROM claims
            WHERE len(list_filter(diagnoses, x -> coalesce(x.is_primary_diagnosis, FALSE))) > 1"""
