@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+RP_SEED = 20260816
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
@@ -55,6 +58,81 @@ def lsh_bucket_expr(vec_col: str, bits: int = 8):
 
 def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> DataFrame:
     return df.withColumn("bucket", lsh_bucket_expr(vec_col, bits))
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane projection — the trained-embeddings-safe LSH family.
+# ---------------------------------------------------------------------------
+
+def rp_matrix(bits: int, dim: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Deterministic random-hyperplane matrix (bits × dim), rounded to 4 dp
+    so the very same literals appear in the Spark plan and the DuckDB
+    oracle.  At cluster scale the matrix is a plan literal — a few KB folded
+    into codegen; nothing is shipped per row."""
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((bits, dim))
+    return [[round(float(x), 4) for x in row] for row in m]
+
+
+def _rp_dot_spark(vec_col: str, row: list[float]) -> str:
+    lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in row)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(x, y) -> CAST(x AS DOUBLE) * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def rp_bucket_spark_sql(vec_col: str, bits: int = 8, dim: int = 64) -> str:
+    """Spark-SQL expression: sign of each random projection → bucket id."""
+    m = rp_matrix(bits, dim)
+    terms = [
+        f"(CASE WHEN {_rp_dot_spark(vec_col, m[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _rp_dot_duck(vec_col: str, row: list[float]) -> str:
+    lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in row)
+    return (
+        f"list_sum(list_transform({vec_col}, (x, i) -> "
+        f"CAST(x AS DOUBLE) * ([{lits}])[i]))"
+    )
+
+
+def rp_bucket_duck_sql(vec_col: str, bits: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of :func:`rp_bucket_spark_sql` — same literals."""
+    m = rp_matrix(bits, dim)
+    terms = [
+        f"(CASE WHEN {_rp_dot_duck(vec_col, m[i])} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def with_rp_bucket(
+    df: DataFrame, vec_col: str = "embedding", bits: int = 8, dim: int = 64
+) -> DataFrame:
+    """Random-projection LSH bucket column (partition-prunable key for
+    trained embeddings, where sign-of-first-components is NOT a valid
+    hyperplane family — see lsh_bucket_expr caveat)."""
+    return df.withColumn("bucket", F.expr(rp_bucket_spark_sql(vec_col, bits, dim)))
+
+
+def knn_rp(
+    df: DataFrame, query: DataFrame, k: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding", bits: int = 8, dim: int = 64,
+) -> DataFrame:
+    """ANN via random-projection bucket: restrict the scan to the query's
+    bucket, then exact cosine (same shape as knn_lsh, valid family)."""
+    q = query.withColumn("qbucket", F.expr(rp_bucket_spark_sql("qvec", bits, dim)))
+    return (
+        with_rp_bucket(df, vec_col, bits, dim)
+        .join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .select(id_col, "bucket", cosine_expr(vec_col, "qvec").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
 
 
 def knn_lsh(

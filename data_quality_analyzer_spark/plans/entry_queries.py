@@ -537,17 +537,21 @@ def q18(spark, sf_dir):
 )
 def q19(spark, sf_dir):
     """A10 $first within group (claim_analysis.py:196-205) made deterministic
-    via row_number over the line number, then re-aggregated."""
+    via a lexicographic struct-min AGGREGATE: min(struct(tie-break cols)) ≡
+    the row_number()=1 window but runs as a hash aggregate with map-side
+    partial aggregation — one shuffle of pre-aggregated groups instead of a
+    full sort of every row within partitions (the round-1 window form)."""
     li = _t(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the test data — the full
     # tie-break makes $first deterministic on both engines.
-    w = Window.partitionBy("l_orderkey").orderBy(
-        "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
     firsts = (
-        li.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col("l_extendedprice").alias("first_price"))
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min(
+                F.struct("l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice")
+            ).alias("m")
+        )
+        .select(F.col("m.l_extendedprice").alias("first_price"))
     )
     s = F.sum(F.col("first_price").cast("decimal(18,2)")).cast("double")
     return firsts.agg(
@@ -741,21 +745,24 @@ _SPARK_SHINGLE_HASHES = (
 )
 def q26(spark, sf_dir):
     """MinHash signatures over 5-char shingles — the signature stage of
-    MinHash+LSH near-dup detection.  Computed entirely per-row with
-    higher-order functions: NO explode, NO shuffle — embarrassingly
-    parallel at 100 TB.  Each shingle is md5-hashed ONCE; per-seed
-    permutations are overflow-free affine mixes (functions/hashing.py), so
-    the DuckDB oracle is bit-identical and the md5 cost does not multiply
-    by the number of seeds."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length("text") >= 5)
+    MinHash+LSH near-dup detection.  Map-only (NO explode, NO shuffle —
+    embarrassingly parallel at 100 TB), via the Arrow-batched numpy UDF
+    twin (operators/dedup.py:minhash_signature_udf): the higher-order-
+    function form is a Catalyst CodegenFallback that re-interprets per
+    call, the numpy path is ~3-5× faster and bit-identical (same md5 base
+    hash + affine mixes, proven equal in tests/test_dedup.py)."""
+    from ..operators import dedup as DD
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= 5))
+        # sf documents is a single scan split; spread the map-only UDF stage
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    d = d.withColumn("_hs", F.expr(_SPARK_SHINGLE_HASHES))
+    d = d.withColumn("_sig", DD.minhash_signature_udf(len(_MINHASH_SEEDS))(F.col("text")))
     cols = [F.col("doc_id")]
     for s in _MINHASH_SEEDS:
-        cols.append(
-            F.expr(f"array_min(transform(_hs, h -> {HH.mix_spark_sql('h', s)}))").alias(f"mh{s}")
-        )
+        cols.append(F.element_at("_sig", s + 1).alias(f"mh{s}"))
     return d.select(*cols)
 
 
@@ -777,43 +784,19 @@ def q26(spark, sf_dir):
     """,
 )
 def q27(spark, sf_dir):
-    """SimHash (60-bit) document fingerprint for near-dup detection.
-    Spark side folds token hash bit-votes per row with higher-order
-    functions (aggregate + zip_with) — no explode, no shuffle; the oracle
-    uses the classic unnest+group formulation.  Integer arithmetic ⇒ exact
-    agreement."""
-    d = _t(spark, sf_dir, "documents").filter(
-        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0)
+    """SimHash (60-bit) document fingerprint for near-dup detection, via
+    the Arrow-batched numpy bit-vote fold (operators/dedup.py:simhash_udf)
+    — bit-identical to the higher-order-function reference form (which is
+    CodegenFallback-interpreted) and to the oracle's unnest+group
+    formulation.  Integer arithmetic ⇒ exact agreement."""
+    from ..operators import dedup as DD
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    # md5 once per token (column _th), THEN fold bit-votes over the hashes —
-    # the naive form re-hashed every token once per bit (60× md5 cost).
-    d = d.withColumn(
-        "_th",
-        F.expr(
-            "transform(split(lower(trim(text)), '\\\\s+'), "
-            f"t -> {HH.h60_spark_sql('t')})"
-        ),
-    )
-    simhash = F.expr(
-        """
-        aggregate(
-          zip_with(
-            aggregate(
-              _th,
-              transform(sequence(0, 59), j -> 0L),
-              (acc, hv) -> zip_with(acc,
-                transform(sequence(0, 59), j ->
-                  CASE WHEN (shiftright(hv, j) & 1L) = 1L THEN 1L ELSE -1L END),
-                (a, b) -> a + b)
-            ),
-            sequence(0, 59),
-            (votes, j) -> CASE WHEN votes > 0 THEN shiftleft(1L, j) ELSE 0L END
-          ),
-          0L, (s, v) -> s + v
-        )
-        """
-    )
-    return d.select("doc_id", simhash.alias("simhash"))
+    return d.select("doc_id", DD.simhash_udf()(F.col("text")).alias("simhash"))
 
 
 _BOW_SQL = (
@@ -1102,6 +1085,213 @@ def q36(spark, sf_dir):
         TX.n_tokens(c).cast("long").alias("n_tokens"),
         F.round(TX.symbol_ratio(c), 6).alias("symbol_ratio"),
         F.md5(SC.scrub(c)).alias("scrub_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end near-dup pipelines (LSH → verify) and the random-projection ANN.
+# The sf tables carry no planted near-dups, so both engines derive the SAME
+# deterministic twin rows inside the query (suffix-perturbed / exact copies)
+# — the pipelines then have real work to find.
+# ---------------------------------------------------------------------------
+
+_NUM_HASHES_37 = 16
+_BANDS_37 = 4
+_RPB_37 = _NUM_HASHES_37 // _BANDS_37
+# Shingle size is the candidate-volume dial (see lsh_candidate_pairs):
+# with the template corpus's shared vocabulary, 5-char shingles give
+# unrelated documents a background Jaccard high enough that 4-minhash
+# bands collide toward all-pairs (measured at sf0.1: k=5 → 5.4M candidate
+# pairs, k=9 → 240k, k=20 → 1.2k — with the verified ≥0.8 output set
+# essentially unchanged), while the suffix-perturbed twins stay at
+# jaccard ≈ 0.93.  k=20 keeps the verification stage proportional to the
+# true near-dup population.
+_K_37 = 20
+
+
+def _q37_oracle() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> {HH.mix_sql('h', s)}))"
+        for s in range(_NUM_HASHES_37)
+    )
+    shingle_hashes = (
+        f"list_transform(list_transform(range(1, length(text) - {_K_37 - 2}), "
+        f"i -> substr(text, i, {_K_37})), x -> {HH.h60_sql('x')})"
+    )
+    shingles = (
+        f"list_distinct(list_transform(range(1, length({{c}}) - {_K_37 - 2}), "
+        f"i -> substr({{c}}, i, {_K_37})))"
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(text) >= {_K_37}
+      UNION ALL
+      SELECT doc_id + 1000000, text || ' near dup twin' FROM documents
+      WHERE text IS NOT NULL AND length(text) >= {_K_37} AND doc_id % 20 = 0
+    ),
+    sig AS (
+      SELECT doc_id, text, [{mins}] AS sig
+      FROM (SELECT doc_id, text, {shingle_hashes} AS hs FROM base)
+    ),
+    bandrows AS (
+      SELECT doc_id, text, r.b AS band,
+             list_slice(sig, r.b * {_RPB_37} + 1, r.b * {_RPB_37} + {_RPB_37}) AS bs
+      FROM sig, range({_BANDS_37}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.text AS text_a, y.text AS text_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bs = y.bs AND x.doc_id < y.doc_id
+    ),
+    jac AS (
+      SELECT id_a, id_b,
+             CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+               / len(list_distinct(list_concat(sa, sb))) AS j
+      FROM (SELECT id_a, id_b,
+                   {shingles.format(c='text_a')} AS sa,
+                   {shingles.format(c='text_b')} AS sb
+            FROM cand)
+    )
+    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.8
+    """
+
+
+@_register("q37_near_dup_pairs", _q37_oracle())
+def q37(spark, sf_dir):
+    """END-TO-END MinHash-LSH near-dup pipeline: signature (map-only) →
+    band explode → bucket self-join (shuffle = rows×bands, never rows²) →
+    exact n-gram-Jaccard verification on the candidate set only, with the
+    tiny candidate side broadcast back to the texts (operators/dedup.py:
+    near_duplicates).  Twin rows are synthesized deterministically so the
+    pipeline has genuine near-dups to find at every SF."""
+    from ..operators import dedup as DD
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= _K_37))
+        # the sf table is one parquet file (one scan split) — spread the
+        # map-only signature stage; at 100 TB the scan has many splits and
+        # this repartition is unnecessary
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    twins = d.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup twin")).alias("text"),
+    )
+    full = d.unionByName(twins)
+    return DD.near_duplicates(
+        full, "text", "doc_id",
+        jaccard_threshold=0.8, num_hashes=_NUM_HASHES_37, bands=_BANDS_37,
+        k=_K_37,
+    )
+
+
+def _q38_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0 AND doc_id % 25 = 0
+    ),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, range(60) r(j) GROUP BY doc_id, j
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER)) ELSE 0 END) AS BIGINT) AS fp
+      FROM bits GROUP BY doc_id
+    ),
+    bandrows AS (
+      SELECT doc_id, fp, r.b AS band, (fp >> (r.b * 15)) % 32768 AS bb
+      FROM sh, range(4) r(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.fp AS fa, y.fp AS fb
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bb = y.bb AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+
+@_register("q38_simhash_hamming", _q38_oracle())
+def q38(spark, sf_dir):
+    """Banded-Hamming SimHash near-dup search: 60-bit fingerprint split
+    into 4×15-bit bands; pigeonhole guarantees any pair within Hamming
+    distance 3 shares a whole band, so candidates come from an equi-join
+    on (band, band_bits) — shuffle = rows×4, never all-pairs — verified by
+    an exact popcount on the XOR (operators/dedup.py:
+    simhash_near_duplicates).  Exact twin rows guarantee hamming-0 hits."""
+    from ..operators import dedup as DD
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    twins = d.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), F.col("text")
+    )
+    full = d.unionByName(twins)
+    out = DD.simhash_near_duplicates(
+        full, "text", "doc_id", bands=4, bits=60, max_hamming=3
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+from ..operators import similarity as SIM  # noqa: E402
+
+_RP_BITS = 6
+_RP_DIM = 64
+
+
+@_register(
+    "q39_ann_rp_bucket",
+    f"""
+    SELECT e.vec_id, {SIM.rp_bucket_duck_sql("e.embedding", _RP_BITS, _RP_DIM)} AS bucket,
+           {_cos_sql("e.embedding", "q.embedding")} AS cos_sim
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+      AND {SIM.rp_bucket_duck_sql("e.embedding", _RP_BITS, _RP_DIM)}
+        = {SIM.rp_bucket_duck_sql("q.embedding", _RP_BITS, _RP_DIM)}
+    ORDER BY cos_sim DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q39(spark, sf_dir):
+    """Random-hyperplane-projection ANN — the LSH family that stays valid
+    for TRAINED embeddings (q30's sign-of-first-components shortcut is only
+    valid for unstructured bases).  The seeded projection matrix is a plan
+    literal on both engines (operators/similarity.py:rp_matrix); the bucket
+    is a partition-prunable key at 100 TB, exactly like q30."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    bucket = SIM.rp_bucket_spark_sql("embedding", _RP_BITS, _RP_DIM)
+    qbucket = SIM.rp_bucket_spark_sql("qvec", _RP_BITS, _RP_DIM)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .withColumn("bucket", F.expr(bucket))
+        .filter(F.col("bucket") == F.expr(qbucket))
+        .select("vec_id", "bucket", _cos_spark("embedding", "qvec").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )
 
 

@@ -62,6 +62,82 @@ def test_simhash_property(docs):
     assert ham < ham_far
 
 
+def test_minhash_udf_twin_bit_identical(docs):
+    """The Arrow/numpy fast path must produce the exact HOF signatures."""
+    valid = docs.filter(F.col("text").isNotNull() & (F.length("text") >= 5))
+    hof = {
+        r["doc_id"]: list(r["sig"])
+        for r in valid.select("doc_id", DD.minhash_signature("text").alias("sig")).collect()
+    }
+    udf = {
+        r["doc_id"]: list(r["sig"])
+        for r in valid.select(
+            "doc_id", DD.minhash_signature_udf()(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert hof == udf and len(hof) > 0
+
+
+def test_simhash_udf_twin_bit_identical(docs):
+    valid = docs.filter(F.col("text").isNotNull())
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in valid.select("doc_id", DD.simhash("text").alias("s")).collect()
+    }
+    udf = {
+        r["doc_id"]: r["s"]
+        for r in valid.select("doc_id", DD.simhash_udf()(F.col("text")).alias("s")).collect()
+    }
+    assert hof == udf and len(hof) > 0
+
+
+def test_minhash_param_validation(docs):
+    with pytest.raises(ValueError, match="num_hashes"):
+        DD.minhash_signature("text", num_hashes=99)
+    with pytest.raises(ValueError, match="bands must divide"):
+        DD.lsh_candidate_pairs(docs, "text", "doc_id", num_hashes=16, bands=5)
+    with pytest.raises(ValueError, match="num_hashes"):
+        DD.minhash_signature_udf(num_hashes=0)
+
+
+def test_simhash_banded_hamming_search(spark):
+    """Planted near-dups at Hamming distance ≤ 3 are found via the BUCKETED
+    band join (never all-pairs); pairs beyond the threshold are not."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five"
+    )
+    rows = [(1, base), (2, base)]  # exact: hamming 0
+    # perturbations: swap one word → a handful of bit flips
+    rows.append((3, base.replace("delta", "dxlta")))
+    rows.append((4, "totally different corpus about catalyst optimizer internals"))
+    rows.append((5, "another unrelated sentence mentioning shuffle partitions"))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", DD.simhash("text").alias("s")).collect()
+    }
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.simhash_near_duplicates(
+            df, "text", "doc_id", bands=4, max_hamming=3
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # exact twin found at hamming 0
+    if ham13 <= 3:  # pigeonhole guarantees recall within bands-1 flips
+        assert pairs.get((1, 3)) == ham13
+    assert (1, 4) not in pairs and (1, 5) not in pairs and (4, 5) not in pairs
+
+
+def test_near_duplicates_broadcasts_candidates(docs):
+    """The candidate side must carry broadcast hints (no full-table shuffle
+    at the verification joins)."""
+    plan = DD.near_duplicates(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_knn_and_lsh(spark):
     import numpy as np
 
@@ -80,3 +156,27 @@ def test_knn_and_lsh(spark):
     assert any(r["vec_id"] == 7 for r in ann)
     pairs = SIM.pairwise_topk_within_buckets(df, k=5, bits=4).collect()
     assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (0, 7)
+
+
+def test_random_projection_ann(spark):
+    """knn_rp: the valid hyperplane family for trained embeddings — the
+    planted neighbor lands in the query's bucket and is retrieved."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    vecs = rng.normal(size=(80, dim)).astype("float32")
+    vecs[11] = vecs[0] + rng.normal(scale=0.01, size=dim)  # planted neighbor
+    pdf = pd.DataFrame(
+        {"vec_id": range(80), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    ann = SIM.knn_rp(df.filter("vec_id <> 0"), q, k=3, bits=4, dim=dim).collect()
+    assert any(r["vec_id"] == 11 for r in ann)
+    assert ann[0]["vec_id"] == 11 and ann[0]["cos_sim"] > 0.99
+    # spark and duck SQL render from the SAME literal matrix
+    ss = SIM.rp_bucket_spark_sql("embedding", 4, dim)
+    ds = SIM.rp_bucket_duck_sql("embedding", 4, dim)
+    for row in SIM.rp_matrix(4, dim):
+        assert str(row[0]) in ss and str(row[0]) in ds
