@@ -108,6 +108,15 @@ def main() -> None:
 
     scaling = "--scaling" in sys.argv
     pipeline_only = "--pipeline-only" in sys.argv
+    if scaling and "SPARK_GRAFT_BENCH_ROWS" not in os.environ:
+        # scaling evidence needs runs long enough that fixed per-job
+        # overheads don't masquerade as poor scaling: a 60k corpus finishes
+        # in ~3 s at 32 cores and measures scheduler latency, not the
+        # pipeline.  240k ≈ 8-40 s per level.
+        global BENCH_ROWS, FIXTURE_DIR
+        BENCH_ROWS = 240_000
+        FIXTURE_DIR = os.path.join(REPO, ".fixtures", f"bench_{BENCH_ROWS}")
+        os.environ["SPARK_GRAFT_BENCH_ROWS"] = str(BENCH_ROWS)
     images_path = ensure_bench_corpus()
 
     # one scan partition per corpus part file: the default 128 MB
@@ -169,8 +178,14 @@ def main() -> None:
                 ratios.append((ips_b / ips_a) / 4.0)
             return statistics.median(ratios), samples
 
-        eff_4_16, s416 = paired_efficiency(4, 16)
+        eff_4_16, s416 = paired_efficiency(4, 16, reps=5)
         eff_8_32, s832 = paired_efficiency(8, 32)
+        # capability ratio: per-level maxima (the machine's best at each
+        # pinned level) — robust to a co-tenant burst landing inside one
+        # half of a pair, which drags the median pair ratio down even
+        # though neither level is actually slower
+        cap_4_16 = (max(s416[16]) / max(s416[4])) / 4.0
+        cap_8_32 = (max(s832[32]) / max(s832[8])) / 4.0
         levels = {
             4: {"ips": max(s416[4]), "rows": BENCH_ROWS},
             8: {"ips": max(s832[8]), "rows": BENCH_ROWS},
@@ -183,6 +198,8 @@ def main() -> None:
             "ips": {str(c): round(levels[c]["ips"], 1) for c in levels},
             "efficiency_4_to_16": round(eff_4_16, 3),
             "efficiency_8_to_32": round(eff_8_32, 3),
+            "capability_4_to_16": round(cap_4_16, 3),
+            "capability_8_to_32": round(cap_8_32, 3),
         }
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         rows_tbl = "\n".join(
@@ -207,8 +224,11 @@ def main() -> None:
                 "steady-state (warm-up excluded).  Table shows per-level maxima.\n\n"
                 "| cores | images/sec | wall (s) |\n|---|---|---|\n"
                 f"{rows_tbl}\n\n"
-                f"**Scaling efficiency N=4 → 4N=16: {eff_4_16:.3f}** (target ≥ 0.8)\n"
-                f"**Scaling efficiency N=8 → 4N=32: {eff_8_32:.3f}**\n\n"
+                f"**Scaling efficiency N=4 → 4N=16: {eff_4_16:.3f}** (median of\n"
+                f"interleaved pairs; target ≥ 0.8); capability ratio from per-level\n"
+                f"maxima: {cap_4_16:.3f}\n"
+                f"**Scaling efficiency N=8 → 4N=32: {eff_8_32:.3f}**; capability\n"
+                f"ratio: {cap_8_32:.3f}\n\n"
                 "The 8→32 pair is bounded by this VM's memory subsystem, not by the\n"
                 "plan: the Spark event log shows the whole pipeline is ONE shuffle-free\n"
                 "stage with avg task concurrency 15.9/16 (no stragglers, no serial\n"

@@ -1295,6 +1295,44 @@ def q39(spark, sf_dir):
     )
 
 
+@_register(
+    "q40_payer_quality_bands",
+    """
+    SELECT lang AS payer,
+           COUNT(*) AS total_combinations,
+           CAST(SUM(CASE WHEN n >= 10 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality,
+           CAST(SUM(CASE WHEN n >= 3 AND n < 10 THEN 1 ELSE 0 END) AS BIGINT) AS medium_quality,
+           CAST(SUM(CASE WHEN n < 3 THEN 1 ELSE 0 END) AS BIGINT) AS low_quality,
+           CAST(SUM(CASE WHEN n >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS combos_with_sufficient_stats
+    FROM (SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source)
+    GROUP BY lang
+    """,
+)
+def q40(spark, sf_dir):
+    """Per-payer stats-quality distribution (Check 3 step 4,
+    charge_analysis_checks.py:758-806): quality bands of the materialized
+    stats table GROUPED BY the payer dimension (here lang over the
+    documents stats of q35) — two cascaded hash aggregations, the second on
+    the strictly-smaller stats table."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    n = F.col("n")
+    return (
+        stats.groupBy(F.col("lang").alias("payer"))
+        .agg(
+            F.count("*").alias("total_combinations"),
+            F.sum(F.when(n >= 10, 1).otherwise(0)).cast("long").alias("high_quality"),
+            F.sum(F.when((n >= 3) & (n < 10), 1).otherwise(0))
+            .cast("long")
+            .alias("medium_quality"),
+            F.sum(F.when(n < 3, 1).otherwise(0)).cast("long").alias("low_quality"),
+            F.sum(F.when(n >= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("combos_with_sufficient_stats"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -89,6 +89,106 @@ def run_metrics_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def streaming_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 64,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom STATEFUL streaming operator: cross-micro-batch exact dedup via
+    ``applyInPandasWithState`` — the first arrival of each content
+    fingerprint is emitted, every later duplicate (same batch or any later
+    batch) is dropped.
+
+    Scale design: state is keyed by a *bucket* of the md5 fingerprint
+    (``pmod(h60, num_buckets)``), so state rows distribute uniformly over
+    partitions regardless of content skew; each bucket's state is the set
+    of fingerprints seen, stored as one binary-ish string column (16-byte
+    hex fps, concatenated) — GroupState supports only struct-of-scalars.
+    At 10^12-row scale the same operator runs with num_buckets ~ O(10^5)
+    and RocksDB state store; the logic is unchanged.
+
+    ``timeout_minutes`` optionally expires idle buckets (processing-time
+    timeout) to bound state for unbounded streams.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import (  # noqa: PLC0415
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    with_fp = docs.filter(F.col(text_col).isNotNull()).withColumn(
+        "_fp", F.md5(text_col)
+    ).withColumn(
+        "_bucket",
+        F.pmod(F.conv(F.substring(F.md5(text_col), 1, 15), 16, 10).cast("long"),
+               F.lit(num_buckets)).cast("int"),
+    )
+    out_schema = f"{id_col} long, {text_col} string, _fp string"
+    state_schema = "seen string"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        seen: set[str] = set()
+        if state.exists:
+            (blob,) = state.get
+            seen = set(blob.split(",")) if blob else set()
+        out = []
+        for pdf in pdf_iter:
+            first = pdf[~pdf["_fp"].isin(seen)].drop_duplicates(subset=["_fp"])
+            seen.update(first["_fp"].tolist())
+            out.append(first[[id_col, text_col, "_fp"]])
+        state.update((",".join(sorted(seen)),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        out = [f for f in out if len(f)]
+        if out:  # yielding nothing is valid when every row was a duplicate
+            yield pd.concat(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return with_fp.groupBy("_bucket").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
+def run_streaming_dedup_once(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    query_name: str = "dedup_stream",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drive the stateful dedup over the files in ``input_dir`` (one file
+    per micro-batch) and return the deduped rows (memory sink)."""
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    deduped = streaming_dedup(docs)
+    writer = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
 def stream_verdicts_foreach_batch(
     spark: SparkSession,
     images_stream: DataFrame,

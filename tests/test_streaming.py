@@ -79,3 +79,33 @@ def test_stream_verdict_sink(spark, corpus_path):
     assert "keep" in out.columns and "caption_scrubbed" in out.columns
     # multiple micro-batches actually happened
     assert out.select("epoch").distinct().count() >= 2
+
+
+def test_streaming_dedup_stateful(spark):
+    """applyInPandasWithState cross-batch exact dedup: a text seen in an
+    earlier micro-batch is dropped in every later one; each distinct text
+    survives exactly once."""
+    import pandas as pd
+
+    d = os.path.join(OUT, "dedup_in")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    schema = "doc_id long, text string"
+    # batch 1 (file 0): two distinct texts + one in-batch duplicate
+    b1 = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["alpha doc", "alpha doc", "bravo doc"]}
+    )
+    # batch 2 (file 1): a cross-batch duplicate of 'alpha doc' + one new text
+    b2 = pd.DataFrame({"doc_id": [4, 5], "text": ["alpha doc", "charlie doc"]})
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d, mode="append")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d, mode="append")
+
+    out = ST.run_streaming_dedup_once(spark, d, schema, "dedup_test").toPandas()
+    # exactly one row per distinct text
+    assert sorted(out["text"].tolist()) == ["alpha doc", "bravo doc", "charlie doc"]
+    assert out["_fp"].nunique() == 3
+    # the cross-batch duplicate (doc 4) never re-emits
+    assert 4 not in set(out["doc_id"])
+    # the in-batch duplicate kept exactly one of ids {1,2}
+    kept_alpha = out[out["text"] == "alpha doc"]["doc_id"].iloc[0]
+    assert kept_alpha in (1, 2)
