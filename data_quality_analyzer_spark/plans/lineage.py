@@ -43,11 +43,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineSettings
-from .pipeline import run_pipeline
+from .pipeline import langid_histogram, pipeline_metrics, run_pipeline
 
 # underscore prefix: Spark's parquet reader skips _-prefixed files, so the
 # manifest can live inside the table directory.
 MANIFEST = "_manifest.json"
+# per-partition quality-metric tables (north rule: "per-partition lineage +
+# quality-metric tables (pass/fail counts per rule, langid histogram)
+# written transactionally"): they live NEXT TO the data table and follow
+# the same commit rule — a reader trusts only manifest-committed buckets.
+# underscore prefix again: the data-table reader must skip these subtrees
+# (mixed partition layouts under one root break partition discovery).
+RULE_METRICS_DIR = "_rule_metrics"
+LANGID_HIST_DIR = "_langid_histogram"
 
 
 def phash_bucket(num_buckets: int):
@@ -70,12 +78,42 @@ def _commit_manifest(out_dir: str, manifest: dict) -> None:
 
 
 def _clear_bucket_dirs(out_dir: str, buckets: list[int]) -> None:
-    """Idempotent re-execution: drop torn data files of uncommitted buckets
-    before rewriting them."""
-    for b in buckets:
-        bucket_dir = os.path.join(out_dir, f"bucket={b}")
-        if os.path.exists(bucket_dir):
-            shutil.rmtree(bucket_dir)
+    """Idempotent re-execution: drop torn data AND metric files of
+    uncommitted buckets before rewriting them."""
+    for base in (out_dir,
+                 os.path.join(out_dir, RULE_METRICS_DIR),
+                 os.path.join(out_dir, LANGID_HIST_DIR)):
+        for b in buckets:
+            bucket_dir = os.path.join(base, f"bucket={b}")
+            if os.path.exists(bucket_dir):
+                shutil.rmtree(bucket_dir)
+
+
+def _write_bucket_metrics(
+    spark: SparkSession, out_dir: str, buckets: list[int]
+) -> None:
+    """Per-bucket quality-metric tables from the just-written verdict
+    parquet (columnar scan of bucket + flags + lang_pred only — the UDF
+    stages never re-run): per-rule pass/fail counts and the langid
+    keep/drop histogram, partitioned by bucket so each bucket's metric
+    rows commit (and are cleaned on re-execution) with its data."""
+    try:
+        df = spark.read.parquet(out_dir)
+    except Exception:  # no data files (all pending buckets empty)
+        return
+    df = df.filter(F.col("bucket").isin(buckets))
+    (
+        pipeline_metrics(df, group_cols=["bucket"])
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, RULE_METRICS_DIR))
+    )
+    (
+        langid_histogram(df, group_cols=["bucket"])
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(os.path.join(out_dir, LANGID_HIST_DIR))
+    )
 
 
 def _written_bucket_stats(
@@ -174,8 +212,10 @@ def run_with_checkpoints(
         verdicts = run_pipeline(spark, part, settings=settings)
         _clear_bucket_dirs(out_dir, chunk)
         _write_buckets(verdicts, out_dir)
-        # per-bucket lineage rows from the completed write (cheap columnar
-        # re-read, no UDFs), then the atomic manifest commit
+        # per-bucket quality-metric tables + lineage rows, all derived from
+        # the completed write (cheap columnar re-reads, no UDFs), then the
+        # atomic manifest commit that makes data AND metrics visible
+        _write_bucket_metrics(spark, out_dir, chunk)
         stats = _written_bucket_stats(spark, out_dir, chunk)
         for b in chunk:
             s = stats.get(str(b), {"rows": 0, "n_keep": 0})
@@ -194,4 +234,15 @@ def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     manifest = read_manifest(out_dir)
     committed = sorted(int(b) for b in manifest["committed"])
     df = spark.read.parquet(out_dir)
+    return df.filter(F.col("bucket").isin(committed))
+
+
+def read_committed_metrics(
+    spark: SparkSession, out_dir: str, which: str = RULE_METRICS_DIR
+) -> DataFrame:
+    """Committed per-bucket quality-metric rows (same snapshot rule as the
+    data: only manifest-listed buckets are trusted)."""
+    manifest = read_manifest(out_dir)
+    committed = sorted(int(b) for b in manifest["committed"])
+    df = spark.read.parquet(os.path.join(out_dir, which))
     return df.filter(F.col("bucket").isin(committed))

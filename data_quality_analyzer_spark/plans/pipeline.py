@@ -227,9 +227,15 @@ def run_pipeline(
     return df.withColumn("keep", keep).withColumn("fail_rules", fails)
 
 
-def pipeline_metrics(verdicts: DataFrame) -> DataFrame:
+def pipeline_metrics(
+    verdicts: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
     """ONE-PASS per-rule pass/fail counts over a verdict table (long format:
-    rule_key, severity, pass_count, fail_count) — SURVEY A2-fusion."""
+    rule_key, severity, pass_count, fail_count) — SURVEY A2-fusion.
+
+    ``group_cols`` produces the per-partition variant (e.g. ["bucket"] for
+    the transactional per-bucket quality-metric tables the north rule asks
+    for): one grouped aggregation, still a single scan."""
     aggs = []
     for key, _sev in PIPELINE_RULES:
         p = F.col(f"pass_{key}")
@@ -237,11 +243,16 @@ def pipeline_metrics(verdicts: DataFrame) -> DataFrame:
         aggs.append(F.sum(F.when(p, 0).otherwise(1)).cast("long").alias(f"f_{key}"))
     aggs.append(F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"))
     aggs.append(F.count("*").alias("n_total"))
-    wide = verdicts.agg(*aggs)
+    wide = (
+        verdicts.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else verdicts.agg(*aggs)
+    )
     stack_args = ", ".join(
         f"'{k}', '{sev}', p_{k}, f_{k}" for k, sev in PIPELINE_RULES
     )
     long = wide.selectExpr(
+        *(group_cols or []),
         f"stack({len(PIPELINE_RULES)}, {stack_args}) AS "
         "(rule_key, severity, pass_count, fail_count)",
         "n_keep",
@@ -250,10 +261,13 @@ def pipeline_metrics(verdicts: DataFrame) -> DataFrame:
     return long
 
 
-def langid_histogram(verdicts: DataFrame) -> DataFrame:
-    """Per-language keep/drop histogram (A14 shape; north-star metric)."""
+def langid_histogram(
+    verdicts: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """Per-language keep/drop histogram (A14 shape; north-star metric).
+    ``group_cols`` prepends partition keys (per-bucket lineage variant)."""
     return (
-        verdicts.groupBy("lang_pred")
+        verdicts.groupBy(*(group_cols or []), "lang_pred")
         .agg(
             F.count("*").alias("n"),
             F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),

@@ -163,8 +163,51 @@ def test_writer_seam_is_swappable(spark, corpus_path, clean_out, monkeypatch):
     monkeypatch.setattr(LN, "_written_bucket_stats", fake_stats)
     monkeypatch.setattr(LN, "_commit_manifest", fake_commit)
     monkeypatch.setattr(LN, "_clear_bucket_dirs", lambda *a: None)
+    monkeypatch.setattr(LN, "_write_bucket_metrics", lambda *a: None)
 
     m = LN.run_with_checkpoints(spark, images, os.path.join(OUT, "a"), "r", num_buckets=4)
     assert len(m["committed"]) == 4
     assert sum(v["rows"] for v in m["committed"].values()) == 120
     assert fake_commits, "manifest commit went through the seam"
+
+
+def test_per_bucket_metric_tables_committed(spark, corpus_path, clean_out):
+    """North rule: per-partition quality-metric tables (per-rule pass/fail
+    counts + langid histogram) are written transactionally — they exist for
+    every committed bucket, follow the manifest snapshot rule, and agree
+    with metrics recomputed from the committed data."""
+    from data_quality_analyzer_spark.plans.pipeline import pipeline_metrics
+
+    images = spark.read.parquet(corpus_path).limit(400)
+    d = os.path.join(OUT, "a")
+    m = LN.run_with_checkpoints(spark, images, d, "run1", num_buckets=8)
+
+    rm = LN.read_committed_metrics(spark, d, LN.RULE_METRICS_DIR).toPandas()
+    assert set(rm["bucket"].unique()) == set(range(8)) - {
+        b for b in range(8) if m["committed"][str(b)]["rows"] == 0
+    }
+    # per-bucket metrics agree with a recomputation over committed data
+    want = (
+        pipeline_metrics(LN.read_committed(spark, d), group_cols=["bucket"])
+        .toPandas()
+        .sort_values(["bucket", "rule_key"])
+        .reset_index(drop=True)
+    )
+    got = rm.sort_values(["bucket", "rule_key"]).reset_index(drop=True)
+    assert got[["bucket", "rule_key", "pass_count", "fail_count"]].equals(
+        want[["bucket", "rule_key", "pass_count", "fail_count"]]
+    )
+    # langid histogram rows exist and respect keep <= n
+    lh = LN.read_committed_metrics(spark, d, LN.LANGID_HIST_DIR).toPandas()
+    assert (lh["n_keep"] <= lh["n"]).all() and len(lh) > 0
+    # crash before commit leaves NO trusted metric rows for torn buckets
+    d2 = os.path.join(OUT, "b")
+    with pytest.raises(RuntimeError):
+        LN.run_with_checkpoints(
+            spark, images, d2, "run2", num_buckets=8, chunk_size=2,
+            fail_after_chunks=1,
+        )
+    partial = LN.read_manifest(d2)
+    committed = {int(b) for b in partial["committed"]}
+    rm2 = LN.read_committed_metrics(spark, d2, LN.RULE_METRICS_DIR).toPandas()
+    assert set(rm2["bucket"].unique()) <= committed
