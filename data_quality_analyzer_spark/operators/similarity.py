@@ -151,6 +151,86 @@ def knn_lsh(
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — coarse-quantizer buckets, the FAISS-style family.
+# ---------------------------------------------------------------------------
+
+def ivf_anchors(k: int, dim: int, seed: int = RP_SEED) -> list[list[float]]:
+    """Deterministic coarse-quantizer anchors (k × dim), rounded to 4 dp so
+    both engines embed identical literals.  Seeded random anchors stand in
+    for k-means|| centroids (training requires a data pass; the bucketing,
+    partition-pruning and probe mechanics — the parts that matter at
+    100 TB — are identical, and the anchor table is swappable)."""
+    rng = np.random.default_rng(seed + 1)
+    m = rng.standard_normal((k, dim))
+    return [[round(float(x), 4) for x in row] for row in m]
+
+
+def _sq_dist_spark(vec_col: str, row: list[float]) -> str:
+    lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in row)
+    return (
+        f"aggregate(zip_with({vec_col}, array({lits}), "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_dists_spark_sql(vec_col: str, k: int = 16, dim: int = 64) -> str:
+    """array<double> of squared distances to every anchor."""
+    m = ivf_anchors(k, dim)
+    return "array(" + ", ".join(_sq_dist_spark(vec_col, m[i]) for i in range(k)) + ")"
+
+
+def _sq_dist_duck(vec_col: str, row: list[float]) -> str:
+    lits = ", ".join(f"CAST({x} AS DOUBLE)" for x in row)
+    return (
+        f"list_sum(list_transform({vec_col}, (x, i) -> "
+        f"(CAST(x AS DOUBLE) - ([{lits}])[i]) * (CAST(x AS DOUBLE) - ([{lits}])[i])))"
+    )
+
+
+def ivf_dists_duck_sql(vec_col: str, k: int = 16, dim: int = 64) -> str:
+    m = ivf_anchors(k, dim)
+    return "[" + ", ".join(_sq_dist_duck(vec_col, m[i]) for i in range(k)) + "]"
+
+
+def with_ivf_bucket(
+    df: DataFrame, vec_col: str = "embedding", k: int = 16, dim: int = 64
+) -> DataFrame:
+    """IVF list id = argmin distance to the anchor table (1-based).  At
+    100 TB the table is written partitioned by this column; a query probes
+    nprobe lists and prunes the rest at the source."""
+    return df.withColumn(
+        "_ds", F.expr(ivf_dists_spark_sql(vec_col, k, dim))
+    ).withColumn(
+        "ivf_list", F.expr("array_position(_ds, array_min(_ds))").cast("int")
+    ).drop("_ds")
+
+
+def knn_ivf(
+    df: DataFrame, query: DataFrame, topk: int = 10, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 16, dim: int = 64, nprobe: int = 1,
+) -> DataFrame:
+    """IVF ANN: probe the query's `nprobe` nearest lists, exact cosine
+    inside them.  nprobe trades recall for scanned fraction (~nprobe/k)."""
+    q = query.withColumn(
+        "_qds", F.expr(ivf_dists_spark_sql("qvec", k, dim))
+    ).withColumn(
+        "_probes",
+        F.expr(
+            "transform(slice(array_sort(zip_with(_qds, "
+            f"sequence(1, {k}), (d, i) -> struct(d, i))), 1, {nprobe}), s -> s.i)"
+        ),
+    ).drop("_qds")
+    return (
+        with_ivf_bucket(df, vec_col, k, dim)
+        .join(F.broadcast(q), F.expr("array_contains(_probes, ivf_list)"))
+        .select(id_col, "ivf_list", cosine_expr(vec_col, "qvec").alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(topk)
+    )
+
+
 def pairwise_topk_within_buckets(
     df: DataFrame, k: int = 20, id_col: str = "vec_id",
     vec_col: str = "embedding", bits: int = 8,

@@ -180,3 +180,24 @@ def test_random_projection_ann(spark):
     ds = SIM.rp_bucket_duck_sql("embedding", 4, dim)
     for row in SIM.rp_matrix(4, dim):
         assert str(row[0]) in ss and str(row[0]) in ds
+
+
+def test_ivf_ann(spark):
+    """knn_ivf: the planted neighbor shares the query's nearest-anchor list
+    and is retrieved; nprobe widens the scan instead of failing."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dim = 16
+    vecs = rng.normal(size=(100, dim)).astype("float32")
+    vecs[23] = vecs[0] + rng.normal(scale=0.005, size=dim)  # planted neighbor
+    pdf = pd.DataFrame({"vec_id": range(100), "embedding": [v.tolist() for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    q = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    ann = SIM.knn_ivf(df.filter("vec_id <> 0"), q, topk=3, k=8, dim=dim).collect()
+    assert ann[0]["vec_id"] == 23 and ann[0]["cos_sim"] > 0.99
+    # every result row comes from the probed list only
+    assert len({r["ivf_list"] for r in ann}) == 1
+    # nprobe=8 == probe everything: brute-force-equivalent top result
+    full = SIM.knn_ivf(df.filter("vec_id <> 0"), q, topk=3, k=8, dim=dim, nprobe=8).collect()
+    assert full[0]["vec_id"] == 23
