@@ -13,6 +13,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -194,17 +195,31 @@ def ivf_dists_duck_sql(vec_col: str, k: int = 16, dim: int = 64) -> str:
     return "[" + ", ".join(_sq_dist_duck(vec_col, m[i]) for i in range(k)) + "]"
 
 
+def ivf_assign_udf(k: int = 16, dim: int = 64):
+    """Arrow-batched numpy assignment: argmin_i ||x - anchor_i||² via the
+    ||x||² - 2x·Aᵀ + ||A||² expansion — one matmul per batch (the FAISS
+    coarse-quantizer hot loop).  The HOF form (ivf_dists_spark_sql) is the
+    oracle-portable reference; anchor gaps are O(0.1) so the ulp-level
+    summation-order differences can never flip the argmin."""
+    anchors = np.array(ivf_anchors(k, dim), dtype=np.float64)  # k×dim
+    a_sq = (anchors**2).sum(axis=1)  # ||A||²
+
+    @F.pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
+        d = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ anchors.T) + a_sq[None, :]
+        return pd.Series((d.argmin(axis=1) + 1).astype("int32"))
+
+    return _assign
+
+
 def with_ivf_bucket(
     df: DataFrame, vec_col: str = "embedding", k: int = 16, dim: int = 64
 ) -> DataFrame:
     """IVF list id = argmin distance to the anchor table (1-based).  At
     100 TB the table is written partitioned by this column; a query probes
     nprobe lists and prunes the rest at the source."""
-    return df.withColumn(
-        "_ds", F.expr(ivf_dists_spark_sql(vec_col, k, dim))
-    ).withColumn(
-        "ivf_list", F.expr("array_position(_ds, array_min(_ds))").cast("int")
-    ).drop("_ds")
+    return df.withColumn("ivf_list", ivf_assign_udf(k, dim)(F.col(vec_col)))
 
 
 def knn_ivf(
