@@ -269,7 +269,7 @@ def simhash_near_duplicates(
     max_hamming < bands for full recall (pigeonhole guarantee).
     """
     band_bits = bits // bands
-    fp = simhash(text_col, bits)
+    fp = simhash_udf(bits)(F.col(text_col))  # numpy twin, bit-identical
     with_fp = df.filter(
         F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
     ).select(F.col(id_col).alias("_id"), fp.alias("_fp"))
