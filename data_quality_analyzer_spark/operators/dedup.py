@@ -149,21 +149,29 @@ def minhash_signature_udf(
     return _mh
 
 
-_WS_RE = re.compile(r"\s+")
+# Java-regex \s (ASCII: space, tab, LF, VT, FF, CR) — NOT Python's Unicode
+# \s, which also matches NBSP etc.; the twin must tokenize exactly like the
+# engine's split(lower(trim(text)), '\\s+') or fingerprints silently diverge
+# on whitespace-edge texts (leading tab → empty first token, NBSP → kept
+# inside its token).
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 def simhash_udf(bits: int = 60):
     """Arrow-batched numpy twin of :func:`simhash` — same md5 token hashes,
-    same bit-vote fold, bit-identical output."""
+    same bit-vote fold, bit-identical output.  Tokenization mirrors the
+    engine form exactly: ``trim`` strips SPACES only (so a leading tab
+    survives and yields an empty first token, which votes as md5("")), and
+    the split class is Java's ASCII ``\\s`` (see ``_WS_RE``)."""
     shifts = np.arange(bits, dtype=np.int64)
 
     @F.pandas_udf("long")
     def _sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
-            if not isinstance(t, str) or not t.strip():
+            if not isinstance(t, str):
                 continue
-            toks = _WS_RE.split(t.strip().lower())
+            toks = _WS_RE.split(t.strip(" ").lower())
             hv = np.fromiter((_h60_py(tok) for tok in toks), dtype=np.int64)
             votes = (2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
@@ -347,15 +355,28 @@ def near_duplicates(
     sets = df.filter(
         F.col(text_col).isNotNull() & (F.length(text_col) >= k)
     ).select(F.col(id_col).alias("_tid"), shingles.alias("_sh"))
-    # broadcast the (small) candidate side at BOTH lookups: without the
-    # hints the two id joins would shuffle the full shingle table twice
-    with_a = F.broadcast(cands).join(
-        sets.withColumnRenamed("_tid", "id_a").withColumnRenamed("_sh", "sh_a"),
-        "id_a",
+    # broadcast ONLY the slim (id_a, id_b) pair relation at both text
+    # lookups — never a join result carrying shingle arrays: broadcast
+    # size must stay bounded by the pair count alone (candidate volume ×
+    # shingle-set size is unbounded on a dup-heavy corpus and would blow
+    # the broadcast cap / driver).  Each lookup is a broadcast semi-ish
+    # join against the full shingle table; the two sides then meet in a
+    # shuffle keyed by the pair — shuffle volume = 2 × candidates ×
+    # avg-shingle-set, distributed, never driver-resident.
+    slim = cands.select("id_a", "id_b")
+    side_a = sets.join(
+        F.broadcast(slim), F.col("_tid") == F.col("id_a")
+    ).select("id_a", "id_b", F.col("_sh").alias("sh_a"))
+    side_b = sets.join(
+        F.broadcast(slim), F.col("_tid") == F.col("id_b")
+    ).select(
+        F.col("id_a").alias("_ja"),
+        F.col("id_b").alias("_jb"),
+        F.col("_sh").alias("sh_b"),
     )
-    joined = F.broadcast(with_a).join(
-        sets.withColumnRenamed("_tid", "id_b").withColumnRenamed("_sh", "sh_b"),
-        "id_b",
+    joined = side_a.join(
+        side_b,
+        (F.col("id_a") == F.col("_ja")) & (F.col("id_b") == F.col("_jb")),
     )
     jac = F.expr(
         "CAST(size(array_intersect(sh_a, sh_b)) AS DOUBLE)"

@@ -206,9 +206,23 @@ def ivf_assign_udf(k: int = 16, dim: int = 64):
 
     @F.pandas_udf("int")
     def _assign(s: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in s])
-        d = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ anchors.T) + a_sq[None, :]
-        return pd.Series((d.argmin(axis=1) + 1).astype("int32"))
+        # null/shape guard: a null embedding (or a wrong-dimension vector)
+        # yields a null list id instead of failing the whole Arrow batch
+        vals = [
+            np.asarray(v, dtype=np.float64)
+            if v is not None and len(v) == dim
+            else None
+            for v in s
+        ]
+        out = pd.array([None] * len(vals), dtype="Int32")
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            x = np.stack([vals[i] for i in idx])
+            d = (x**2).sum(axis=1)[:, None] - 2.0 * (x @ anchors.T) + a_sq[None, :]
+            lists = (d.argmin(axis=1) + 1).astype("int32")
+            for j, i in enumerate(idx):
+                out[i] = int(lists[j])
+        return pd.Series(out, dtype="Int32")
 
     return _assign
 

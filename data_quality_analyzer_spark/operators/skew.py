@@ -50,8 +50,21 @@ def salted_join(
     """Skew-safe equi-join: big side gets a deterministic salt, small side
     is replicated n× (explode over the salt domain), join on (key, salt).
     Row multiplicity is exactly that of the plain join; only the shuffle
-    distribution changes (the hot key spreads over n partitions)."""
-    b = with_salt(big, n, salt_cols or [key])
+    distribution changes (the hot key spreads over n partitions).
+
+    ``salt_cols`` must carry per-row entropy BEYOND the join key: a salt
+    that is a pure function of the key maps every row of the hot key to
+    the same salt bucket, defeating the whole point while still paying the
+    n× replication of the small side.  Default: ALL big-side columns
+    (same default as :func:`with_salt`); passing exactly ``[key]`` raises.
+    """
+    if salt_cols is not None and set(salt_cols) == {key}:
+        raise ValueError(
+            "salt_cols must not be only the join key: the salt would be a "
+            "pure function of the key and the hot key would still land on "
+            "one reducer (pass row-identifying columns, or None for all)"
+        )
+    b = with_salt(big, n, salt_cols or list(big.columns))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

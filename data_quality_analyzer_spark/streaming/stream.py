@@ -89,12 +89,57 @@ def run_metrics_stream_once(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def make_dedup_fn(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_minutes: float | None = None,
+):
+    """The per-group state-update function behind :func:`streaming_dedup`,
+    exposed so its timeout protocol is unit-testable against a fake
+    GroupState (driving a real ProcessingTimeTimeout inside a test is
+    wall-clock-flaky: once timers are armed the engine busy-loops empty
+    micro-batches).  Contract:
+
+    * ``state.hasTimedOut`` invocation → ``state.remove()``, yield nothing,
+      and crucially do NOT ``update``/``setTimeoutDuration`` — otherwise
+      idle state is refreshed forever and ``timeout_minutes`` is a no-op;
+    * data invocation → emit first sighting of each fingerprint, persist
+      the merged seen-set, re-arm the timeout.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def dedup_fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # idle-bucket expiry: drop the seen-set and emit nothing; a
+            # fingerprint arriving later is treated as new (bounded-state
+            # trade).  No update/re-arm here — state must actually die.
+            state.remove()
+            return
+        seen: set[str] = set()
+        if state.exists:
+            (blob,) = state.get
+            seen = set(blob.split(",")) if blob else set()
+        out = []
+        for pdf in pdf_iter:
+            first = pdf[~pdf["_fp"].isin(seen)].drop_duplicates(subset=["_fp"])
+            seen.update(first["_fp"].tolist())
+            out.append(first[[id_col, text_col, "_fp"]])
+        state.update((",".join(sorted(seen)),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        out = [f for f in out if len(f)]
+        if out:  # yielding nothing is valid when every row was a duplicate
+            yield pd.concat(out)
+
+    return dedup_fn
+
+
 def streaming_dedup(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_buckets: int = 64,
-    timeout_minutes: int | None = None,
+    timeout_minutes: float | None = None,
 ) -> DataFrame:
     """Custom STATEFUL streaming operator: cross-micro-batch exact dedup via
     ``applyInPandasWithState`` — the first arrival of each content
@@ -110,13 +155,16 @@ def streaming_dedup(
     and RocksDB state store; the logic is unchanged.
 
     ``timeout_minutes`` optionally expires idle buckets (processing-time
-    timeout) to bound state for unbounded streams.
+    timeout) to bound state for unbounded streams: when a bucket receives
+    no data for that long, the next micro-batch invokes ``dedup_fn`` with
+    ``state.hasTimedOut`` and the bucket's seen-set is dropped — a
+    fingerprint arriving after expiry is treated as new (the standard
+    bounded-state / at-least-once-emission trade).  The timeout is
+    re-armed only on data invocations; the timed-out invocation itself
+    must remove the state (updating it there would refresh idle state
+    forever and the bound would be a no-op).
     """
-    import pandas as pd  # noqa: PLC0415
-    from pyspark.sql.streaming.state import (  # noqa: PLC0415
-        GroupState,
-        GroupStateTimeout,
-    )
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
 
     with_fp = docs.filter(F.col(text_col).isNotNull()).withColumn(
         "_fp", F.md5(text_col)
@@ -127,23 +175,7 @@ def streaming_dedup(
     )
     out_schema = f"{id_col} long, {text_col} string, _fp string"
     state_schema = "seen string"
-
-    def dedup_fn(key, pdf_iter, state: GroupState):
-        seen: set[str] = set()
-        if state.exists:
-            (blob,) = state.get
-            seen = set(blob.split(",")) if blob else set()
-        out = []
-        for pdf in pdf_iter:
-            first = pdf[~pdf["_fp"].isin(seen)].drop_duplicates(subset=["_fp"])
-            seen.update(first["_fp"].tolist())
-            out.append(first[[id_col, text_col, "_fp"]])
-        state.update((",".join(sorted(seen)),))
-        if timeout_minutes is not None:
-            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
-        out = [f for f in out if len(f)]
-        if out:  # yielding nothing is valid when every row was a duplicate
-            yield pd.concat(out)
+    dedup_fn = make_dedup_fn(text_col, id_col, timeout_minutes)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout
@@ -165,6 +197,8 @@ def run_streaming_dedup_once(
     schema: str,
     query_name: str = "dedup_stream",
     checkpoint_dir: str | None = None,
+    timeout_minutes: float | None = None,
+    num_buckets: int = 64,
 ) -> DataFrame:
     """Drive the stateful dedup over the files in ``input_dir`` (one file
     per micro-batch) and return the deduped rows (memory sink)."""
@@ -173,7 +207,9 @@ def run_streaming_dedup_once(
         .option("maxFilesPerTrigger", 1)
         .parquet(input_dir)
     )
-    deduped = streaming_dedup(docs)
+    deduped = streaming_dedup(
+        docs, num_buckets=num_buckets, timeout_minutes=timeout_minutes
+    )
     writer = (
         deduped.writeStream.outputMode("append")
         .format("memory")

@@ -201,3 +201,66 @@ def test_ivf_ann(spark):
     # nprobe=8 == probe everything: brute-force-equivalent top result
     full = SIM.knn_ivf(df.filter("vec_id <> 0"), q, topk=3, k=8, dim=dim, nprobe=8).collect()
     assert full[0]["vec_id"] == 23
+
+
+def test_simhash_udf_twin_whitespace_edges(spark):
+    """The numpy twin must tokenize EXACTLY like the engine HOF (Java \\s =
+    ASCII class; trim strips spaces only): leading tab → empty first token,
+    NBSP stays inside its token, trailing newline → trailing empty token."""
+    rows = [
+        (1, "\tleading tab text"),
+        (2, "trailing newline text\n"),
+        (3, "non\xa0breaking space inside"),
+        (4, "  padded  with   spaces  "),
+        (5, "mixed \t\n whitespace \x0b runs"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    hof = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", DD.simhash("text").alias("s")).collect()
+    }
+    udf = {
+        r["doc_id"]: r["s"]
+        for r in df.select("doc_id", DD.simhash_udf()(F.col("text")).alias("s")).collect()
+    }
+    assert hof == udf
+
+
+def test_ivf_assign_null_guard(spark):
+    """A null or wrong-dimension embedding yields a null ivf_list instead
+    of failing the whole Arrow batch."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    good = rng.normal(size=16).tolist()
+    rows = [(1, good), (2, None), (3, [0.5, 0.5]), (4, good)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {
+        r["vec_id"]: r["ivf_list"]
+        for r in SIM.with_ivf_bucket(df, k=8, dim=16).collect()
+    }
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and out[1] == out[4]
+
+
+def test_near_duplicates_broadcast_side_is_slim(docs):
+    """No BroadcastExchange may carry a shingle-array column: broadcast
+    size must be bounded by the candidate-pair count alone (VERDICT r2 —
+    candidates×shingles is unbounded on a dup-heavy corpus)."""
+    import contextlib
+    import io
+
+    df = DD.near_duplicates(docs, "text", "doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    txt = buf.getvalue()
+    # formatted explain: each node is "(n) BroadcastExchange" followed by
+    # an "Input [k]: [...]" line listing the columns it ships
+    blocks = txt.split("\n\n")
+    bx = [b for b in blocks if "BroadcastExchange" in b]
+    assert bx, "expected broadcast joins in the verify stage"
+    for b in bx:
+        assert "_sh" not in b and "sh_a" not in b and "sh_b" not in b, (
+            "broadcast side ships shingle arrays:\n" + b
+        )

@@ -74,3 +74,28 @@ def test_two_phase_agg_matches_plain(hot):
     assert plain.equals(two[["lang", "n_distinct"]].astype({"n_distinct": dt}))
     safe = SK.skew_safe_count_distinct(hot, "lang", "v").orderBy("lang").toPandas()
     assert plain.equals(safe.astype({"n_distinct": dt}))
+
+
+def test_salted_join_default_salt_not_key_function(hot, dim):
+    """Default salt_cols (all big-side columns) must actually spread the
+    hot key over multiple salt buckets — a salt that is a pure function of
+    the join key would leave the hot key on one reducer."""
+    import pyspark.sql.functions as F
+
+    from data_quality_analyzer_spark.operators import skew as SK
+
+    n = 8
+    salted = SK.with_salt(hot, n)  # default: all columns
+    spread = (
+        salted.filter(F.col("lang") == "en")
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert spread > 1, "hot key landed in a single salt bucket"
+    # and the join result still matches the plain join (default salt_cols)
+    plain = hot.join(dim, "lang").count()
+    assert SK.salted_join(hot, dim, "lang", n=n).count() == plain
+    # passing only the join key as the salt source is rejected
+    with pytest.raises(ValueError, match="salt_cols"):
+        SK.salted_join(hot, dim, "lang", n=n, salt_cols=["lang"])

@@ -109,3 +109,69 @@ def test_streaming_dedup_stateful(spark):
     # the in-batch duplicate kept exactly one of ids {1,2}
     kept_alpha = out[out["text"] == "alpha doc"]["doc_id"].iloc[0]
     assert kept_alpha in (1, 2)
+
+
+class _FakeState:
+    """Minimal GroupState double for unit-testing the timeout protocol."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._value = value
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_set_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = v
+
+    def remove(self):
+        self._value = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set_ms = ms
+
+
+def test_streaming_dedup_timeout_protocol():
+    """The state-update function honors the GroupState timeout contract:
+    a timed-out invocation removes the seen-set (and does NOT re-arm the
+    timer), so a fingerprint arriving after expiry is re-emitted as new.
+    (Driving a real ProcessingTimeTimeout in-test busy-loops empty
+    micro-batches, so the protocol is pinned at the function level; the
+    end-to-end stateful path is covered by test_streaming_dedup_stateful.)
+    """
+    import pandas as pd
+
+    fn = ST.make_dedup_fn("text", "doc_id", timeout_minutes=5)
+    batch = pd.DataFrame(
+        {"doc_id": [1], "text": ["alpha doc"], "_fp": ["fp_alpha"]}
+    )
+
+    # 1. data invocation: emitted, state persisted, timeout armed
+    st = _FakeState()
+    out = list(fn((0,), iter([batch]), st))
+    assert len(out) == 1 and out[0]["doc_id"].tolist() == [1]
+    assert st.get == ("fp_alpha",)
+    assert st.timeout_set_ms == 5 * 60 * 1000
+
+    # 2. duplicate while state lives: dropped
+    st2 = _FakeState(value=("fp_alpha",))
+    assert list(fn((0,), iter([batch.assign(doc_id=4)]), st2)) == []
+
+    # 3. timed-out invocation: state removed, nothing emitted, NOT re-armed
+    st3 = _FakeState(value=("fp_alpha",), timed_out=True)
+    assert list(fn((0,), iter([]), st3)) == []
+    assert st3.removed and not st3.exists
+    assert st3.timeout_set_ms is None  # re-arming here would defeat expiry
+
+    # 4. post-expiry arrival: fresh state → re-emitted
+    st4 = _FakeState()
+    out4 = list(fn((0,), iter([batch.assign(doc_id=7)]), st4))
+    assert len(out4) == 1 and out4[0]["doc_id"].tolist() == [7]
