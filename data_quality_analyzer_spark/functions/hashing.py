@@ -60,3 +60,81 @@ def mix_spark_sql(h: str, seed: int) -> str:
 def mix_python(h: int, seed: int) -> int:
     a, b, c = MINHASH_PARAMS[seed]
     return ((h >> 30) * a + (h & _LO_MASK) * b + c) % _MOD
+
+
+# ---------------------------------------------------------------------------
+# Polynomial 60-bit shingle hash — the PRODUCTION fast path for MinHash.
+#
+# md5-per-shingle (h60 above) is engine-portable but pays one interpreter
+# round-trip per shingle in the numpy twin (~1000 hashlib calls for a
+# 1000-char doc) — the single largest CPU line of the dedup stage at scale
+# (round-2 VERDICT finding 1).  The polynomial form hashes EVERY window of
+# a document with two int64 matmuls: two independent base/modulus pairs
+#     h1 = (Σ_j cp[i+j]·P1^(k-1-j)) mod M1,   h2 = (… P2 … ) mod M2
+# combined into a 60-bit value  h = h1·2^29 + (h2 mod 2^29).
+#
+# Overflow audit (holds in numpy int64, DuckDB BIGINT, and Spark long —
+# DuckDB errors on signed-64 overflow, so this is load-bearing):
+#   codepoint < 2^21, weight < 2^31  →  term < 2^52; k ≤ 64 terms → Σ < 2^58;
+#   h1 < 2^31, h1·2^29 < 2^60  →  h < 2^60, the same range as h60, so the
+#   per-seed affine mixes above apply unchanged.
+# ---------------------------------------------------------------------------
+
+POLY_P1, POLY_M1 = 1_000_003, 2_147_483_647  # M1 = 2^31 - 1 (prime)
+POLY_P2, POLY_M2 = 1_000_033, 2_147_483_629  # M2 = 2^31 - 19 (prime)
+_POLY_SHIFT = 1 << 29
+POLY_MAX_K = 64  # keeps Σ terms < 2^58 (see overflow audit)
+
+
+def poly_weights(k: int) -> tuple[list[int], list[int]]:
+    """Window weights P^(k-1-j) mod M for j = 0..k-1 (highest power first,
+    i.e. Horner order — the rolling-update form uses the same weights)."""
+    if not (0 < k <= POLY_MAX_K):
+        raise ValueError(f"shingle size k must be in [1, {POLY_MAX_K}], got {k}")
+    w1 = [pow(POLY_P1, k - 1 - j, POLY_M1) for j in range(k)]
+    w2 = [pow(POLY_P2, k - 1 - j, POLY_M2) for j in range(k)]
+    return w1, w2
+
+
+def poly60_np(cps: "np.ndarray", k: int) -> "np.ndarray":
+    """60-bit polynomial hash of every k-codepoint window of ``cps``
+    (int64 array, len ≥ k) — two vectorized matmuls, no per-window Python."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w1, w2 = poly_weights(k)
+    win = sliding_window_view(cps, k)
+    h1 = (win @ np.asarray(w1, dtype=np.int64)) % POLY_M1
+    h2 = (win @ np.asarray(w2, dtype=np.int64)) % POLY_M2
+    return h1 * _POLY_SHIFT + (h2 % _POLY_SHIFT)
+
+
+def poly60_python(s: str, k: int) -> list[int]:
+    """Pure-python reference of :func:`poly60_np` (tests pin equality)."""
+    w1, w2 = poly_weights(k)
+    cps = [ord(c) for c in s]
+    out = []
+    for i in range(len(cps) - k + 1):
+        h1 = sum(cps[i + j] * w1[j] for j in range(k)) % POLY_M1
+        h2 = sum(cps[i + j] * w2[j] for j in range(k)) % POLY_M2
+        out.append(h1 * _POLY_SHIFT + (h2 % _POLY_SHIFT))
+    return out
+
+
+def poly60_duck_sql(k: int, cps: str = "cps", i: str = "i") -> str:
+    """DuckDB twin: the same 60-bit hash for the window starting at 1-based
+    index ``i`` of the codepoint list ``cps`` (build it once per document
+    with ``list_transform(range(1, length(text)+1), i -> unicode(substr(
+    text, i, 1)))``).  Every intermediate fits BIGINT — see overflow audit."""
+    w1, w2 = poly_weights(k)
+
+    def term(j: int, w: int) -> str:
+        # unicode() yields INT32 and the weights fit INT32 too — force the
+        # multiplication into BIGINT or DuckDB overflows at 32 bits
+        idx = i if j == 0 else f"{i}+{j}"
+        return f"CAST({cps}[{idx}] AS BIGINT)*{w}"
+
+    t1 = " + ".join(term(j, w1[j]) for j in range(k))
+    t2 = " + ".join(term(j, w2[j]) for j in range(k))
+    return (
+        f"(({t1}) % {POLY_M1}) * {_POLY_SHIFT} + ((({t2}) % {POLY_M2}) % {_POLY_SHIFT})"
+    )

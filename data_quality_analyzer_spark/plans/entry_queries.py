@@ -1114,10 +1114,10 @@ def _q37_oracle() -> str:
         f"list_min(list_transform(hs, h -> {HH.mix_sql('h', s)}))"
         for s in range(_NUM_HASHES_37)
     )
-    shingle_hashes = (
-        f"list_transform(list_transform(range(1, length(text) - {_K_37 - 2}), "
-        f"i -> substr(text, i, {_K_37})), x -> {HH.h60_sql('x')})"
-    )
+    # polynomial shingle-hash family (hashing.poly60_duck_sql) — the exact
+    # DuckDB twin of the production numpy fast path the Spark side runs
+    # (dedup.minhash_signature_poly_udf): codepoint list built once per
+    # document, then each k-window hashed with plain BIGINT arithmetic.
     shingles = (
         f"list_distinct(list_transform(range(1, length({{c}}) - {_K_37 - 2}), "
         f"i -> substr({{c}}, i, {_K_37})))"
@@ -1130,9 +1130,18 @@ def _q37_oracle() -> str:
       SELECT doc_id + 1000000, text || ' near dup twin' FROM documents
       WHERE text IS NOT NULL AND length(text) >= {_K_37} AND doc_id % 20 = 0
     ),
+    cp AS (
+      SELECT doc_id, text, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(substr(text, i, 1))) AS cps
+      FROM base
+    ),
     sig AS (
       SELECT doc_id, text, [{mins}] AS sig
-      FROM (SELECT doc_id, text, {shingle_hashes} AS hs FROM base)
+      FROM (SELECT doc_id, text,
+                   list_transform(range(1, n - {_K_37 - 1} + 1),
+                                  i -> {HH.poly60_duck_sql(_K_37)}) AS hs
+            FROM cp)
     ),
     bandrows AS (
       SELECT doc_id, text, r.b AS band,
@@ -1160,10 +1169,11 @@ def _q37_oracle() -> str:
 
 @_register("q37_near_dup_pairs", _q37_oracle())
 def q37(spark, sf_dir):
-    """END-TO-END MinHash-LSH near-dup pipeline: signature (map-only) →
-    band explode → bucket self-join (shuffle = rows×bands, never rows²) →
-    exact n-gram-Jaccard verification on the candidate set only, with the
-    tiny candidate side broadcast back to the texts (operators/dedup.py:
+    """END-TO-END MinHash-LSH near-dup pipeline: signature (map-only,
+    vectorized polynomial shingle hash — no per-shingle Python) → band
+    explode → bucket self-join (shuffle = rows×bands, never rows²) → exact
+    n-gram-Jaccard verification on the candidate set only, with the slim
+    candidate-pair ids broadcast back to the texts (operators/dedup.py:
     near_duplicates).  Twin rows are synthesized deterministically so the
     pipeline has genuine near-dups to find at every SF."""
     from ..operators import dedup as DD
@@ -1409,6 +1419,55 @@ def q40(spark, sf_dir):
             .alias("combos_with_sufficient_stats"),
         )
     )
+
+
+_K_43 = 5
+_POLY_SEEDS_43 = 8
+
+
+def _q43_oracle() -> str:
+    mins = ", ".join(
+        f"list_min(list_transform(hs, h -> {HH.mix_sql('h', s)})) AS mh{s}"
+        for s in range(_POLY_SEEDS_43)
+    )
+    return f"""
+    WITH cp AS (
+      SELECT doc_id, length(text) AS n,
+             list_transform(range(1, length(text) + 1),
+                            i -> unicode(substr(text, i, 1))) AS cps
+      FROM documents WHERE text IS NOT NULL AND length(text) >= {_K_43}
+    )
+    SELECT doc_id, {mins}
+    FROM (SELECT doc_id,
+                 list_transform(range(1, n - {_K_43 - 1} + 1),
+                                i -> {HH.poly60_duck_sql(_K_43)}) AS hs
+          FROM cp)
+    """
+
+
+@_register("q43_minhash_poly_signatures", _q43_oracle())
+def q43(spark, sf_dir):
+    """MinHash signatures over the PRODUCTION polynomial shingle-hash
+    family (dedup.minhash_signature_poly_udf): the per-shingle md5
+    interpreter loop of q26 replaced by two int64 matmuls over the
+    codepoint window matrix (functions/hashing.py:poly60_np) — fully
+    vectorized, zero Python per shingle.  The DuckDB oracle computes the
+    identical hash with plain BIGINT arithmetic (poly60_duck_sql), proving
+    the fast path is engine-portable, not just fast."""
+    from ..operators import dedup as DD
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") >= _K_43))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    d = d.withColumn(
+        "_sig", DD.minhash_signature_poly_udf(_POLY_SEEDS_43, _K_43)(F.col("text"))
+    )
+    cols = [F.col("doc_id")]
+    for s in range(_POLY_SEEDS_43):
+        cols.append(F.element_at("_sig", s + 1).alias(f"mh{s}"))
+    return d.select(*cols)
 
 
 # ---------------------------------------------------------------------------

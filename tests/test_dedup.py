@@ -264,3 +264,70 @@ def test_near_duplicates_broadcast_side_is_slim(docs):
         assert "_sh" not in b and "sh_a" not in b and "sh_b" not in b, (
             "broadcast side ships shingle arrays:\n" + b
         )
+
+
+def test_poly_minhash_udf_matches_python_reference(spark):
+    """The vectorized polynomial shingle hash (production fast path) is
+    bit-identical to its pure-python reference, including non-ASCII text,
+    and the signature applies the same affine mixes as the md5 family."""
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "ünïcode — naïve café text with €uro signs",
+        "short",
+        "exact",  # len == k → exactly one window
+    ]
+    k, num = 5, 8
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", DD.minhash_signature_poly_udf(num, k)(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        hs = HH.poly60_python(t, k)
+        want = [min(HH.mix_python(h, s) for h in hs) for s in range(num)]
+        assert got[i] == want, f"doc {i}"
+
+
+def test_poly60_np_matches_python_and_duck():
+    """numpy fast path == python reference == DuckDB SQL twin."""
+    import duckdb
+    import numpy as np
+
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    t = "polynomial hashing over unicode: ünïcode € ok"
+    k = 7
+    ref = HH.poly60_python(t, k)
+    cps = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
+    assert HH.poly60_np(cps, k).tolist() == ref
+    q = f"""
+    WITH cp AS (SELECT ? AS s),
+    c AS (SELECT length(s) AS n,
+            list_transform(range(1, length(s)+1), i -> unicode(substr(s, i, 1))) AS cps
+          FROM cp)
+    SELECT list_transform(range(1, n - {k - 1} + 1), i -> {HH.poly60_duck_sql(k)}) AS hs
+    FROM c
+    """
+    duck = duckdb.connect().execute(q, [t]).fetchone()[0]
+    assert list(duck) == ref
+
+
+def test_lsh_hash_family_poly_default(docs):
+    """The default (poly) family finds the same planted near-dups as the
+    md5 family — end to end through verification."""
+    for fam in ("poly", "md5"):
+        pairs = DD.near_duplicates(
+            docs, "text", "doc_id", jaccard_threshold=0.5, hash_family=fam
+        )
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 3) in got, fam
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        DD.lsh_candidate_pairs(docs, "text", "doc_id", hash_family="xxh")
