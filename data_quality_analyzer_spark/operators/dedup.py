@@ -122,12 +122,6 @@ def minhash_signature_udf(
     from ..functions import hashing as HH
 
     _check_minhash_params(num_hashes)
-    params = np.array(HH.MINHASH_PARAMS[:num_hashes], dtype=np.int64)
-    A = params[:, 0][:, None]
-    B = params[:, 1][:, None]
-    C = params[:, 2][:, None]
-    lo_mask = (1 << 30) - 1
-    mod = 1 << 61
 
     @F.pandas_udf(f"array<long>")
     def _mh(texts: pd.Series) -> pd.Series:
@@ -140,10 +134,7 @@ def minhash_signature_udf(
                 (_h60_py(t[i : i + k]) for i in range(len(t) - k + 1)),
                 dtype=np.int64,
             )
-            hi = hs >> 30
-            lo = hs & lo_mask
-            sig = (hi[None, :] * A + lo[None, :] * B + C) % mod
-            out.append(sig.min(axis=1))
+            out.append(HH.mix_np(hs, num_hashes).min(axis=1))
         return pd.Series(out, dtype=object)
 
     return _mh
@@ -166,12 +157,6 @@ def minhash_signature_poly_udf(
     _check_minhash_params(num_hashes)
     if k > HH.POLY_MAX_K:
         raise ValueError(f"k must be ≤ {HH.POLY_MAX_K} for the poly family")
-    params = np.array(HH.MINHASH_PARAMS[:num_hashes], dtype=np.int64)
-    A = params[:, 0][:, None]
-    B = params[:, 1][:, None]
-    C = params[:, 2][:, None]
-    lo_mask = (1 << 30) - 1
-    mod = 1 << 61
 
     @F.pandas_udf("array<long>")
     def _mh(texts: pd.Series) -> pd.Series:
@@ -187,10 +172,7 @@ def minhash_signature_poly_udf(
             except UnicodeEncodeError:  # lone surrogates: slow exact path
                 cps = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
             hs = HH.poly60_np(cps, k)
-            hi = hs >> 30
-            lo = hs & lo_mask
-            sig = (hi[None, :] * A + lo[None, :] * B + C) % mod
-            out.append(sig.min(axis=1))
+            out.append(HH.mix_np(hs, num_hashes).min(axis=1))
         return pd.Series(out, dtype=object)
 
     return _mh
@@ -447,3 +429,90 @@ def near_duplicates(
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected pair graph → (node, label)
+    with label = the MINIMUM node id in the component (the canonical doc).
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) every node takes the min of its own label and its neighbors'
+    labels (one shuffle join + one aggregate), then (2) follows its
+    label's label (path halving) — so convergence is O(log diameter)
+    rounds, not O(diameter).  No external graph library; every step is a
+    plain DataFrame join, so AQE/skew handling applies as everywhere else.
+    Near-dup pair graphs have tiny components (duplicate clusters), so the
+    loop typically converges in 2-4 rounds; ``max_iter`` is a loud
+    backstop — non-convergence raises instead of returning a wrong
+    clustering.  Lineage is cut per round with ``localCheckpoint`` (the
+    iterative plan would otherwise grow exponentially).
+    """
+    edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = edges.unionByName(
+        edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
+    labels = (
+        sym.select(F.col("_s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # (1) neighbor-min: candidate labels flow one hop along edges
+        nbr = sym.join(
+            labels.select(F.col("node").alias("_d"), "label"), "_d"
+        ).select(F.col("_s").alias("node"), "label")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        # (2) pointer jump: label <- label(label) (path halving)
+        lut = new.select(F.col("node").alias("label"), F.col("label").alias("_ll"))
+        new = new.join(lut, "label", "left").select(
+            "node", F.coalesce("_ll", "label").alias("label")
+        ).localCheckpoint(eager=True)
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(pathologically long chain? raise max_iter)"
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    k: int = DEFAULT_SHINGLE,
+    hash_family: str = "poly",
+) -> DataFrame:
+    """The near-dup dedup *action*: LSH pairs → connected components →
+    keep ONE canonical doc (min id) per near-dup cluster, drop the rest.
+    Mirror of :func:`dedup_exact` for the near-dup graph (a pair list is
+    not a dedup — clusters must resolve transitively: A~B~C collapses to
+    one keeper even when A≁C directly).  Rows that are in no cluster
+    (including null/short texts) pass through untouched."""
+    pairs = near_duplicates(
+        df, text_col, id_col, jaccard_threshold, num_hashes, bands, k,
+        hash_family,
+    )
+    labels = connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

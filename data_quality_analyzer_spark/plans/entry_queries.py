@@ -1109,7 +1109,11 @@ _RPB_37 = _NUM_HASHES_37 // _BANDS_37
 _K_37 = 20
 
 
-def _q37_oracle() -> str:
+def _near_dup_cte() -> str:
+    """Shared DuckDB CTE chain of the MinHash-LSH near-dup pipeline
+    (ends at `jac`: verified candidate pairs with exact Jaccard) — q37
+    selects the pairs, q44 stacks a recursive connected-components CTE on
+    top."""
     mins = ", ".join(
         f"list_min(list_transform(hs, h -> {HH.mix_sql('h', s)}))"
         for s in range(_NUM_HASHES_37)
@@ -1123,7 +1127,7 @@ def _q37_oracle() -> str:
         f"i -> substr({{c}}, i, {_K_37})))"
     )
     return f"""
-    WITH base AS (
+    base AS (
       SELECT doc_id, text FROM documents
       WHERE text IS NOT NULL AND length(text) >= {_K_37}
       UNION ALL
@@ -1163,21 +1167,51 @@ def _q37_oracle() -> str:
                    {shingles.format(c='text_b')} AS sb
             FROM cand)
     )
-    SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.8
     """
 
 
-@_register("q37_near_dup_pairs", _q37_oracle())
-def q37(spark, sf_dir):
-    """END-TO-END MinHash-LSH near-dup pipeline: signature (map-only,
-    vectorized polynomial shingle hash — no per-shingle Python) → band
-    explode → bucket self-join (shuffle = rows×bands, never rows²) → exact
-    n-gram-Jaccard verification on the candidate set only, with the slim
-    candidate-pair ids broadcast back to the texts (operators/dedup.py:
-    near_duplicates).  Twin rows are synthesized deterministically so the
-    pipeline has genuine near-dups to find at every SF."""
-    from ..operators import dedup as DD
+def _q37_oracle() -> str:
+    return (
+        "WITH "
+        + _near_dup_cte()
+        + "SELECT id_a, id_b, ROUND(j, 6) AS jaccard FROM jac WHERE j >= 0.8"
+    )
 
+
+def _q44_oracle() -> str:
+    """Connected components over the verified near-dup pair graph: the
+    recursive CTE computes full reachability, then each node's label is
+    the minimum reachable id — the textbook SQL form of the min-label
+    clustering the Spark side runs iteratively."""
+    return (
+        "WITH RECURSIVE "
+        + _near_dup_cte()
+        + f"""
+    , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.8),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+    SELECT label AS cluster_id,
+           COUNT(*) AS n_members,
+           array_to_string(list_sort(list(node)), ',') AS members
+    FROM labels GROUP BY label
+    """
+    )
+
+
+def _q37_input(spark, sf_dir):
+    """The near-dup input corpus shared by q37/q44: sf documents plus
+    deterministically synthesized suffix-perturbed twins (the sf tables
+    carry no planted near-dups)."""
     d = (
         _t(spark, sf_dir, "documents")
         .select("doc_id", "text")
@@ -1191,11 +1225,50 @@ def q37(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" near dup twin")).alias("text"),
     )
-    full = d.unionByName(twins)
+    return d.unionByName(twins)
+
+
+@_register("q37_near_dup_pairs", _q37_oracle())
+def q37(spark, sf_dir):
+    """END-TO-END MinHash-LSH near-dup pipeline: signature (map-only,
+    vectorized polynomial shingle hash — no per-shingle Python) → band
+    explode → bucket self-join (shuffle = rows×bands, never rows²) → exact
+    n-gram-Jaccard verification on the candidate set only, with the slim
+    candidate-pair ids broadcast back to the texts (operators/dedup.py:
+    near_duplicates).  Twin rows are synthesized deterministically so the
+    pipeline has genuine near-dups to find at every SF."""
+    from ..operators import dedup as DD
+
     return DD.near_duplicates(
-        full, "text", "doc_id",
+        _q37_input(spark, sf_dir), "text", "doc_id",
         jaccard_threshold=0.8, num_hashes=_NUM_HASHES_37, bands=_BANDS_37,
         k=_K_37,
+    )
+
+
+@_register("q44_near_dup_clusters", _q44_oracle())
+def q44(spark, sf_dir):
+    """Near-dup CLUSTER RESOLUTION: the q37 pair graph collapsed to
+    connected components via distributed min-label propagation with
+    pointer jumping (operators/dedup.py:connected_components — pure
+    DataFrame joins, O(log diameter) rounds, localCheckpoint per round).
+    A pair list is not a dedup: A~B~C must resolve to ONE canonical doc
+    even when A≁C directly; the cluster label (min id) is the keeper
+    `dedup_near` retains.  Oracle: DuckDB recursive-CTE reachability."""
+    from ..operators import dedup as DD
+
+    pairs = DD.near_duplicates(
+        _q37_input(spark, sf_dir), "text", "doc_id",
+        jaccard_threshold=0.8, num_hashes=_NUM_HASHES_37, bands=_BANDS_37,
+        k=_K_37,
+    )
+    labels = DD.connected_components(pairs)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("n_members"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(node)), "
+            "x -> cast(x AS string)), ',')"
+        ).alias("members"),
     )
 
 

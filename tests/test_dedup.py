@@ -331,3 +331,82 @@ def test_lsh_hash_family_poly_default(docs):
 
     with pytest.raises(ValueError, match="hash_family"):
         DD.lsh_candidate_pairs(docs, "text", "doc_id", hash_family="xxh")
+
+
+def test_connected_components_chain(spark):
+    """A~B, B~C, C~D without A~D etc. (a chain) resolves to ONE component
+    labeled by the min id; disjoint pairs stay separate components."""
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in DD.connected_components(pairs).collect()
+    }
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10}
+
+
+def test_dedup_near_collapses_transitive_cluster(spark):
+    """Planted 3-doc chain A~B~C (A and C NOT direct near-dups) collapses
+    to the single canonical doc A; unrelated and null rows pass through."""
+    words = [f"w{i:03d}" for i in range(40)]
+    a = " ".join(words)
+    b = " ".join(words[:34] + [f"x{i}" for i in range(6)])       # ~0.7 vs A
+    c = " ".join([f"y{i}" for i in range(6)] + words[6:34] + [f"x{i}" for i in range(6)])
+    other = " ".join(f"z{i:03d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, other), (5, None)],
+        "doc_id long, text string",
+    )
+    # verify the planted geometry: A~B and B~C above threshold, A!~C below
+    jac = {}
+    import itertools
+
+    from data_quality_analyzer_spark.operators.dedup import ngram_jaccard
+    pairs_df = spark.createDataFrame(
+        [(x, y, tx, ty) for (x, tx), (y, ty) in
+         itertools.combinations([(1, a), (2, b), (3, c)], 2)],
+        "ia long, ib long, ta string, tb string",
+    ).select("ia", "ib", ngram_jaccard("ta", "tb", k=9).alias("j"))
+    for r in pairs_df.collect():
+        jac[(r["ia"], r["ib"])] = r["j"]
+    thr = 0.65
+    assert jac[(1, 2)] >= thr and jac[(2, 3)] >= thr and jac[(1, 3)] < thr, jac
+
+    kept = DD.dedup_near(
+        df, "text", "doc_id", jaccard_threshold=thr,
+        num_hashes=16, bands=8, k=9,
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4, 5], f"expected canonical A + unrelated + null, got {ids}"
+
+
+def test_minhash_mix_is_unbiased_jaccard_estimator():
+    """Signature agreement must estimate Jaccard (the property LSH recall
+    rests on).  Regression for the round-3 finding: the old affine mix
+    ((hi·A + lo·B + C) mod 2^61, A,B,C < 2^30) could never wrap the
+    modulus, so all seeds were correlated and agreement did NOT track J
+    (measured 0.06 on a true-J=0.78 pair).  The Mersenne mix is exact
+    (a·h+b) mod 2^61-1 — verified against big-int math here too."""
+    import numpy as np
+
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    rng = np.random.default_rng(99)
+    # mix == exact big-int (a·h+b) mod P
+    for s in (0, 7, 15):
+        a, b = HH.MINHASH_PARAMS[s]
+        for h in rng.integers(0, 1 << 60, size=200):
+            assert HH.mix_python(int(h), s) == (a * int(h) + b) % HH.MERSENNE_P
+    # agreement ≈ jaccard over random set pairs (j = 2/3, 16 seeds)
+    errs = []
+    for _ in range(120):
+        u = rng.integers(0, 1 << 60, size=300).astype(np.int64)
+        sa = np.concatenate([u[:200], u[200:250]])
+        sb = np.concatenate([u[:200], u[250:300]])
+        agree = (
+            HH.mix_np(sa, 16).min(axis=1) == HH.mix_np(sb, 16).min(axis=1)
+        ).mean()
+        errs.append(agree - 2 / 3)
+    mean_err = float(np.mean(errs))
+    assert abs(mean_err) < 0.04, f"biased estimator: mean err {mean_err}"
