@@ -158,10 +158,12 @@ def knn_lsh(
 
 def ivf_anchors(k: int, dim: int, seed: int = RP_SEED) -> list[list[float]]:
     """Deterministic coarse-quantizer anchors (k × dim), rounded to 4 dp so
-    both engines embed identical literals.  Seeded random anchors stand in
-    for k-means|| centroids (training requires a data pass; the bucketing,
-    partition-pruning and probe mechanics — the parts that matter at
-    100 TB — are identical, and the anchor table is swappable)."""
+    both engines embed identical literals.  These seeded-random anchors are
+    the UNTRAINED default (and the k-means INITIALIZATION —
+    :func:`train_ivf_kmeans` runs distributed Lloyd's from here); the
+    oracle queries keep them because they are reproducible plan literals
+    on both engines, while data-adaptive deployments pass trained
+    centroids through the ``anchors`` parameter everywhere."""
     rng = np.random.default_rng(seed + 1)
     m = rng.standard_normal((k, dim))
     return [[round(float(x), 4) for x in row] for row in m]
@@ -176,9 +178,13 @@ def _sq_dist_spark(vec_col: str, row: list[float]) -> str:
     )
 
 
-def ivf_dists_spark_sql(vec_col: str, k: int = 16, dim: int = 64) -> str:
+def ivf_dists_spark_sql(
+    vec_col: str, k: int = 16, dim: int = 64,
+    anchors: list[list[float]] | None = None,
+) -> str:
     """array<double> of squared distances to every anchor."""
-    m = ivf_anchors(k, dim)
+    m = anchors if anchors is not None else ivf_anchors(k, dim)
+    k = len(m)
     return "array(" + ", ".join(_sq_dist_spark(vec_col, m[i]) for i in range(k)) + ")"
 
 
@@ -195,13 +201,23 @@ def ivf_dists_duck_sql(vec_col: str, k: int = 16, dim: int = 64) -> str:
     return "[" + ", ".join(_sq_dist_duck(vec_col, m[i]) for i in range(k)) + "]"
 
 
-def ivf_assign_udf(k: int = 16, dim: int = 64):
+def ivf_assign_udf(
+    k: int = 16, dim: int = 64, anchors: list[list[float]] | None = None
+):
     """Arrow-batched numpy assignment: argmin_i ||x - anchor_i||² via the
     ||x||² - 2x·Aᵀ + ||A||² expansion — one matmul per batch (the FAISS
     coarse-quantizer hot loop).  The HOF form (ivf_dists_spark_sql) is the
     oracle-portable reference; anchor gaps are O(0.1) so the ulp-level
-    summation-order differences can never flip the argmin."""
-    anchors = np.array(ivf_anchors(k, dim), dtype=np.float64)  # k×dim
+    summation-order differences can never flip the argmin.
+
+    ``anchors`` overrides the seeded-random table with trained k-means
+    centroids (:func:`train_ivf_kmeans`) — the literals ship once in the
+    serialized UDF, nothing per row."""
+    anchors = np.array(
+        anchors if anchors is not None else ivf_anchors(k, dim),
+        dtype=np.float64,
+    )  # k×dim
+    k = anchors.shape[0]
     a_sq = (anchors**2).sum(axis=1)  # ||A||²
 
     @F.pandas_udf("int")
@@ -228,22 +244,79 @@ def ivf_assign_udf(k: int = 16, dim: int = 64):
 
 
 def with_ivf_bucket(
-    df: DataFrame, vec_col: str = "embedding", k: int = 16, dim: int = 64
+    df: DataFrame, vec_col: str = "embedding", k: int = 16, dim: int = 64,
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF list id = argmin distance to the anchor table (1-based).  At
     100 TB the table is written partitioned by this column; a query probes
     nprobe lists and prunes the rest at the source."""
-    return df.withColumn("ivf_list", ivf_assign_udf(k, dim)(F.col(vec_col)))
+    return df.withColumn(
+        "ivf_list", ivf_assign_udf(k, dim, anchors)(F.col(vec_col))
+    )
+
+
+def train_ivf_kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 16,
+    dim: int = 64,
+    iters: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = RP_SEED,
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for the IVF coarse quantizer — the
+    data-adaptive cell shapes are the whole point of IVF over LSH (FAISS
+    trains its quantizer the same way; seeded-random anchors skew list
+    sizes badly on clustered real embeddings).
+
+    Each iteration is ONE distributed pass: assign every (sampled) vector
+    to its nearest current centroid (the same one-matmul-per-batch Arrow
+    UDF the query path uses), `posexplode` the vectors and average per
+    (list, component) — a map-side-combinable aggregate — then collect the
+    k×dim centroid table (a few KB) to the driver for the next round.
+    Empty cells keep their previous centroid.  The result is rounded to
+    4 dp and used as PLAN LITERALS, exactly like the seeded anchor table
+    (nothing is shipped per row; the oracle convention is unchanged).
+
+    ``sample_fraction`` trains on a Bernoulli sample — at 10^12 rows a
+    ~10^-6 sample is the standard quantizer-training regime."""
+    data = df.filter(F.col(vec_col).isNotNull()).select(vec_col)
+    if sample_fraction is not None:
+        data = data.sample(fraction=sample_fraction, seed=seed)
+    data = data.cache()
+    try:
+        anchors = ivf_anchors(k, dim, seed=seed)
+        for _ in range(iters):
+            assigned = data.withColumn(
+                "_list", ivf_assign_udf(k, dim, anchors)(F.col(vec_col))
+            )
+            rows = (
+                assigned.select("_list", F.posexplode(vec_col))
+                .groupBy("_list", "pos")
+                .agg(F.avg("col").alias("mean"))
+                .collect()
+            )
+            new = [list(a) for a in anchors]  # empty cells keep their anchor
+            for r in rows:
+                new[r["_list"] - 1][r["pos"]] = round(float(r["mean"]), 4)
+            anchors = new
+        return anchors
+    finally:
+        data.unpersist()
 
 
 def knn_ivf(
     df: DataFrame, query: DataFrame, topk: int = 10, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 16, dim: int = 64, nprobe: int = 1,
+    anchors: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF ANN: probe the query's `nprobe` nearest lists, exact cosine
-    inside them.  nprobe trades recall for scanned fraction (~nprobe/k)."""
+    inside them.  nprobe trades recall for scanned fraction (~nprobe/k).
+    Pass trained centroids via ``anchors`` (train_ivf_kmeans)."""
+    if anchors is not None:
+        k = len(anchors)
     q = query.withColumn(
-        "_qds", F.expr(ivf_dists_spark_sql("qvec", k, dim))
+        "_qds", F.expr(ivf_dists_spark_sql("qvec", k, dim, anchors))
     ).withColumn(
         "_probes",
         F.expr(
@@ -252,7 +325,7 @@ def knn_ivf(
         ),
     ).drop("_qds")
     return (
-        with_ivf_bucket(df, vec_col, k, dim)
+        with_ivf_bucket(df, vec_col, k, dim, anchors)
         .join(F.broadcast(q), F.expr("array_contains(_probes, ivf_list)"))
         .select(id_col, "ivf_list", cosine_expr(vec_col, "qvec").alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc(id_col))

@@ -410,3 +410,60 @@ def test_minhash_mix_is_unbiased_jaccard_estimator():
         errs.append(agree - 2 / 3)
     mean_err = float(np.mean(errs))
     assert abs(mean_err) < 0.04, f"biased estimator: mean err {mean_err}"
+
+
+def test_ivf_kmeans_training_improves_recall(spark):
+    """Lloyd's-trained centroids adapt to clustered data: mean recall@10
+    at nprobe=1 (vs brute-force ground truth) must be high and at least
+    match the seeded-random anchors, and trained list sizes must track the
+    planted clusters (balanced) while random anchors fracture/starve cells
+    — the data-adaptive cell shapes are the point of training."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(17)
+    dim, n_clusters, per = 16, 6, 120
+    centers = rng.normal(scale=3.0, size=(n_clusters, dim))
+    vecs = np.concatenate(
+        [centers[c] + rng.normal(scale=1.2, size=(per, dim)) for c in range(n_clusters)]
+    )
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    k = n_clusters
+    trained = SIM.train_ivf_kmeans(df, k=k, dim=dim, iters=4)
+
+    def mean_recall(anchors):
+        recs = []
+        for qid in (0, 150, 300, 450, 600):
+            q = df.filter(F.col("vec_id") == qid).select(
+                F.col("embedding").alias("qvec")
+            )
+            base = df.filter(F.col("vec_id") != qid)
+            truth = {r["vec_id"] for r in SIM.knn_bruteforce(base, q, k=10).collect()}
+            got = {
+                r["vec_id"]
+                for r in SIM.knn_ivf(
+                    base, q, topk=10, k=k, dim=dim, nprobe=1, anchors=anchors
+                ).collect()
+            }
+            recs.append(len(got & truth) / len(truth))
+        return sum(recs) / len(recs)
+
+    r_rand, r_trained = mean_recall(None), mean_recall(trained)
+    assert r_trained >= 0.9, f"trained recall@10 too low: {r_trained}"
+    assert r_trained >= r_rand, (r_trained, r_rand)
+
+    # trained cells track the planted clusters: all k populated, balanced;
+    # random anchors leave cells empty or badly skewed on the same data
+    def sizes(anchors):
+        return sorted(
+            r["count"]
+            for r in SIM.with_ivf_bucket(df, k=k, dim=dim, anchors=anchors)
+            .groupBy("ivf_list").count().collect()
+        )
+    t_sizes, r_sizes = sizes(trained), sizes(None)
+    assert len(t_sizes) == k and t_sizes[-1] <= 2 * t_sizes[0], t_sizes
+    assert len(r_sizes) < k or r_sizes[-1] > 2 * r_sizes[0], r_sizes
+    df.unpersist()
