@@ -211,3 +211,37 @@ def test_per_bucket_metric_tables_committed(spark, corpus_path, clean_out):
     committed = {int(b) for b in partial["committed"]}
     rm2 = LN.read_committed_metrics(spark, d2, LN.RULE_METRICS_DIR).toPandas()
     assert set(rm2["bucket"].unique()) <= committed
+
+
+def test_incremental_dedup_across_runs(spark, tmp_path):
+    """Cross-run dedup via the committed fingerprint ledger: batch 2 keeps
+    only content unseen in committed batches; re-ingesting an
+    already-committed batch keeps ZERO rows (idempotent replay)."""
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "fp_store")
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(1, "alpha doc"), (2, "bravo doc"), (3, "alpha doc"), (4, None)],
+        schema,
+    )
+    kept1 = LN.dedup_incremental(spark, b1, store, "b1").collect()
+    ids1 = sorted(r["doc_id"] for r in kept1)
+    assert ids1 == [1, 2], ids1  # in-batch dup 3 dropped, null row excluded
+
+    # batch 2: one cross-run dup, one new doc
+    b2 = spark.createDataFrame(
+        [(10, "alpha doc"), (11, "charlie doc")], schema
+    )
+    kept2 = sorted(
+        r["doc_id"] for r in LN.dedup_incremental(spark, b2, store, "b2").collect()
+    )
+    assert kept2 == [11], kept2
+
+    # replaying committed batch 1 keeps nothing
+    assert LN.dedup_incremental(spark, b1, store, "b1").count() == 0
+    # and a fresh batch with only seen content keeps nothing either
+    b3 = spark.createDataFrame([(20, "charlie doc")], schema)
+    assert LN.dedup_incremental(spark, b3, store, "b3").count() == 0
+    # ledger lists exactly the committed batches
+    assert LN.read_fp_manifest(store)["batches"] == ["b1", "b2", "b3"]
