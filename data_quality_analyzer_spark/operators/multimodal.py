@@ -125,10 +125,44 @@ VIDEO_FRAME_SCHEMA = (
 )
 
 
+def decode_wav_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    """REAL audio decode for uncompressed WAV/PCM via stdlib ``wave`` +
+    numpy — the same self-contained-codec rule as the PNG decoder
+    (sources/codecs.py): no external library, byte-exact, deterministic.
+    Returns (mono float64 samples in [-1, 1], sample_rate).  Multi-channel
+    input is averaged to mono; 8/16/32-bit integer PCM supported
+    (compressed formats raise — see :func:`decode_audio_stub`)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        sr = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 1:  # unsigned 8-bit PCM, 128-centered
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"unsupported PCM sample width {width}")
+    if n_ch > 1:
+        x = x[: (len(x) // n_ch) * n_ch].reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
 def decode_audio_stub(data: bytes) -> tuple[np.ndarray, int]:
-    """Audio decode hook: no audio codec library exists in this sandbox.
-    Swap in soundfile/librosa decode here; signature is final."""
-    raise NotImplementedError("audio decode requires an external codec library")
+    """Audio decode hook: WAV/PCM (RIFF magic) decodes for real via
+    :func:`decode_wav_pcm`; compressed formats (mp3/ogg/flac/aac) still
+    require an external codec library absent in this sandbox — swap in
+    soundfile/librosa here; signature is final."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav_pcm(data)
+    raise NotImplementedError(
+        "compressed audio decode requires an external codec library"
+    )
 
 
 def _fake_audio(data: bytes) -> tuple[np.ndarray, int]:

@@ -77,3 +77,48 @@ def test_video_frame_sampling(spark):
     # stub path: one decode_ok=False row per video
     stub = MM.sample_video_frames(df, every_n=10).toPandas()
     assert len(stub) == 1 and not stub["decode_ok"].iloc[0]
+
+
+def test_wav_pcm_decodes_for_real(spark):
+    """Uncompressed WAV decodes via stdlib wave+numpy (no fake decoder):
+    a synthesized sine clip yields the exact sample count, rate, and RMS;
+    non-WAV bytes still fall through to decode_ok = false."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from data_quality_analyzer_spark.operators import multimodal as MM
+
+    sr, n = 8000, 4000
+    t = np.arange(n) / sr
+    mono = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(mono.tobytes())
+    wav_bytes = buf.getvalue()
+
+    # stereo variant: mean-to-mono must preserve the sample count
+    buf2 = io.BytesIO()
+    stereo = np.repeat(mono, 2)
+    with wave.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(stereo.tobytes())
+
+    df = spark.createDataFrame(
+        [("a", bytearray(wav_bytes)), ("b", bytearray(buf2.getvalue())),
+         ("c", bytearray(b"\x00\x01not audio")), ("d", None)],
+        "clip_id string, bytes binary",
+    )
+    out = {r["clip_id"]: r for r in MM.extract_audio_features(df).collect()}
+    exp_rms = float(np.sqrt(np.mean((mono.astype(np.float64) / 32768.0) ** 2)))
+    assert out["a"]["decode_ok"] and out["a"]["n_samples"] == n
+    assert out["a"]["sample_rate"] == sr
+    assert abs(out["a"]["rms"] - exp_rms) < 1e-9
+    assert out["b"]["decode_ok"] and out["b"]["n_samples"] == n
+    assert not out["c"]["decode_ok"] and not out["d"]["decode_ok"]
