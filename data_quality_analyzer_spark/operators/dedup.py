@@ -197,11 +197,22 @@ def simhash_udf(bits: int = 60):
     @F.pandas_udf("long")
     def _sh(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        # token vocabulary is Zipfian: memoize md5 per DISTINCT token per
+        # Arrow batch, so the interpreter cost is O(vocab), not O(tokens)
+        # (bit-identical — same md5, just deduplicated)
+        memo: dict[str, int] = {}
         for i, t in enumerate(texts):
             if not isinstance(t, str):
                 continue
             toks = _WS_RE.split(t.strip(" ").lower())
-            hv = np.fromiter((_h60_py(tok) for tok in toks), dtype=np.int64)
+            hv = np.fromiter(
+                (
+                    memo[tok] if tok in memo
+                    else memo.setdefault(tok, _h60_py(tok))
+                    for tok in toks
+                ),
+                dtype=np.int64,
+            )
             votes = (2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
             out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
         return pd.Series(out)
@@ -453,9 +464,16 @@ def connected_components(
     iterative plan would otherwise grow exponentially).
     """
     edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    sym = edges.unionByName(
-        edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-    ).distinct()
+    # materialize the (tiny) edge list ONCE: it feeds a join in EVERY
+    # round, and without the checkpoint each round would re-execute the
+    # whole upstream pair-producing pipeline (measured: q44 8.1 s → 3.7 s)
+    sym = (
+        edges.unionByName(
+            edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select(F.col("_s").alias("node")).distinct()
         .withColumn("label", F.col("node"))
