@@ -1494,6 +1494,52 @@ def q40(spark, sf_dir):
     )
 
 
+def _q45_oracle() -> str:
+    """The dedup ACTION's keep-set: every doc except non-canonical members
+    of near-dup clusters (label = min reachable id over the verified pair
+    graph)."""
+    return (
+        "WITH RECURSIVE "
+        + _near_dup_cte()
+        + """
+    , pairs AS (SELECT id_a, id_b FROM jac WHERE j >= 0.8),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+    SELECT b.doc_id FROM base b
+    WHERE b.doc_id NOT IN (SELECT node FROM labels WHERE node != label)
+    """
+    )
+
+
+@_register("q45_near_dup_dedup_action", _q45_oracle())
+def q45(spark, sf_dir):
+    """The near-dup dedup ACTION end-to-end (operators/dedup.py:
+    dedup_near): LSH pairs → connected components → drop every
+    non-canonical cluster member, keep everything else — the keep-set a
+    training-data pipeline actually materializes.  Every synthesized twin
+    must vanish (its cluster's canonical doc is the original) and every
+    unclustered doc must survive; the oracle recomputes the keep-set with
+    recursive-CTE reachability."""
+    from ..operators import dedup as DD
+
+    kept = DD.dedup_near(
+        _q37_input(spark, sf_dir), "text", "doc_id",
+        jaccard_threshold=0.8, num_hashes=_NUM_HASHES_37, bands=_BANDS_37,
+        k=_K_37,
+    )
+    return kept.select("doc_id")
+
+
 _K_43 = 5
 _POLY_SEEDS_43 = 8
 
