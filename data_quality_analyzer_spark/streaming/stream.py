@@ -191,6 +191,124 @@ def streaming_dedup(
     )
 
 
+def make_near_dup_fn(timeout_minutes: float | None = None):
+    """State-update function for :func:`streaming_near_dup_candidates`:
+    state per bucket is the map band_fp → first-seen doc id (serialized
+    "fp:id,fp:id,…" — GroupState is struct-of-scalars only).  Rows are
+    processed in (doc id, band) order so the kept "first" is the min id —
+    deterministic across retries.  Timeout contract identical to
+    :func:`make_dedup_fn` (timed-out invocation removes state)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def fn(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        seen: dict[str, int] = {}
+        if state.exists:
+            (blob,) = state.get
+            if blob:
+                seen = {
+                    f: int(i)
+                    for f, i in (kv.split(":") for kv in blob.split(","))
+                }
+        out = []
+        for pdf in pdf_iter:
+            for _, row in pdf.sort_values(["doc_id", "band"]).iterrows():
+                fp, did = row["fp"], int(row["doc_id"])
+                first = seen.get(fp)
+                if first is None:
+                    seen[fp] = did
+                elif first != did:
+                    out.append((first, did, int(row["band"]), fp))
+        state.update((",".join(f"{f}:{i}" for f, i in sorted(seen.items())),))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(int(timeout_minutes * 60 * 1000))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["id_first", "id_new", "band", "fp"]
+            )
+
+    return fn
+
+
+def streaming_near_dup_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    num_buckets: int = 64,
+    hash_family: str = "poly",
+    timeout_minutes: float | None = None,
+) -> DataFrame:
+    """Cross-micro-batch NEAR-dup candidate detection — the streaming
+    recast of ``dedup.lsh_candidate_pairs``: minhash band fingerprints are
+    computed in-stream with the same signature UDF the batch path uses,
+    then a stateful operator keyed by a uniform hash bucket of the band
+    fingerprint registers first sightings and emits (id_first, id_new,
+    band, fp) whenever a later document collides on a band — across
+    micro-batches, unbounded.
+
+    Scale design: state holds band_fp → doc id ONLY (a few dozen bytes per
+    registered band, never texts or signatures), sharded uniformly by
+    fingerprint bucket, expirable via ``timeout_minutes``.  Verification
+    (exact Jaccard) joins the candidate ids back to a document store
+    downstream — exactly the batch pipeline's verify stage, which never
+    belongs in stream state.  A pair sharing b bands emits b rows; the
+    downstream verify deduplicates by (id_first, id_new) — streaming
+    append mode cannot re-aggregate without a watermark, and the verify
+    join has to deduplicate anyway.
+    """
+    from ..operators import dedup as DD  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    DD._check_minhash_params(num_hashes, bands)
+    rows_per_band = num_hashes // bands
+    sig_udf = (
+        DD.minhash_signature_poly_udf
+        if hash_family == "poly"
+        else DD.minhash_signature_udf
+    )
+    sig = sig_udf(num_hashes, k)(F.col(text_col))
+    band_rows = (
+        docs.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
+        .select(F.col(id_col).alias("doc_id"), sig.alias("_sig"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"named_struct('band', b, 'fp', md5(concat_ws(',', "
+                    f"slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))))"
+                )
+            ).alias("bf"),
+        )
+        .select(
+            "doc_id",
+            F.col("bf.band").alias("band"),
+            F.col("bf.fp").alias("fp"),
+            F.pmod(
+                F.conv(F.substring("bf.fp", 1, 15), 16, 10).cast("long"),
+                F.lit(num_buckets),
+            ).cast("int").alias("_bucket"),
+        )
+    )
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return band_rows.groupBy("_bucket").applyInPandasWithState(
+        make_near_dup_fn(timeout_minutes),
+        outputStructType="id_first long, id_new long, band int, fp string",
+        stateStructType="seen string",
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def run_streaming_dedup_once(
     spark: SparkSession,
     input_dir: str,

@@ -66,3 +66,42 @@ def test_decode_never_crashes_on_garbage(blob):
         pass
     except NotImplementedError:
         pass
+
+
+@given(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), min_size=5, max_size=200),
+    st.integers(2, 12),
+)
+@settings(max_examples=60, deadline=None)
+def test_poly60_three_way_agreement(text, k):
+    """Polynomial shingle hash: numpy fast path == pure-python reference ==
+    DuckDB SQL twin, for arbitrary unicode text and shingle size."""
+    import duckdb
+
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    if len(text) < k:
+        return
+    ref = HH.poly60_python(text, k)
+    cps = np.fromiter(map(ord, text), dtype=np.int64, count=len(text))
+    assert HH.poly60_np(cps, k).tolist() == ref
+    q = f"""
+    WITH c AS (SELECT length(?) AS n,
+        list_transform(range(1, length(?)+1), i -> unicode(substr(?, i, 1))) AS cps)
+    SELECT list_transform(range(1, n - {k - 1} + 1), i -> {HH.poly60_duck_sql(k)}) FROM c
+    """
+    duck = duckdb.connect().execute(q, [text, text, text]).fetchone()[0]
+    assert list(duck) == ref
+    # range and sign invariants (must fit the mix's 60-bit contract)
+    assert all(0 <= h < 1 << 60 for h in ref)
+
+
+@given(st.integers(0, (1 << 60) - 1), st.integers(0, 15))
+@settings(max_examples=200, deadline=None)
+def test_mersenne_mix_matches_bigint_math(h, seed):
+    """The split mulmod is EXACTLY (a*h + b) mod 2^61-1 — the property the
+    minhash-unbiasedness argument rests on."""
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    a, b = HH.MINHASH_PARAMS[seed]
+    assert HH.mix_python(h, seed) == (a * h + b) % HH.MERSENNE_P

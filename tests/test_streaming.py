@@ -175,3 +175,53 @@ def test_streaming_dedup_timeout_protocol():
     st4 = _FakeState()
     out4 = list(fn((0,), iter([batch.assign(doc_id=7)]), st4))
     assert len(out4) == 1 and out4[0]["doc_id"].tolist() == [7]
+
+
+def test_streaming_near_dup_candidates(spark):
+    """Cross-batch LSH: a near-dup twin arriving in a LATER micro-batch is
+    flagged against the first-seen doc; unrelated docs never collide on
+    any band.  In-batch exact twins are flagged too (min id first)."""
+    import pandas as pd
+
+    d = os.path.join(OUT, "near_dup_in")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    schema = "doc_id long, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster in broad daylight today"
+    )
+    other = (
+        "completely different content about recursive cte oracles and "
+        "connected component resolution in distributed dataframe joins"
+    )
+    b1 = pd.DataFrame({"doc_id": [1, 5, 9], "text": [base, base, other]})
+    b2 = pd.DataFrame(
+        {"doc_id": [12, 14], "text": [base + " twin", "fresh unrelated text about nothing seen before at all"]}
+    )
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(d, mode="append")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(d, mode="append")
+
+    docs = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    cands = ST.streaming_near_dup_candidates(docs, num_hashes=16, bands=4, k=9)
+    q = (
+        cands.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("near_dup_cands")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM near_dup_cands").toPandas()
+    finally:
+        q.stop()
+    pairs = set(zip(out["id_first"], out["id_new"]))
+    assert (1, 5) in pairs          # in-batch exact twin, min id first
+    assert (1, 12) in pairs         # CROSS-BATCH near-dup twin
+    flagged_with_9 = {p for p in pairs if 9 in p}
+    assert not flagged_with_9, f"unrelated doc collided: {flagged_with_9}"
+    assert not {p for p in pairs if 14 in p}
