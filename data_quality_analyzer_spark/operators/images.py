@@ -42,7 +42,7 @@ def validate_batch(
     decodable = np.zeros(n, dtype=bool)
     dims_match = np.zeros(n, dtype=bool)
     dims_bounds = np.zeros(n, dtype=bool)
-    psnr_ok = np.ones(n, dtype=bool)  # vacuous for lossless; jpeg hook below
+    psnr_ok = np.ones(n, dtype=bool)  # lossless formats are byte-exact
     for i in range(n):
         b = data.iloc[i]
         if b is None or (isinstance(b, float) and pd.isna(b)) or len(b) == 0:
@@ -52,7 +52,7 @@ def validate_batch(
         sniffed = C.sniff_format(b)
         magic_ok[i] = sniffed is not None and sniffed == f
         try:
-            if f in C.LOSSY_FORMATS:  # reserved jpeg path (no codec in sandbox)
+            if f == "jpeg":  # reserved hook: no jpeg library in sandbox
                 C.decode_jpeg_stub(b)
             img = C.decode(b, sniffed)
         except (C.CodecError, NotImplementedError):
@@ -61,8 +61,17 @@ def validate_batch(
         ih, iw = img.shape[:2]
         dims_match[i] = (iw == w.iloc[i]) and (ih == h.iloc[i])
         dims_bounds[i] = min_dim <= iw <= max_dim and min_dim <= ih <= max_dim
-        # PSNR invariant activates only for lossy formats (decode→reencode
-        # roundtrip ≥ 40 dB); lossless formats are byte-exact by design.
+        if sniffed in C.LOSSY_FORMATS:
+            # the north rule's lossy invariant, made real by the DQJ codec:
+            # the stream's own quantization tables must guarantee ≥ 40 dB
+            # worst-case fidelity (LAION/DataComp-style quality-factor
+            # filtering; see codecs.dqj_psnr_floor).  Header-only — no
+            # re-encode in the hot path.  Lossless formats skip this:
+            # byte-exact by construction.
+            try:
+                psnr_ok[i] = C.LOSSY_PSNR_FLOOR[sniffed](b) >= 40.0
+            except C.CodecError:
+                psnr_ok[i] = False
     return pd.DataFrame(
         {
             "magic_ok": magic_ok,

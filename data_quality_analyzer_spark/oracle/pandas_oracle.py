@@ -150,6 +150,7 @@ def oracle_verdicts(
             "decodable": bool(img_flags["decodable"].iloc[row_i]),
             "dims_match": bool(img_flags["dims_match"].iloc[row_i]),
             "dims_bounds": bool(img_flags["dims_bounds"].iloc[row_i]),
+            "psnr_ok": bool(img_flags["psnr_ok"].iloc[row_i]),
         }
 
     flags = [passes(i) for i in range(n)]

@@ -70,6 +70,9 @@ PIPELINE_RULES: tuple[tuple[str, str], ...] = (
     ("decodable", "critical"),
     ("dims_match", "high"),
     ("dims_bounds", "medium"),
+    # lossy-format generation fidelity (vacuously true for lossless rows;
+    # active for DQJ since the codec landed — sources/codecs.py)
+    ("psnr_ok", "high"),
 )
 
 RULE_KEYS = tuple(k for k, _ in PIPELINE_RULES)
@@ -203,6 +206,7 @@ def run_pipeline(
             "pass_decodable": F.coalesce(F.col("_img.decodable"), F.lit(False)),
             "pass_dims_match": F.coalesce(F.col("_img.dims_match"), F.lit(False)),
             "pass_dims_bounds": F.coalesce(F.col("_img.dims_bounds"), F.lit(False)),
+            "pass_psnr_ok": F.coalesce(F.col("_img.psnr_ok"), F.lit(False)),
         }
     ).drop("_img")
 

@@ -20,7 +20,7 @@ from ..functions import text as TX
 from . import codecs as C
 from . import seed_corpus as SCorp
 
-FORMATS = ("png", "ppm", "bmp")
+FORMATS = ("png", "ppm", "bmp")  # base lossless mix; DQJ cohorts are index-gated below
 HOT_LANG = "en"
 HOT_LANG_FRACTION = 0.8
 HOT_PHASH_FRACTION = 0.25
@@ -100,6 +100,14 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pd.DataFrame:
             data = C.ENCODERS[fmt](img)
             h_true, w_true = 1, 1
             w_decl, h_decl = 1, 1
+        elif i % 37 == 5:  # lossy DQJ at default quality (clears the 40 dB floor)
+            # index-gated (not rng-gated) so these cohorts don't perturb the
+            # rng stream of every subsequent row
+            fmt = "dqj"
+            data = C.encode_dqj(img)
+        elif i % 37 == 17:  # lossy DQJ at low quality → psnr_ok rule failure
+            fmt = "dqj"
+            data = C.encode_dqj(img, quality=60)
 
         # caption: hot-language skew
         lang = HOT_LANG if u < HOT_LANG_FRACTION else langs[int(rng.integers(0, len(langs)))]

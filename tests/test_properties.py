@@ -105,3 +105,17 @@ def test_mersenne_mix_matches_bigint_math(h, seed):
 
     a, b = HH.MINHASH_PARAMS[seed]
     assert HH.mix_python(h, seed) == (a * h + b) % HH.MERSENNE_P
+
+
+@given(images)
+@settings(max_examples=30, deadline=None)
+def test_dqj_lossy_roundtrip_meets_gate(params):
+    """Arbitrary images (noise included — the DCT worst case) clear the
+    north-rule PSNR ≥ 40 dB gate at the default DQJ quality."""
+    h, w, gray, seed = params
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    dec = C.decode_dqj(C.encode_dqj(img))
+    assert dec.shape == img.shape
+    assert C.psnr(img, dec) >= 40.0
