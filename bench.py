@@ -35,7 +35,7 @@ def ensure_bench_corpus() -> str:
     marker = os.path.join(FIXTURE_DIR, "_done")
     path = os.path.join(FIXTURE_DIR, "images.parquet")
     # bump when the generator changes so a cached corpus can't go stale
-    version = f"v2-dqj:{BENCH_ROWS}"
+    version = f"v3-dqj-neardup:{BENCH_ROWS}"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read() == version:

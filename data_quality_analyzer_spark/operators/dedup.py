@@ -326,11 +326,36 @@ def simhash_near_duplicates(
     Returns (id_a, id_b, hamming ≤ max_hamming).  Callers should keep
     max_hamming < bands for full recall (pigeonhole guarantee).
     """
-    band_bits = bits // bands
     fp = simhash_udf(bits)(F.col(text_col))  # numpy twin, bit-identical
     with_fp = df.filter(
         F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
     ).select(F.col(id_col).alias("_id"), fp.alias("_fp"))
+    return fingerprint_near_duplicates(
+        with_fp, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
+    )
+
+
+def fingerprint_near_duplicates(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    bands: int = 4,
+    bits: int = 64,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Banded-Hamming near-dup search over an EXISTING int64 fingerprint
+    column (the generic core of :func:`simhash_near_duplicates`; also the
+    image path, where `phash` already is the fingerprint).  Signed int64 is
+    fine: both join sides band identically (`pmod` keeps band values
+    non-negative) and the verify is a popcount on the XOR.
+
+    Returns (id_a, id_b, hamming).  Keep max_hamming < bands for full
+    recall (pigeonhole).  Input rows should carry DISTINCT fingerprints
+    when duplicate-heavy data is possible — collapse exact-equal
+    fingerprints with a groupBy first (see :func:`image_near_duplicates`),
+    or a hot fingerprint degenerates to quadratic pairs."""
+    band_bits = bits // bands
+    with_fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     band_rows = with_fp.select(
         "_id",
         "_fp",
@@ -361,6 +386,79 @@ def simhash_near_duplicates(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def image_near_duplicates(
+    images: DataFrame,
+    id_col: str = "image_id",
+    fp_col: str = "phash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
+    the image-payload twin of the text near-dup path, over the corpus's
+    own `phash` column (input_hint: int64 pixel-content hash).
+
+    Scale design: identical fingerprints are collapsed FIRST (one groupBy
+    → one representative per fingerprint + group size), and only DISTINCT
+    fingerprints enter the banded self-join.  A duplicate-heavy corpus (the
+    fixture plants a 25% hot fingerprint) therefore costs one hash
+    aggregate, never C(n,2) pairs — pairing 15k byte-identical crawl
+    copies as "near dups" would be quadratic for information the groupBy
+    already has.  Exact-dup resolution inside a fingerprint group is
+    :func:`dedup_image_near`'s job.
+
+    Returns (id_a, id_b, hamming, n_rows_a, n_rows_b): representative ids
+    of fingerprint groups within `max_hamming`, with group sizes.
+    """
+    reps = images.groupBy(F.col(fp_col).alias("_fp")).agg(
+        F.min(id_col).alias("_id"), F.count("*").alias("_n")
+    )
+    pairs = fingerprint_near_duplicates(
+        reps, "_fp", "_id", bands=bands, bits=64, max_hamming=max_hamming
+    )
+    sizes = reps.select("_id", "_n")
+    return (
+        pairs.join(sizes.withColumnsRenamed({"_id": "id_a", "_n": "n_rows_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"_id": "id_b", "_n": "n_rows_b"}), "id_b")
+        .select("id_a", "id_b", "hamming", "n_rows_a", "n_rows_b")
+    )
+
+
+def dedup_image_near(
+    images: DataFrame,
+    id_col: str = "image_id",
+    fp_col: str = "phash",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """The image near-dup dedup ACTION: keep exactly one row per
+    perceptual cluster (byte-identical copies AND small-Hamming variants
+    collapse together, transitively).  Mirror of :func:`dedup_near` for
+    the image payload.
+
+    A row survives iff (1) it is its fingerprint group's representative
+    (min id — the exact-dup collapse) and (2) its representative is its
+    Hamming-cluster's canonical node (connected components over the
+    representative pair graph).  Rows should be pre-filtered to valid
+    images — fingerprints of undecodable rows are not meaningful.
+    """
+    reps = images.groupBy(F.col(fp_col).alias("_fp")).agg(
+        F.min(id_col).alias("_rep")
+    )
+    pairs = fingerprint_near_duplicates(
+        reps, "_fp", "_rep", bands=bands, bits=64, max_hamming=max_hamming
+    )
+    labels = connected_components(pairs)
+    drop_reps = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("_rep")
+    )
+    keep_reps = reps.join(drop_reps, "_rep", "left_anti")
+    return images.join(
+        keep_reps.withColumnsRenamed({"_fp": fp_col, "_rep": id_col}),
+        on=[fp_col, id_col],
+        how="left_semi",
     )
 
 

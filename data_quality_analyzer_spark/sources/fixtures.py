@@ -42,8 +42,23 @@ def ahash64(img: np.ndarray) -> int:
     val = 0
     for b in bits:
         val = (val << 1) | int(b)
-    # keep in signed int64 range
-    return val - (1 << 63) if val >= (1 << 63) else val
+    # two's-complement into signed int64 range (subtracting 2**63 instead
+    # would CLEAR the top bit — aliasing fingerprints that differ only in
+    # bit 63 onto the same value)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _block_image(flip: int = 0) -> np.ndarray:
+    """32×32 RGB of 4×4-pixel blocks aligned to the 8×8 ahash grid: a
+    40/215 checkerboard, with the first `flip` diagonal blocks pushed
+    across the grid mean.  Every block sits ≥80 gray levels from the grid
+    mean, so `ahash64(_block_image(k))` differs from `ahash64(_block_image(0))`
+    in EXACTLY k bits — deterministic planted Hamming-k image near-dups."""
+    vals = np.where(np.add.outer(np.arange(8), np.arange(8)) % 2 == 0, 215, 40)
+    for j in range(flip):
+        vals[j, j] = 255 - vals[j, j]
+    img = np.kron(vals, np.ones((4, 4), dtype=vals.dtype)).astype(np.uint8)
+    return np.stack([img] * 3, axis=-1)
 
 
 def _make_image(rng: np.random.Generator, size: tuple[int, int] | None = None) -> np.ndarray:
@@ -108,6 +123,16 @@ def generate_corpus(n_rows: int, seed: int = 42) -> pd.DataFrame:
         elif i % 37 == 17:  # lossy DQJ at low quality → psnr_ok rule failure
             fmt = "dqj"
             data = C.encode_dqj(img, quality=60)
+        elif i % 101 == 13:  # planted image near-dup cluster, base fingerprint
+            img = _block_image(0)
+            data = C.ENCODERS[fmt](img)
+            h_true, w_true = img.shape[:2]
+            w_decl, h_decl = w_true, h_true
+        elif i % 101 == 47:  # near-dup variant: ahash Hamming EXACTLY 2 from base
+            img = _block_image(2)
+            data = C.ENCODERS[fmt](img)
+            h_true, w_true = img.shape[:2]
+            w_decl, h_decl = w_true, h_true
 
         # caption: hot-language skew
         lang = HOT_LANG if u < HOT_LANG_FRACTION else langs[int(rng.integers(0, len(langs)))]

@@ -467,3 +467,92 @@ def test_ivf_kmeans_training_improves_recall(spark):
     assert len(t_sizes) == k and t_sizes[-1] <= 2 * t_sizes[0], t_sizes
     assert len(r_sizes) < k or r_sizes[-1] > 2 * r_sizes[0], r_sizes
     df.unpersist()
+
+
+def test_fingerprint_near_duplicates_signed_int64(spark):
+    """The generic banded-Hamming core works on raw int64 fingerprints,
+    including negative values (top-band sign extension must band
+    identically on both join sides)."""
+    def s64(x: int) -> int:  # two's-complement int64 view of a uint64
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    base = (1 << 63) | 12345  # sign bit set
+    rows = [
+        (1, s64(base)),
+        (2, s64(base ^ 0b101)),            # hamming 2
+        (3, s64(base ^ (1 << 63))),        # sign bit flipped: hamming 1
+        (4, 0x0F0F0F0F0F0F0F0F),           # far from everything
+    ]
+    df = spark.createDataFrame(rows, "id int, fp long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in DD.fingerprint_near_duplicates(
+            df, "fp", "id", bands=4, bits=64, max_hamming=3
+        ).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 3}
+
+
+def test_image_near_duplicates_on_fixture_corpus(spark, corpus_path):
+    """End-to-end over the planted fixture: the two block-image cohorts
+    (ahash Hamming exactly 2 apart) surface as ONE representative pair;
+    the 25% hot fingerprint is collapsed by the groupBy, never paired
+    quadratically."""
+    from data_quality_analyzer_spark.sources.fixtures import (
+        _block_image,
+        ahash64,
+    )
+
+    images = spark.read.parquet(corpus_path)
+    pairs = DD.image_near_duplicates(images).collect()
+    fp_base, fp_var = ahash64(_block_image(0)), ahash64(_block_image(2))
+    # mask to 64 bits: ahash64 values are signed, XOR may be negative
+    assert bin((fp_base ^ fp_var) & ((1 << 64) - 1)).count("1") == 2
+    assert all(r["hamming"] <= 3 for r in pairs)
+    reps = {
+        r["image_id"]: (r["phash"], r["n"])
+        for r in images.groupBy("phash")
+        .agg(F.min("image_id").alias("image_id"), F.count("*").alias("n"))
+        .filter(F.col("phash").isin(fp_base, fp_var))
+        .collect()
+    }
+    planted = [
+        r
+        for r in pairs
+        if {reps.get(r["id_a"], (None,))[0], reps.get(r["id_b"], (None,))[0]}
+        == {fp_base, fp_var}
+    ]
+    assert len(planted) == 1
+    assert planted[0]["hamming"] == 2
+    # group sizes ride along: both cohorts have many byte-identical rows
+    assert planted[0]["n_rows_a"] >= 10 and planted[0]["n_rows_b"] >= 10
+
+
+def test_dedup_image_near_action(spark, corpus_path):
+    """The image dedup ACTION: the base+variant cohorts (two fingerprint
+    groups within Hamming 2) collapse to ONE surviving row; the hot exact
+    group collapses to one; untouched singletons all survive."""
+    from data_quality_analyzer_spark.sources.fixtures import (
+        _block_image,
+        ahash64,
+    )
+
+    images = spark.read.parquet(corpus_path).filter(F.col("bytes").isNotNull())
+    kept = DD.dedup_image_near(images)
+    fp_base, fp_var = ahash64(_block_image(0)), ahash64(_block_image(2))
+    planted_kept = kept.filter(F.col("phash").isin(fp_base, fp_var)).count()
+    assert planted_kept == 1
+    # the hot fingerprint (the most common phash) keeps exactly one row
+    hot_fp = (
+        images.groupBy("phash").count().orderBy(F.desc("count")).first()["phash"]
+    )
+    assert kept.filter(F.col("phash") == hot_fp).count() == 1
+    # transitive chain on constructed fps: A~B (2 bits), B~C (2 bits),
+    # A!~C (4 bits > max_hamming) -> ONE keeper for the whole chain
+    a = 0x1234_5678_9ABC_DEF0
+    chain = spark.createDataFrame(
+        [("a", a), ("b", a ^ 0b11), ("c", a ^ 0b11 ^ 0b1100)],
+        "image_id string, phash long",
+    )
+    assert DD.dedup_image_near(chain).count() == 1
