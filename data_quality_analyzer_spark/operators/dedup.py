@@ -412,8 +412,15 @@ def image_near_duplicates(
     Returns (id_a, id_b, hamming, n_rows_a, n_rows_b): representative ids
     of fingerprint groups within `max_hamming`, with group sizes.
     """
-    reps = images.groupBy(F.col(fp_col).alias("_fp")).agg(
-        F.min(id_col).alias("_id"), F.count("*").alias("_n")
+    # materialize the (distinct-fingerprint-sized) reps relation ONCE: it
+    # feeds both sides of the banded self-join plus the two size lookups,
+    # and without this the phash aggregate — a full corpus scan — appears
+    # four times in the physical plan (broadcast and shuffle exchanges
+    # don't reuse each other)
+    reps = (
+        images.groupBy(F.col(fp_col).alias("_fp"))
+        .agg(F.min(id_col).alias("_id"), F.count("*").alias("_n"))
+        .localCheckpoint(eager=True)
     )
     pairs = fingerprint_near_duplicates(
         reps, "_fp", "_id", bands=bands, bits=64, max_hamming=max_hamming
@@ -444,8 +451,10 @@ def dedup_image_near(
     representative pair graph).  Rows should be pre-filtered to valid
     images — fingerprints of undecodable rows are not meaningful.
     """
-    reps = images.groupBy(F.col(fp_col).alias("_fp")).agg(
-        F.min(id_col).alias("_rep")
+    reps = (
+        images.groupBy(F.col(fp_col).alias("_fp"))
+        .agg(F.min(id_col).alias("_rep"))
+        .localCheckpoint(eager=True)  # one corpus scan, reused on every side
     )
     pairs = fingerprint_near_duplicates(
         reps, "_fp", "_rep", bands=bands, bits=64, max_hamming=max_hamming
