@@ -254,9 +254,18 @@ def lsh_candidate_pairs(
         minhash_signature_poly_udf if hash_family == "poly" else minhash_signature_udf
     )
     sig = sig_udf(num_hashes, k)(F.col(text_col))
-    with_sig = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= k)
-    ).select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    # materialize (id, signature) ONCE: the banded self-join consumes it on
+    # both sides, and when the planner broadcasts one side the two
+    # exchanges differ, so without this the signature UDF — the dominant
+    # cost — runs over the full corpus twice.  The relation is slim
+    # (id + num_hashes ints, no text).  On a real cluster prefer a
+    # reliable checkpoint dir for fault tolerance; localCheckpoint blocks
+    # are lost with their executor.
+    with_sig = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
+        .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+        .localCheckpoint(eager=True)
+    )
     band_rows = with_sig.select(
         "_id",
         F.explode(
@@ -327,9 +336,12 @@ def simhash_near_duplicates(
     max_hamming < bands for full recall (pigeonhole guarantee).
     """
     fp = simhash_udf(bits)(F.col(text_col))  # numpy twin, bit-identical
-    with_fp = df.filter(
-        F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0)
-    ).select(F.col(id_col).alias("_id"), fp.alias("_fp"))
+    # materialized once for the same both-sides reason as lsh_candidate_pairs
+    with_fp = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
+        .select(F.col(id_col).alias("_id"), fp.alias("_fp"))
+        .localCheckpoint(eager=True)
+    )
     return fingerprint_near_duplicates(
         with_fp, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
     )
