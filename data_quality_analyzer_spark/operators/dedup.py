@@ -513,29 +513,43 @@ def near_duplicates(
     Returns (id_a, id_b, jaccard ≥ threshold).  The expensive exact Jaccard
     runs only on LSH candidates (slim pair ids broadcast back to the texts).
     """
+    # materialize the candidate pair list: it feeds THREE consumers below
+    # (the candidate-id set and both per-side lookups) and is small by
+    # LSH design
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, k, hash_family
-    )
-    # precompute each document's distinct shingle set ONCE (the naive
-    # per-pair ngram_jaccard(text_a, text_b) would rebuild both shingle
-    # arrays twice per candidate — once in the intersection, once in the
-    # union: 4 constructions per pair instead of 1 per doc)
+    ).localCheckpoint(eager=True)
+    slim = cands.select("id_a", "id_b")
+    # precompute each CANDIDATE document's distinct shingle set ONCE (the
+    # naive per-pair ngram_jaccard(text_a, text_b) would rebuild both
+    # shingle arrays twice per candidate — once in the intersection, once
+    # in the union: 4 constructions per pair instead of 1 per doc), in ONE
+    # corpus scan: the broadcast candidate-id semi-join restricts the scan
+    # to candidate docs, and the materialized result is what both side
+    # lookups consume — previously each side re-scanned the full corpus
+    # and re-built every doc's shingles.
     shingles = F.expr(
         f"array_distinct(transform(sequence(1, greatest(length({text_col}), {k})"
         f" - {k - 1}), i -> substring({text_col}, i, {k})))"
     )
-    sets = df.filter(
-        F.col(text_col).isNotNull() & (F.length(text_col) >= k)
-    ).select(F.col(id_col).alias("_tid"), shingles.alias("_sh"))
-    # broadcast ONLY the slim (id_a, id_b) pair relation at both text
-    # lookups — never a join result carrying shingle arrays: broadcast
-    # size must stay bounded by the pair count alone (candidate volume ×
-    # shingle-set size is unbounded on a dup-heavy corpus and would blow
-    # the broadcast cap / driver).  Each lookup is a broadcast semi-ish
-    # join against the full shingle table; the two sides then meet in a
-    # shuffle keyed by the pair — shuffle volume = 2 × candidates ×
-    # avg-shingle-set, distributed, never driver-resident.
-    slim = cands.select("id_a", "id_b")
+    cand_ids = (
+        slim.select(F.col("id_a").alias("_tid"))
+        .unionByName(slim.select(F.col("id_b").alias("_tid")))
+        .distinct()
+    )
+    sets = (
+        df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
+        .join(F.broadcast(cand_ids), F.col(id_col) == F.col("_tid"))
+        .select(F.col(id_col).alias("_tid"), shingles.alias("_sh"))
+        .localCheckpoint(eager=True)
+    )
+    # broadcast ONLY the slim (id_a, id_b) pair relation at both lookups —
+    # never a join result carrying shingle arrays: broadcast size must
+    # stay bounded by the pair count alone (candidate volume × shingle-set
+    # size is unbounded on a dup-heavy corpus and would blow the broadcast
+    # cap / driver).  The two sides then meet in a shuffle keyed by the
+    # pair — shuffle volume = 2 × candidates × avg-shingle-set,
+    # distributed, never driver-resident.
     side_a = sets.join(
         F.broadcast(slim), F.col("_tid") == F.col("id_a")
     ).select("id_a", "id_b", F.col("_sh").alias("sh_a"))
