@@ -407,6 +407,7 @@ def image_near_duplicates(
     fp_col: str = "phash",
     bands: int = 4,
     max_hamming: int = 3,
+    bits: int = 64,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
     the image-payload twin of the text near-dup path, over the corpus's
@@ -435,7 +436,7 @@ def image_near_duplicates(
         .localCheckpoint(eager=True)
     )
     pairs = fingerprint_near_duplicates(
-        reps, "_fp", "_id", bands=bands, bits=64, max_hamming=max_hamming
+        reps, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
     )
     sizes = reps.select("_id", "_n")
     return (

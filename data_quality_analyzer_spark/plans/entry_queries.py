@@ -1589,6 +1589,77 @@ def q43(spark, sf_dir):
     return d.select(*cols)
 
 
+def _q46_oracle() -> str:
+    fp = HH.h60_sql("text")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {fp} AS fp FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    allrows AS (
+      SELECT doc_id, fp FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, xor(fp, 3) FROM base WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, fp FROM base WHERE doc_id % 40 = 0
+    ),
+    reps AS (
+      SELECT fp, min(doc_id) AS rid, count(*) AS n FROM allrows GROUP BY fp
+    ),
+    bandrows AS (
+      SELECT rid, fp, n, r.b AS band,
+             (fp >> (CAST(r.b AS INTEGER) * 16)) % 65536 AS bb
+      FROM reps, range(4) r(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.rid AS id_a, y.rid AS id_b, x.fp AS fa, y.fp AS fb,
+                      x.n AS na, y.n AS nb
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bb = y.bb AND x.rid < y.rid
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming,
+           na AS n_rows_a, nb AS n_rows_b
+    FROM pairs WHERE bit_count(xor(fa, fb)) <= 3
+    """
+
+
+@_register("q46_fingerprint_group_near_dup", _q46_oracle())
+def q46(spark, sf_dir):
+    """Fingerprint-GROUP near-dup search — the image-payload dedup path
+    (operators/dedup.py:image_near_duplicates) proven against a DuckDB
+    oracle: identical fingerprints collapse to one representative via a
+    groupBy BEFORE the banded self-join (a hot fingerprint costs one hash
+    aggregate, never quadratic pairs), then only DISTINCT fingerprints are
+    banded (4×16-bit, pigeonhole recall for Hamming ≤ 3) and verified by
+    popcount.  The fingerprint here is the portable 60-bit md5 hash of the
+    text (functions/hashing.py:h60) standing in for `phash` — the operator
+    is column-generic; planted twins (fp XOR 0b11 → Hamming exactly 2) and
+    exact copies exercise both the pairing and the collapse."""
+    from ..operators import dedup as DD
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select("doc_id", F.expr(HH.h60_spark_sql("text")).alias("fp"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    twins = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("fp ^ 3").alias("fp"),
+    )
+    copies = base.filter(F.col("doc_id") % 40 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"), F.col("fp")
+    )
+    full = base.unionByName(twins).unionByName(copies)
+    out = DD.image_near_duplicates(
+        full, id_col="doc_id", fp_col="fp", bands=4, max_hamming=3, bits=64
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"),
+        "n_rows_a", "n_rows_b",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
