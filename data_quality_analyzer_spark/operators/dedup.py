@@ -267,13 +267,7 @@ def lsh_candidate_pairs(
         .localCheckpoint(eager=True)
     )
     band_rows = with_sig.select(
-        "_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'fp', md5(concat_ws(',', slice(_sig, b * {rows_per_band} + 1, {rows_per_band})))))"
-            )
-        ).alias("bf"),
+        "_id", band_fp_explode("_sig", bands, rows_per_band).alias("bf")
     ).select("_id", F.col("bf.band").alias("band"), F.col("bf.fp").alias("fp"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
@@ -284,6 +278,21 @@ def lsh_candidate_pairs(
             F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b")
         )
         .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def band_fp_explode(sig_col: str, bands: int, rows_per_band: int) -> Column:
+    """Explode a minhash signature array into its LSH band fingerprints:
+    one (band, fp=md5-of-band-slice) struct per band.  Shared by the
+    within-batch self-join (:func:`lsh_candidate_pairs`) and the
+    cross-run ledger (plans/lineage.py:dedup_incremental_near) so both
+    derive IDENTICAL band keys from a signature."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> "
+            f"named_struct('band', b, 'fp', md5(concat_ws(',', "
+            f"slice({sig_col}, b * {rows_per_band} + 1, {rows_per_band})))))"
+        )
     )
 
 

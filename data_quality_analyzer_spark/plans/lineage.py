@@ -317,6 +317,154 @@ def dedup_incremental(
     return kept_rows
 
 
+NEAR_SIG_DIR = "_near_sigs"
+NEAR_MANIFEST = "_near_manifest.json"
+
+
+def read_near_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, NEAR_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_committed_signatures(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """(sid, sig) of every COMMITTED batch; None when the store is empty.
+    Torn writes are invisible (manifest rule, same as the exact ledger)."""
+    manifest = read_near_manifest(store_dir)
+    if not manifest["batches"]:
+        return None
+    df = spark.read.parquet(os.path.join(store_dir, NEAR_SIG_DIR))
+    return df.filter(F.col("batch_id").isin(manifest["batches"]))
+
+
+def dedup_incremental_near(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-run NEAR-dup dedup with a persistent minhash-SIGNATURE ledger
+    (the near-dup sibling of :func:`dedup_incremental` — an incremental
+    corpus must drop new documents that are near-copies of *previously
+    committed* content, not just byte-identical ones).
+
+    The ledger stores only (sid, sig): the signature array, never text —
+    num_hashes×8 bytes per committed doc, proportional to the corpus and
+    partitioned by batch.  A new batch:
+
+    1. band-joins its LSH band fingerprints against the committed
+       signatures' bands (identical band derivation on both sides —
+       ``dedup.band_fp_explode``) → candidate (new doc, archived sig)
+       pairs, shuffle = rows×bands, never rows×archive;
+    2. verifies candidates with the UNBIASED minhash Jaccard estimate
+       (fraction of agreeing signature components — the text is gone, so
+       the exact-Jaccard verify of the within-batch path is impossible by
+       design; the estimator's std is ≈ sqrt(J(1-J)/num_hashes), so size
+       num_hashes to the tolerance you need) and drops new docs at or
+       above the threshold;
+    3. near-dedups WITHIN the surviving batch via :func:`dedup.dedup_near`
+       (exact-Jaccard verify — the texts are present here);
+    4. writes the survivors' distinct signatures partitioned by batch_id,
+       then atomically commits the batch to the near manifest.
+
+    Rows that cannot be fingerprinted (null / shorter than one shingle)
+    pass through untouched, mirroring ``dedup_near``.  Idempotent replay
+    and torn-write cleanup follow the exact ledger's rules.  At 10^12 rows
+    a production deployment materializes the archive's band index as a
+    table partitioned by (band, fp-prefix) instead of deriving it per run.
+    """
+    from ..operators import dedup as DD
+
+    manifest = read_near_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return docs.filter(F.lit(False))
+    os.makedirs(store_dir, exist_ok=True)
+    rows_per_band = num_hashes // bands
+    eligible = docs.filter(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= k)
+    )
+    passthrough = docs.filter(
+        F.col(text_col).isNull() | (F.length(text_col) < k)
+    )
+    sig_udf = DD.minhash_signature_poly_udf(num_hashes, k)
+    # (id, sig) feeds the band join, the estimate join and the ledger
+    # write — materialize once (same both-sides rule as lsh_candidate_pairs)
+    sigs = (
+        eligible.select(
+            F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
+        )
+        .localCheckpoint(eager=True)
+    )
+    archive = read_committed_signatures(spark, store_dir)
+    drop_ids = None
+    if archive is not None:
+        new_bands = sigs.select(
+            "_id", DD.band_fp_explode("_sig", bands, rows_per_band).alias("bf")
+        ).select("_id", "bf.band", "bf.fp")
+        old_bands = archive.select(
+            "sid", DD.band_fp_explode("sig", bands, rows_per_band).alias("bf")
+        ).select("sid", "bf.band", "bf.fp")
+        cand = (
+            new_bands.join(old_bands, ["band", "fp"])
+            .select("_id", "sid")
+            .distinct()
+        )
+        est = (
+            cand.join(sigs, "_id")
+            .join(archive.select("sid", "sig"), "sid")
+            .withColumn(
+                "_est_j",
+                F.expr(
+                    "aggregate(zip_with(_sig, sig, (a, b) -> "
+                    "CASE WHEN a = b THEN 1 ELSE 0 END), 0, "
+                    "(acc, x) -> acc + x)"
+                )
+                / F.lit(num_hashes),
+            )
+        )
+        drop_ids = (
+            est.filter(F.col("_est_j") >= jaccard_threshold)
+            .select(F.col("_id").alias(id_col))
+            .distinct()
+        )
+    survivors = eligible
+    if drop_ids is not None:
+        survivors = survivors.join(drop_ids, on=id_col, how="left_anti")
+    survivors = DD.dedup_near(
+        survivors, text_col, id_col, jaccard_threshold,
+        num_hashes=num_hashes, bands=bands, k=k,
+    )
+    kept_sigs = (
+        survivors.select(id_col)
+        .join(sigs, F.col(id_col) == F.col("_id"))
+        .select(
+            F.md5(F.concat_ws(",", F.col("_sig"))).alias("sid"),
+            F.col("_sig").alias("sig"),
+        )
+        .dropDuplicates(["sid"])
+    )
+    batch_dir = os.path.join(store_dir, NEAR_SIG_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
+        shutil.rmtree(batch_dir)
+    kept_sigs.write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    tmp = os.path.join(store_dir, NEAR_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, NEAR_MANIFEST))
+    return survivors.unionByName(passthrough)
+
+
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back only manifest-committed buckets (snapshot isolation)."""
     manifest = read_manifest(out_dir)

@@ -245,3 +245,54 @@ def test_incremental_dedup_across_runs(spark, tmp_path):
     assert LN.dedup_incremental(spark, b3, store, "b3").count() == 0
     # ledger lists exactly the committed batches
     assert LN.read_fp_manifest(store)["batches"] == ["b1", "b2", "b3"]
+
+
+def test_incremental_near_dedup_across_runs(spark, tmp_path):
+    """Cross-run NEAR-dup dedup via the committed signature ledger: batch 2
+    drops a near-copy (not byte-identical) of committed batch-1 content,
+    keeps novel docs, and replaying a committed batch keeps ZERO rows."""
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "near_store")
+    schema = "doc_id long, text string"
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the morning sun rises slowly over the quiet valley and the "
+        "farmers begin their long day of work in the golden wheat fields"
+    )
+    near = base.replace("golden", "amber")  # within-batch near-dup
+    other = (
+        "completely different content about spark aggregation pipelines "
+        "shuffle partitioning broadcast joins and adaptive query execution"
+    )
+    b1 = spark.createDataFrame(
+        [(1, base), (2, near), (3, other), (4, None)], schema
+    )
+    ids1 = sorted(
+        r["doc_id"]
+        for r in LN.dedup_incremental_near(spark, b1, store, "b1").collect()
+    )
+    assert ids1 == [1, 3, 4], ids1  # 2 collapsed into 1; null passes through
+
+    # batch 2: a near-copy of COMMITTED base (different bytes), one novel doc
+    b2 = spark.createDataFrame(
+        [
+            (10, base.replace("fox", "cat")),
+            (11, "fresh unrelated text about parquet column pruning and row groups"),
+        ],
+        schema,
+    )
+    kept2 = sorted(
+        r["doc_id"]
+        for r in LN.dedup_incremental_near(spark, b2, store, "b2").collect()
+    )
+    assert kept2 == [11], kept2
+
+    # idempotent replay of a committed batch
+    assert LN.dedup_incremental_near(spark, b1, store, "b1").count() == 0
+    assert LN.read_near_manifest(store)["batches"] == ["b1", "b2"]
+
+    # the ledger grows only by survivors: novel doc 11's signature is
+    # committed, the dropped near-copy's is not
+    sigs = LN.read_committed_signatures(spark, store)
+    assert sigs.filter(F.col("batch_id") == "b2").count() == 1
