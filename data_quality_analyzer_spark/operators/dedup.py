@@ -281,6 +281,21 @@ def lsh_candidate_pairs(
     )
 
 
+def int_band_explode(fp_col: str, bands: int, band_bits: int) -> Column:
+    """Explode an int64 fingerprint into its (band, band_bits) structs —
+    the Hamming-banding twin of :func:`band_fp_explode`, shared by the
+    within-corpus self-join (:func:`fingerprint_near_duplicates`) and the
+    cross-run image ledger (plans/lineage.py:dedup_incremental_image).
+    `pmod` keeps band values non-negative for signed fingerprints."""
+    return F.explode(
+        F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> named_struct("
+            f"'band', b, 'bb', pmod(shiftright({fp_col}, b * {band_bits}), "
+            f"{1 << band_bits})))"
+        )
+    )
+
+
 def band_fp_explode(sig_col: str, bands: int, rows_per_band: int) -> Column:
     """Explode a minhash signature array into its LSH band fingerprints:
     one (band, fp=md5-of-band-slice) struct per band.  Shared by the
@@ -380,13 +395,7 @@ def fingerprint_near_duplicates(
     band_rows = with_fp.select(
         "_id",
         "_fp",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {bands - 1}), b -> named_struct("
-                f"'band', b, 'bb', pmod(shiftright(_fp, b * {band_bits}), "
-                f"{1 << band_bits})))"
-            )
-        ).alias("bf"),
+        int_band_explode("_fp", bands, band_bits).alias("bf"),
     ).select("_id", "_fp", F.col("bf.band").alias("band"), F.col("bf.bb").alias("bb"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")

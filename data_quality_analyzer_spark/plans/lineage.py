@@ -465,6 +465,101 @@ def dedup_incremental_near(
     return survivors.unionByName(passthrough)
 
 
+IMG_FP_DIR = "_image_fps"
+IMG_MANIFEST = "_image_fp_manifest.json"
+
+
+def read_img_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, IMG_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_committed_phashes(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """(phash, batch_id) of every COMMITTED batch; None when empty."""
+    manifest = read_img_manifest(store_dir)
+    if not manifest["batches"]:
+        return None
+    df = spark.read.parquet(os.path.join(store_dir, IMG_FP_DIR))
+    return df.filter(F.col("batch_id").isin(manifest["batches"]))
+
+
+def dedup_incremental_image(
+    spark: SparkSession,
+    images: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    id_col: str = "image_id",
+    fp_col: str = "phash",
+    bands: int = 4,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Cross-run IMAGE near-dup dedup with a persistent phash ledger — the
+    image-payload sibling of :func:`dedup_incremental_near`.  The ledger
+    stores only the committed survivors' distinct perceptual fingerprints
+    (8 bytes per distinct image): a new batch
+
+    1. collapses its own identical fingerprints (groupBy — the hot-crawl
+       guard of ``dedup.image_near_duplicates``),
+    2. band-joins its distinct fingerprints against the archive's on
+       (band, band_bits) — identical banding on both sides via
+       ``dedup.int_band_explode`` — and drops every fingerprint group
+       within ``max_hamming`` (popcount verify) of committed content,
+    3. near-dedups WITHIN the surviving batch (``dedup.dedup_image_near``),
+    4. commits the survivors' fingerprints atomically (manifest rule;
+       idempotent replay, torn writes cleaned).
+
+    Pass rows pre-filtered to valid images (decodable, the pipeline's keep
+    set) — fingerprints of undecodable rows are not meaningful.
+    """
+    from ..operators import dedup as DD
+
+    manifest = read_img_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return images.filter(F.lit(False))
+    os.makedirs(store_dir, exist_ok=True)
+    band_bits = bits // bands
+    survivors = images
+    archive = read_committed_phashes(spark, store_dir)
+    if archive is not None:
+        new_fps = images.select(F.col(fp_col).alias("_fp")).distinct()
+        new_bands = new_fps.select(
+            "_fp", DD.int_band_explode("_fp", bands, band_bits).alias("bf")
+        ).select("_fp", "bf.band", "bf.bb")
+        old_bands = archive.select(F.col(fp_col).alias("_ofp")).distinct().select(
+            "_ofp", DD.int_band_explode("_ofp", bands, band_bits).alias("bf")
+        ).select("_ofp", "bf.band", "bf.bb")
+        hit = (
+            new_bands.join(old_bands, ["band", "bb"])
+            .filter(
+                F.bit_count(F.col("_fp").bitwiseXOR(F.col("_ofp")))
+                <= max_hamming
+            )
+            .select(F.col("_fp").alias(fp_col))
+            .distinct()
+        )
+        survivors = images.join(hit, on=fp_col, how="left_anti")
+    survivors = DD.dedup_image_near(
+        survivors, id_col=id_col, fp_col=fp_col, bands=bands,
+        max_hamming=max_hamming,
+    )
+    batch_dir = os.path.join(store_dir, IMG_FP_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
+        shutil.rmtree(batch_dir)
+    survivors.select(fp_col).distinct().write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    tmp = os.path.join(store_dir, IMG_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, IMG_MANIFEST))
+    return survivors
+
+
 def read_committed(spark: SparkSession, out_dir: str) -> DataFrame:
     """Read back only manifest-committed buckets (snapshot isolation)."""
     manifest = read_manifest(out_dir)

@@ -1,0 +1,62 @@
+"""End-to-end training-corpus preparation: the composed user story.
+
+One call chains the engine's stages in cost order — cheapest per-row
+rejection first, pair-producing work on the smallest possible set:
+
+1. **quality filter + scrub** (``pipeline.run_pipeline``): caption
+   heuristics, langid, perplexity, PII scrub, image decode/validate —
+   map-only, keep rows survive;
+2. **image near-dedup** (``dedup.dedup_image_near`` within one batch, or
+   the committed cross-run phash ledger ``lineage.dedup_incremental_image``
+   when a store/batch is given): byte-identical and small-Hamming
+   perceptual duplicates collapse to one keeper.
+
+Caption-text near-dedup is deliberately NOT part of image-corpus prep:
+distinct images legitimately share captions (alt-text boilerplate), so
+dropping rows on caption similarity would delete valid pairs — text
+near-dedup belongs to document pipelines (``dedup.dedup_near`` /
+``lineage.dedup_incremental_near``).
+
+Reference analogue: the repo-wide analysis entry point that chains every
+analysis stage and combines the results (``main.py:17-45``
+``run_data_quality``), recast as a linear DataFrame pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import config as CFG
+from .pipeline import run_pipeline
+
+
+def prep_corpus(
+    spark: SparkSession,
+    images: DataFrame,
+    settings: CFG.PipelineSettings | None = None,
+    store_dir: str | None = None,
+    batch_id: str | None = None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """images(input_hint schema) → deduplicated keep-verdict rows.
+
+    Returns the verdict-table columns of ``run_pipeline`` restricted to
+    kept, deduplicated rows (bytes untouched, caption_scrubbed present).
+    With ``store_dir``+``batch_id``, image dedup goes through the
+    committed cross-run ledger (drops near-copies of previously committed
+    batches, commits this batch's surviving fingerprints atomically);
+    without, it dedups within the batch only.
+    """
+    if (store_dir is None) != (batch_id is None):
+        raise ValueError("store_dir and batch_id must be given together")
+    from ..operators import dedup as DD
+    from . import lineage as LN
+
+    verdicts = run_pipeline(spark, images, settings=settings)
+    keeps = verdicts.filter(F.col("keep"))
+    if store_dir is not None:
+        return LN.dedup_incremental_image(
+            spark, keeps, store_dir, batch_id, max_hamming=max_hamming
+        )
+    return DD.dedup_image_near(keeps, max_hamming=max_hamming)

@@ -164,3 +164,42 @@ def test_readiness_score_semantics(spark):
     # score = (0.2+0.2)/(0.2+0.3+0.2+0.1)*100 = 50.0 -> Partial
     assert got["score"] == 50.0
     assert got["status"] == "Partial"
+
+
+def test_prep_corpus_composition(spark, corpus_path):
+    """prep_corpus = filter+scrub keeps, then image near-dedup: every
+    returned row is a pipeline keep, the planted base/variant perceptual
+    cluster keeps exactly one row, and the hot fingerprint collapses."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.plans.pipeline import run_pipeline
+    from data_quality_analyzer_spark.plans.prep import prep_corpus
+    from data_quality_analyzer_spark.sources.fixtures import (
+        _block_image,
+        ahash64,
+    )
+
+    images = spark.read.parquet(corpus_path)
+    prepped = prep_corpus(spark, images).cache()
+    keep_ids = {
+        r["image_id"]
+        for r in run_pipeline(spark, images)
+        .filter(F.col("keep"))
+        .select("image_id")
+        .collect()
+    }
+    got_ids = [r["image_id"] for r in prepped.select("image_id").collect()]
+    assert set(got_ids) <= keep_ids
+    # one keeper per perceptual (fingerprint) cluster — the operator's
+    # contract; image_id itself is NOT unique in the fixture (planted
+    # ~0.5% id collisions), so uniqueness is asserted on phash
+    dup_fps = prepped.groupBy("phash").count().filter("count > 1").count()
+    assert dup_fps == 0
+    fp_base, fp_var = ahash64(_block_image(0)), ahash64(_block_image(2))
+    assert prepped.filter(F.col("phash").isin(fp_base, fp_var)).count() == 1
+    hot_fp = (
+        images.groupBy("phash").count().orderBy(F.desc("count")).first()["phash"]
+    )
+    assert prepped.filter(F.col("phash") == hot_fp).count() <= 1
+    assert "caption_scrubbed" in prepped.columns
+    prepped.unpersist()

@@ -296,3 +296,39 @@ def test_incremental_near_dedup_across_runs(spark, tmp_path):
     # committed, the dropped near-copy's is not
     sigs = LN.read_committed_signatures(spark, store)
     assert sigs.filter(F.col("batch_id") == "b2").count() == 1
+
+
+def test_incremental_image_dedup_across_runs(spark, tmp_path):
+    """Cross-run image near-dup dedup via the committed phash ledger: a
+    batch-2 image whose fingerprint is within Hamming 2 of committed
+    batch-1 content is dropped; novel fingerprints survive; replay keeps
+    zero rows."""
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "img_store")
+    schema = "image_id string, phash long"
+    a = 0x1234_5678_9ABC_DEF0
+    far = 0x0F0F_0F0F_0F0F_0F0F
+    b1 = spark.createDataFrame(
+        [("a1", a), ("a2", a), ("b1", a ^ 0b11), ("c1", far)], schema
+    )
+    kept1 = sorted(
+        r["image_id"]
+        for r in LN.dedup_incremental_image(spark, b1, store, "r1").collect()
+    )
+    # a1/a2 exact-collapse, b1 (hamming 2) joins their cluster: one keeper
+    assert kept1 == ["a1", "c1"], kept1
+
+    b2 = spark.createDataFrame(
+        [("d1", a ^ 0b100), ("e1", 0x7654_3210_0123_4567)], schema
+    )
+    kept2 = sorted(
+        r["image_id"]
+        for r in LN.dedup_incremental_image(spark, b2, store, "r2").collect()
+    )
+    assert kept2 == ["e1"], kept2  # d1 is hamming-1 from committed fp a
+
+    assert LN.dedup_incremental_image(spark, b1, store, "r1").count() == 0
+    assert LN.read_img_manifest(store)["batches"] == ["r1", "r2"]
+    fps = LN.read_committed_phashes(spark, store)
+    assert fps.filter(F.col("batch_id") == "r2").count() == 1
