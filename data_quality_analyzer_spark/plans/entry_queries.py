@@ -1660,6 +1660,47 @@ def q46(spark, sf_dir):
     )
 
 
+def _bucket6_sql(e: str) -> str:
+    """DuckDB twin of similarity.lsh_bucket_expr(bits=6) (1-indexed lists)."""
+    terms = [
+        f"(CASE WHEN CAST({e}[{i + 1}] AS DOUBLE) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(6)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@_register(
+    "q47_embedding_near_dup",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_bucket6_sql("embedding")} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           {_cos_sql("a.embedding", "c.embedding")} AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    ORDER BY cos_sim DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def q47(spark, sf_dir):
+    """Embedding-cosine near-dup pair search (the brief's fifth dedup
+    family): candidates restricted to the same sign-LSH bucket so the
+    self-join key is `bucket` — never an all-pairs cross join — then exact
+    cosine on candidates only and a global top-k
+    (operators/similarity.py:pairwise_topk_within_buckets).  At 100 TB the
+    table is written partitioned by `bucket`, the self-join co-locates
+    partitions, and per-bucket pair volume is bounded by bucket size; the
+    bits dial (6 → 64 buckets here) trades recall vs candidate volume
+    exactly like the minhash band count (q37).  Mirrors the reference's
+    duplicate detection intent (claim_analysis.py:225-247) on the embedding
+    payload."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.pairwise_topk_within_buckets(
+        e, k=20, id_col="vec_id", vec_col="embedding", bits=6
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
