@@ -76,21 +76,81 @@ def get_model() -> LangIdModel:
     return _MODEL
 
 
-def predict_batch(texts: pd.Series, model: LangIdModel) -> pd.DataFrame:
-    """(lang, confidence) per text — shared by the UDF and the oracle."""
-    langs = np.array(model.langs)
-    out_lang = np.empty(len(texts), dtype=object)
-    out_conf = np.zeros(len(texts), dtype=np.float64)
-    for i, t in enumerate(texts):
-        if t is None or not isinstance(t, str) or not t.strip():
-            out_lang[i] = None
-            out_conf[i] = 0.0
+_SCORE_CHUNK = 2048  # rows per gather: bounds the (n_langs × Σngrams) slab
+
+
+def _score_chunk(chunk_texts: list[str], ll: np.ndarray) -> np.ndarray:
+    """Scores (n_langs, n_rows) for non-blank lowered texts — fully
+    vectorized: the chunk's UTF-8 bytes are concatenated once, 1/2/3-gram
+    ids are computed by three global shifts, boundary-crossing grams are
+    masked out, and per-row sums come from ``add.reduceat`` (one weight
+    gather per n-size for the whole chunk; zero per-row numpy)."""
+    enc = [t.encode("utf-8") for t in chunk_texts]
+    lens = np.array([len(e) for e in enc], dtype=np.int64)
+    big = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.int64)
+    n_rows, total = len(enc), big.size
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    tid_full = np.repeat(np.arange(n_rows), lens)
+    pos_in_text = np.arange(total) - starts[tid_full]
+    sums = np.zeros((ll.shape[0], n_rows), dtype=np.float64)
+    counts = np.zeros(n_rows, dtype=np.int64)
+    grams_by_n = (
+        big,
+        (big[:-1] << 8) | big[1:] if total >= 2 else big[:0],
+        (big[:-2] << 16) | (big[1:-1] << 8) | big[2:] if total >= 3 else big[:0],
+    )
+    for n, grams in zip((1, 2, 3), grams_by_n):
+        cnt = np.maximum(lens - (n - 1), 0)
+        t_n = grams.size
+        if t_n <= 0:
             continue
-        scores = model.score_text(t.lower())
-        order = np.argsort(scores)
+        valid = pos_in_text[:t_n] < cnt[tid_full[:t_n]]
+        bucket = (grams[valid] * _MULT) & (N_BUCKETS - 1)
+        if bucket.size == 0:
+            continue
+        offs = np.zeros(n_rows, dtype=np.int64)
+        np.cumsum(cnt[:-1], out=offs[1:])
+        part = np.add.reduceat(
+            ll[:, bucket], np.minimum(offs, bucket.size - 1), axis=1
+        )
+        nonzero = cnt > 0
+        sums[:, nonzero] += part[:, nonzero]
+        counts += cnt
+    np.maximum(counts, 1, out=counts)  # blank rows are filtered by caller
+    return sums / counts
+
+
+def predict_batch(texts: pd.Series, model: LangIdModel) -> pd.DataFrame:
+    """(lang, confidence) per text — shared by the UDF and the oracle.
+
+    Batch-vectorized (see :func:`_score_chunk`); chunked so the gathered
+    (n_langs, Σngrams) float32 slab stays ~20 MB regardless of Arrow batch
+    size."""
+    langs = np.array(model.langs)
+    n = len(texts)
+    out_lang = np.empty(n, dtype=object)
+    out_lang[:] = None
+    out_conf = np.zeros(n, dtype=np.float64)
+    vals = texts.to_numpy(dtype=object)
+    for lo in range(0, n, _SCORE_CHUNK):
+        chunk = vals[lo : lo + _SCORE_CHUNK]
+        idx = [
+            j
+            for j, t in enumerate(chunk)
+            if t is not None and isinstance(t, str) and t.strip()
+        ]
+        if not idx:
+            continue
+        scores = _score_chunk(
+            [chunk[j].lower() for j in idx], model.log_likelihood
+        )
+        order = np.argsort(scores, axis=0)
         best, second = order[-1], order[-2]
-        out_lang[i] = str(langs[best])
-        out_conf[i] = float(scores[best] - scores[second])
+        cols = np.arange(scores.shape[1])
+        rows = lo + np.asarray(idx)
+        out_lang[rows] = langs[best]
+        out_conf[rows] = scores[best, cols] - scores[second, cols]
     return pd.DataFrame({"lang_pred": out_lang, "lang_conf": out_conf})
 
 

@@ -110,6 +110,12 @@ def decode_png(data: bytes) -> np.ndarray:
         raise CodecError("bad decompressed length")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     filters = arr[:, 0]
+    if not filters.any():
+        # all-filter-0 fast path (what encode_png emits): the scanlines ARE
+        # the pixels — no per-row unfilter loop, no int16 widening.  The
+        # measured hot loop below is only for foreign PNGs.
+        img = np.ascontiguousarray(arr[:, 1:]).reshape(height, width, channels)
+        return img[:, :, 0] if channels == 1 else img
     scan = arr[:, 1:].astype(np.int16)
     out = np.zeros((height, stride), dtype=np.int16)
     bpp = channels
@@ -296,12 +302,15 @@ def encode_dqj(img: np.ndarray, quality: int = DQJ_DEFAULT_QUALITY) -> bytes:
         raise CodecError(f"unsupported array shape {img.shape}")
     h, w = img.shape[:2]
     q = _dqj_qtable(quality)
-    coefs = []
-    for chan in chans:
-        blocks = _dqj_blocks(chan.astype(np.float64) - 128.0)
-        c = np.einsum("ij,bhjk,lk->bhil", _DCT8, blocks, _DCT8)
-        coefs.append(np.round(c / q).astype("<i2"))
-    payload = zlib.compress(np.stack(coefs).tobytes(), 6)
+    # stacked matmul (BLAS batch path) over all channels at once:
+    # C = DCT · B · DCTᵀ per 8×8 block.  einsum's c_einsum kernel was
+    # measured at 76% of codec time; matmul is ~10× faster here.
+    blocks = np.stack(
+        [_dqj_blocks(chan.astype(np.float64) - 128.0) for chan in chans]
+    )
+    c = _DCT8 @ blocks @ _DCT8.T
+    coefs = np.round(c / q).astype("<i2")
+    payload = zlib.compress(coefs.tobytes(), 6)
     head = struct.pack(">HHBB", h, w, len(chans), quality)
     return DQJ_MAGIC + head + payload
 
@@ -322,14 +331,11 @@ def decode_dqj(data: bytes) -> np.ndarray:
     coefs = np.frombuffer(raw, dtype="<i2").astype(np.float64).reshape(
         nch, nbh, nbw, 8, 8
     )
-    out = []
-    for c in range(nch):
-        blocks = np.einsum("ji,chjk,kl->chil", _DCT8, coefs[c] * q, _DCT8)
-        full = blocks.transpose(0, 2, 1, 3).reshape(nbh * 8, nbw * 8)
-        out.append(
-            np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)[:h, :w]
-        )
-    return out[0] if nch == 1 else np.stack(out, axis=-1)
+    # B = DCTᵀ · (C ⊙ q) · DCT, all channels in one stacked matmul
+    blocks = _DCT8.T @ (coefs * q) @ _DCT8
+    full = blocks.transpose(0, 1, 3, 2, 4).reshape(nch, nbh * 8, nbw * 8)
+    pix = np.clip(np.round(full + 128.0), 0, 255).astype(np.uint8)[:, :h, :w]
+    return pix[0] if nch == 1 else np.moveaxis(pix, 0, -1)
 
 
 # ---------------------------------------------------------------------------
