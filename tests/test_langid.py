@@ -47,3 +47,73 @@ def test_training_deterministic():
     la = P.train_charlm()
     lb = P.train_charlm()
     assert np.array_equal(la.tri_counts, lb.tri_counts)
+
+
+def test_langid_batch_matches_per_row_reference():
+    """The chunk-vectorized predict_batch must agree with the per-row
+    score_text form: identical labels, confidence within the float32
+    summation-order drift band (<2e-3 absolute, measured 1.6e-3 max)."""
+    m = L.get_model()
+    texts = (
+        SCorp.sentences("en", 30, seed=31)
+        + SCorp.sentences("fr", 30, seed=32)
+        + ["a", "ab", "abc", "x" * 2000, "日本語のテスト", "\tpadded\n", "éàü"]
+    )
+    pred = L.predict_batch(pd.Series(texts), m)
+    langs = np.array(m.langs)
+    for i, t in enumerate(texts):
+        sc = m.score_text(t.lower())
+        order = np.argsort(sc)
+        assert pred["lang_pred"].iloc[i] == str(langs[order[-1]]), t
+        ref_conf = float(sc[order[-1]] - sc[order[-2]])
+        assert abs(pred["lang_conf"].iloc[i] - ref_conf) < 2e-3, t
+
+
+def test_langid_chunk_boundary_invariance():
+    """Row results must not depend on where the scoring chunk boundary
+    falls (shrink the chunk so a batch spans several)."""
+    m = L.get_model()
+    texts = pd.Series(SCorp.sentences("de", 25, seed=41) + [None, "", "ok then"])
+    whole = L.predict_batch(texts, m)
+    old = L._SCORE_CHUNK
+    try:
+        L._SCORE_CHUNK = 7
+        split = L.predict_batch(texts, m)
+    finally:
+        L._SCORE_CHUNK = old
+    assert whole["lang_pred"].equals(split["lang_pred"])
+    assert np.allclose(whole["lang_conf"], split["lang_conf"])
+
+
+def test_perplexity_batch_matches_per_row_reference():
+    lm = P.get_model()
+    texts = (
+        SCorp.sentences("en", 30, seed=51)
+        + ["a", "ab", "abc", "x" * 2000, "éàü", "mixed 日本語 text"]
+    )
+    got = P.score_batch(pd.Series(texts), lm)
+    for i, t in enumerate(texts):
+        ref = lm.perplexity(t)
+        if np.isinf(ref):
+            assert np.isinf(got.iloc[i]), t
+        else:
+            assert abs(got.iloc[i] - ref) / ref < 1e-3, t
+
+
+def test_perplexity_short_and_null_rows():
+    lm = P.get_model()
+    got = P.score_batch(pd.Series([None, "", "a", "ab", 3.5]), lm)
+    assert np.isinf(got).all()
+
+
+def test_perplexity_chunk_boundary_invariance():
+    lm = P.get_model()
+    texts = pd.Series(SCorp.sentences("es", 25, seed=61) + ["", None, "tail row"])
+    whole = P.score_batch(texts, lm)
+    old = P._SCORE_CHUNK
+    try:
+        P._SCORE_CHUNK = 5
+        split = P.score_batch(texts, lm)
+    finally:
+        P._SCORE_CHUNK = old
+    assert np.allclose(whole.fillna(np.inf), split.fillna(np.inf))
