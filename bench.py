@@ -159,7 +159,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", cpus=CPUS, extra_conf=scan_conf)
     pipe_sec, pipe_rows = run_pipeline_bench(spark, images_path, OUT_DIR)
-    timings = run_query_bench(spark)
+    # --scaling is about the two-cluster-size pipeline evidence; the sf0.1
+    # query sweep adds ~2-4 min of unrelated wall time there, so skip it
+    timings = {} if scaling else run_query_bench(spark)
 
     total = round(sum(timings.values()) + pipe_sec, 3)
     result = {
