@@ -352,3 +352,95 @@ def pairwise_topk_within_buckets(
         )
     )
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup dedup — the keep-one ACTION for the embedding payload
+# (completes the family symmetry: text = dedup.dedup_near, image =
+# dedup.dedup_image_near, embeddings = this).
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: int = 64,
+    bands: int = 4,
+    max_hamming: int = 2,
+    min_cos: float = 0.995,
+) -> DataFrame:
+    """Near-duplicate embedding pairs: RP sign fingerprint (`bits`
+    hyperplanes — a plan literal, valid for trained embeddings) →
+    banded-Hamming candidate equi-join (full recall for Hamming < bands by
+    pigeonhole) → exact-cosine verify on the candidates only.  Shuffle
+    volume is rows × bands, never rows².  Pass exact-duplicate-collapsed
+    rows (:func:`dedup_embedding_near` does) or a hot identical vector
+    degenerates to quadratic pairs, exactly like the image phash path.
+    Returns (id_a, id_b, hamming, cos_sim)."""
+    from . import dedup as DD
+
+    fp = df.select(id_col, vec_col).withColumn(
+        "_efp", F.expr(rp_bucket_spark_sql(vec_col, bits, dim))
+    )
+    pairs = DD.fingerprint_near_duplicates(
+        fp, "_efp", id_col, bands=bands, bits=bits, max_hamming=max_hamming
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cosine_expr("_va", "_vb"))
+        .filter(F.col("cos_sim") >= min_cos)
+        .select("id_a", "id_b", "hamming", "cos_sim")
+    )
+
+
+def dedup_embedding_near(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: int = 64,
+    bands: int = 4,
+    max_hamming: int = 2,
+    min_cos: float = 0.995,
+) -> DataFrame:
+    """Embedding near-dup dedup ACTION: keep exactly one row per cluster.
+
+    Bit-identical vectors collapse to their min-id representative first
+    (ONE hash aggregate — a hot duplicated vector costs one group, never
+    quadratic pairs), then representatives whose fingerprints are within
+    ``max_hamming`` AND whose exact cosine ≥ ``min_cos`` cluster
+    transitively (connected components over the verified pair graph) and
+    only the canonical (min-id) representative of each cluster survives.
+    Mirrors the reference's duplicate-resolution intent
+    (claim_analysis.py:225-247) on the embedding payload."""
+    from . import dedup as DD
+
+    reps = (
+        df.groupBy(F.col(vec_col).alias("_v"))
+        .agg(F.min(id_col).alias("_rep"))
+        .localCheckpoint(eager=True)  # one scan; feeds pair join + keep join
+    )
+    pairs = embedding_near_duplicates(
+        reps.select(F.col("_rep").alias(id_col), F.col("_v").alias(vec_col)),
+        id_col=id_col,
+        vec_col=vec_col,
+        bits=bits,
+        dim=dim,
+        bands=bands,
+        max_hamming=max_hamming,
+        min_cos=min_cos,
+    )
+    labels = DD.connected_components(pairs)
+    drop = labels.filter(F.col("node") != F.col("label")).select(
+        F.col("node").alias("_rep")
+    )
+    keep_reps = reps.join(drop, "_rep", "left_anti")
+    return df.join(
+        keep_reps.withColumnsRenamed({"_v": vec_col, "_rep": id_col}),
+        on=[vec_col, id_col],
+        how="left_semi",
+    )

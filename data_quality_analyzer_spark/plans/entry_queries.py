@@ -1701,6 +1701,95 @@ def q47(spark, sf_dir):
     )
 
 
+def _q48_oracle() -> str:
+    """Keep-set of the embedding dedup ACTION: exact-vector collapse →
+    16-bit RP fingerprint → 4×4-bit banded Hamming ≤ 2 → cosine ≥ 0.995
+    verify → connected components (recursive CTE) → canonical reps."""
+    from ..operators import similarity as SIM
+
+    fp = SIM.rp_bucket_duck_sql("v", 16, 64)
+    cos = _cos_sql("va", "vb")
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT vec_id, embedding FROM embeddings
+    ),
+    allrows AS (
+      SELECT vec_id, embedding FROM base
+      UNION ALL
+      SELECT vec_id + 1000000, embedding FROM base WHERE vec_id % 20 = 0
+      UNION ALL
+      SELECT vec_id + 2000000,
+             list_transform(embedding, x -> CAST(x * CAST(1.5 AS REAL) AS REAL))
+      FROM base WHERE vec_id % 30 = 0
+    ),
+    reps AS (
+      SELECT embedding AS v, MIN(vec_id) AS rep FROM allrows GROUP BY embedding
+    ),
+    fps AS (SELECT rep, v, {fp} AS fp FROM reps),
+    bandrows AS (
+      SELECT rep, v, fp, r.b AS band,
+             (fp >> (CAST(r.b AS INTEGER) * 4)) % 16 AS bb
+      FROM fps, range(4) r(b)
+    ),
+    cands AS (
+      SELECT DISTINCT x.rep AS id_a, y.rep AS id_b, x.v AS va, y.v AS vb,
+                      x.fp AS fa, y.fp AS fb
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bb = y.bb AND x.rep < y.rep
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cands
+      WHERE bit_count(xor(fa, fb)) <= 2 AND {cos} >= 0.995
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node)
+    SELECT rep AS vec_id FROM reps
+    WHERE rep NOT IN (SELECT node FROM labels WHERE node != label)
+    """
+
+
+@_register("q48_embedding_dedup_action", _q48_oracle())
+def q48(spark, sf_dir):
+    """Embedding near-dup dedup ACTION (keep one row per cluster) —
+    completes the family symmetry: text q45, image q46, embeddings here
+    (operators/similarity.py:dedup_embedding_near).  Planted cohorts
+    exercise both collapse stages: bit-identical copies (vec_id%20)
+    collapse in the exact-vector hash aggregate; 1.5×-scaled copies
+    (vec_id%30 — same direction, different bits, cosine exactly 1.0)
+    must survive to the banded-Hamming + cosine-verify path and cluster
+    with their originals.  Scale shape: exact collapse is one shuffle,
+    candidates are rows×bands, cosine runs on candidates only, and CC
+    converges in O(log diameter) rounds over the tiny verified graph."""
+    from ..operators import similarity as SIM
+
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    scaled = base.filter(F.col("vec_id") % 30 == 0).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(x * CAST(1.5 AS FLOAT) AS FLOAT))"
+        ).alias("embedding"),
+    )
+    full = base.unionByName(copies).unionByName(scaled)
+    kept = SIM.dedup_embedding_near(
+        full, id_col="vec_id", vec_col="embedding",
+        bits=16, dim=64, bands=4, max_hamming=2, min_cos=0.995,
+    )
+    return kept.select("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

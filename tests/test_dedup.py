@@ -556,3 +556,32 @@ def test_dedup_image_near_action(spark, corpus_path):
         "image_id string, phash long",
     )
     assert DD.dedup_image_near(chain).count() == 1
+
+
+def test_dedup_embedding_near_action(spark):
+    """The embedding dedup ACTION (similarity.dedup_embedding_near):
+    bit-identical copies collapse in the exact-vector aggregate; a
+    positively-scaled copy (cosine exactly 1, different bits) clusters via
+    the banded-Hamming + cosine path; near-orthogonal rows all survive."""
+    import numpy as np
+
+    from data_quality_analyzer_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(7)
+    base = [[float(x) for x in rng.standard_normal(64)] for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows.append((100, base[0]))                       # exact copy of 0
+    rows.append((101, base[0]))                       # another exact copy
+    rows.append((102, [x * 1.5 for x in base[1]]))    # scaled copy of 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = SIM.dedup_embedding_near(df, dim=64)
+    ids = {r["vec_id"] for r in kept.collect()}
+    assert 100 not in ids and 101 not in ids          # exact dups dropped
+    assert 102 not in ids                             # scaled near-dup dropped
+    assert {0, 1, 2, 3, 4, 5} <= ids                  # originals survive
+    # pair surface agrees: scaled copy is Hamming 0 from its original
+    pairs = SIM.embedding_near_duplicates(df, dim=64).collect()
+    assert any(
+        {p["id_a"], p["id_b"]} == {1, 102} and p["cos_sim"] == 1.0
+        for p in pairs
+    )
