@@ -577,3 +577,127 @@ def read_committed_metrics(
     committed = sorted(int(b) for b in manifest["committed"])
     df = spark.read.parquet(os.path.join(out_dir, which))
     return df.filter(F.col("bucket").isin(committed))
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-run EMBEDDING near-dup dedup — fourth committed ledger.
+# ---------------------------------------------------------------------------
+
+EMB_DIR = "_embedding_ledger"
+EMB_MANIFEST = "_embedding_manifest.json"
+
+
+def read_emb_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, EMB_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_committed_embeddings(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """(embedding, efp, batch_id) of every COMMITTED batch; None if empty."""
+    manifest = read_emb_manifest(store_dir)
+    if not manifest["batches"]:
+        return None
+    df = spark.read.parquet(os.path.join(store_dir, EMB_DIR))
+    return df.filter(F.col("batch_id").isin(manifest["batches"]))
+
+
+def dedup_incremental_embedding(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: int = 64,
+    bands: int = 4,
+    max_hamming: int = 2,
+    min_cos: float = 0.995,
+) -> DataFrame:
+    """Cross-run EMBEDDING near-dup dedup with a persistent ledger — the
+    embedding-payload sibling of :func:`dedup_incremental_image`.
+
+    Unlike the phash ledger (8 B/row, Hamming IS the decision), the
+    fingerprint here is only the CANDIDATE filter — the decision is exact
+    cosine — so the ledger stores the committed survivors' distinct
+    (embedding, fingerprint) pairs (dim×4 B + 8 B per distinct vector: at
+    10^12 rows with ~10^9 distinct survivors and d=64 that is ~260 GB,
+    partitioned by fingerprint so the candidate join co-locates).  A new
+    batch:
+
+    1. band-joins its distinct fingerprints against the archive's
+       (identical banding both sides via ``dedup.int_band_explode``),
+       popcount-verifies Hamming ≤ ``max_hamming``, then exact-cosine
+       verifies against the ARCHIVED VECTOR — rows near-dup with committed
+       content are dropped;
+    2. near-dedups WITHIN the surviving batch
+       (``similarity.dedup_embedding_near``);
+    3. commits the survivors' (embedding, fingerprint) atomically under
+       the manifest rule (idempotent replay, torn batches invisible).
+    """
+    from ..operators import dedup as DD
+    from ..operators import similarity as SIM
+
+    manifest = read_emb_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return df.filter(F.lit(False))
+    os.makedirs(store_dir, exist_ok=True)
+    band_bits = bits // bands
+    fp_expr = F.expr(SIM.rp_bucket_spark_sql(vec_col, bits, dim))
+    survivors = df
+    archive = read_committed_embeddings(spark, store_dir)
+    if archive is not None:
+        new_rows = (
+            df.select(id_col, vec_col)
+            .withColumn("_efp", fp_expr)
+            .localCheckpoint(eager=True)
+        )
+        new_bands = new_rows.select(
+            id_col,
+            F.col(vec_col).alias("_v"),
+            "_efp",
+            DD.int_band_explode("_efp", bands, band_bits).alias("bf"),
+        ).select(id_col, "_v", "_efp", "bf.band", "bf.bb")
+        old_bands = archive.select(
+            F.col(vec_col).alias("_ov"),
+            "efp",
+            DD.int_band_explode("efp", bands, band_bits).alias("bf"),
+        ).select("_ov", "efp", "bf.band", "bf.bb")
+        hit = (
+            new_bands.join(old_bands, ["band", "bb"])
+            .filter(
+                F.bit_count(F.col("_efp").bitwiseXOR(F.col("efp")))
+                <= max_hamming
+            )
+            .filter(SIM.cosine_expr("_v", "_ov") >= min_cos)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = df.join(hit, on=id_col, how="left_anti")
+    survivors = SIM.dedup_embedding_near(
+        survivors,
+        id_col=id_col,
+        vec_col=vec_col,
+        bits=bits,
+        dim=dim,
+        bands=bands,
+        max_hamming=max_hamming,
+        min_cos=min_cos,
+    )
+    batch_dir = os.path.join(store_dir, EMB_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
+        shutil.rmtree(batch_dir)
+    survivors.select(F.col(vec_col), fp_expr.alias("efp")).distinct().write.parquet(
+        batch_dir
+    )
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    tmp = os.path.join(store_dir, EMB_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, EMB_MANIFEST))
+    return survivors

@@ -332,3 +332,44 @@ def test_incremental_image_dedup_across_runs(spark, tmp_path):
     assert LN.read_img_manifest(store)["batches"] == ["r1", "r2"]
     fps = LN.read_committed_phashes(spark, store)
     assert fps.filter(F.col("batch_id") == "r2").count() == 1
+
+
+def test_incremental_embedding_dedup_across_runs(spark, tmp_path):
+    """Cross-run EMBEDDING near-dup dedup via the committed vector ledger:
+    a batch-2 vector that is a positive scaling of committed batch-1
+    content (cosine exactly 1, different bits) is dropped via the
+    band-join + archived-vector cosine verify; novel directions survive;
+    replay keeps zero rows."""
+    import numpy as np
+
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "emb_store")
+    schema = "vec_id long, embedding array<float>"
+    rng = np.random.default_rng(11)
+    u = [float(x) for x in rng.standard_normal(64)]
+    w = [float(x) for x in rng.standard_normal(64)]
+    b1 = spark.createDataFrame(
+        [(1, u), (2, u), (3, [x * 2.0 for x in u]), (10, w)], schema
+    )
+    kept1 = sorted(
+        r["vec_id"]
+        for r in LN.dedup_incremental_embedding(spark, b1, store, "r1").collect()
+    )
+    # 1/2 exact-collapse; 3 (scaled, cos 1.0) joins their cluster: one keeper
+    assert kept1 == [1, 10], kept1
+
+    z = [float(x) for x in rng.standard_normal(64)]
+    b2 = spark.createDataFrame(
+        [(20, [x * 0.5 for x in u]), (21, z)], schema
+    )
+    kept2 = sorted(
+        r["vec_id"]
+        for r in LN.dedup_incremental_embedding(spark, b2, store, "r2").collect()
+    )
+    assert kept2 == [21], kept2  # 20 is a scaling of committed u
+
+    assert LN.dedup_incremental_embedding(spark, b1, store, "r1").count() == 0
+    assert LN.read_emb_manifest(store)["batches"] == ["r1", "r2"]
+    ledger = LN.read_committed_embeddings(spark, store)
+    assert ledger.filter(F.col("batch_id") == "r2").count() == 1
