@@ -444,3 +444,38 @@ def dedup_embedding_near(
         on=[vec_col, id_col],
         how="left_semi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Trained-quantizer persistence: centroids are a tiny versioned table.
+# ---------------------------------------------------------------------------
+
+def save_ivf_centroids(
+    spark, anchors: list[list[float]], path: str
+) -> None:
+    """Persist a trained coarse quantizer as a (list_id, pos, value)
+    parquet table (a few KB — the FAISS `.index` analogue for the plan-
+    literal convention: jobs LOAD the table once on the driver and fold
+    the centroids into the plan, nothing is shipped per row or re-trained
+    per job).  Overwrite = atomic-enough for a driver-side artifact this
+    small; at cluster scale the table lives next to the embedding table
+    and is versioned by directory name (e.g. centroids/v=3)."""
+    rows = [
+        (li + 1, pos, float(v))
+        for li, vec in enumerate(anchors)
+        for pos, v in enumerate(vec)
+    ]
+    df = spark.createDataFrame(rows, "list_id int, pos int, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_ivf_centroids(spark, path: str) -> list[list[float]]:
+    """Inverse of :func:`save_ivf_centroids` — returns the k×dim anchor
+    table ready to pass to knn_ivf / with_ivf_bucket / ivf_dists_*_sql."""
+    rows = spark.read.parquet(path).collect()
+    k = max(r["list_id"] for r in rows)
+    dim = max(r["pos"] for r in rows) + 1
+    anchors = [[0.0] * dim for _ in range(k)]
+    for r in rows:
+        anchors[r["list_id"] - 1][r["pos"]] = r["value"]
+    return anchors

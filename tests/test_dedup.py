@@ -585,3 +585,23 @@ def test_dedup_embedding_near_action(spark):
         {p["id_a"], p["id_b"]} == {1, 102} and p["cos_sim"] == 1.0
         for p in pairs
     )
+
+
+def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
+    """Trained centroids survive a save/load roundtrip bit-exactly and the
+    loaded quantizer produces the same list assignments."""
+    import numpy as np
+
+    from data_quality_analyzer_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    trained = SIM.train_ivf_kmeans(df, k=4, dim=8, iters=2)
+    path = str(tmp_path / "centroids")
+    SIM.save_ivf_centroids(spark, trained, path)
+    loaded = SIM.load_ivf_centroids(spark, path)
+    assert loaded == trained
+    a = SIM.with_ivf_bucket(df, k=4, dim=8, anchors=trained).select("vec_id", "ivf_list")
+    b = SIM.with_ivf_bucket(df, k=4, dim=8, anchors=loaded).select("vec_id", "ivf_list")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
