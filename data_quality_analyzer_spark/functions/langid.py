@@ -111,11 +111,13 @@ def _score_chunk(chunk_texts: list[str], ll: np.ndarray) -> np.ndarray:
             continue
         offs = np.zeros(n_rows, dtype=np.int64)
         np.cumsum(cnt[:-1], out=offs[1:])
-        part = np.add.reduceat(
-            ll[:, bucket], np.minimum(offs, bucket.size - 1), axis=1
-        )
+        # reduceat only over rows with cnt>0: offsets strictly increasing and
+        # < bucket.size by construction.  Clamping ALL offsets truncates the
+        # last nonzero row's segment when a trailing row has no n-grams of
+        # this size (its offset == bucket.size).
         nonzero = cnt > 0
-        sums[:, nonzero] += part[:, nonzero]
+        part = np.add.reduceat(ll[:, bucket], offs[nonzero], axis=1)
+        sums[:, nonzero] += part
         counts += cnt
     np.maximum(counts, 1, out=counts)  # blank rows are filtered by caller
     return sums / counts

@@ -114,10 +114,14 @@ def score_batch(texts: pd.Series, model: CharLM) -> pd.Series:
         lg = np.log2(p)
         offs = np.zeros(len(enc), dtype=np.int64)
         np.cumsum(cnt[:-1], out=offs[1:])
-        sums = np.add.reduceat(lg, np.minimum(offs, lg.size - 1))
+        # reduceat only over rows with cnt>0: those offsets are strictly
+        # increasing and < lg.size by construction.  A clamp over ALL offsets
+        # would truncate the last nonzero row's segment whenever a trailing
+        # row has zero trigrams (its offset == lg.size).
         nonzero = cnt > 0
+        sums_nz = np.add.reduceat(lg, offs[nonzero])
         ppl = np.full(len(enc), np.inf)
-        ppl[nonzero] = 2.0 ** (-(sums[nonzero] / cnt[nonzero]))
+        ppl[nonzero] = 2.0 ** (-(sums_nz / cnt[nonzero]))
         out[lo + np.asarray(idx)] = ppl
     return pd.Series(out)
 

@@ -460,6 +460,11 @@ def save_ivf_centroids(
     per job).  Overwrite = atomic-enough for a driver-side artifact this
     small; at cluster scale the table lives next to the embedding table
     and is versioned by directory name (e.g. centroids/v=3)."""
+    if not anchors or not anchors[0]:
+        raise ValueError(
+            "save_ivf_centroids: empty anchor list — refusing to write an "
+            f"empty centroid table to {path!r}"
+        )
     rows = [
         (li + 1, pos, float(v))
         for li, vec in enumerate(anchors)
@@ -473,6 +478,8 @@ def load_ivf_centroids(spark, path: str) -> list[list[float]]:
     """Inverse of :func:`save_ivf_centroids` — returns the k×dim anchor
     table ready to pass to knn_ivf / with_ivf_bucket / ivf_dists_*_sql."""
     rows = spark.read.parquet(path).collect()
+    if not rows:
+        raise ValueError(f"load_ivf_centroids: no centroids at {path!r}")
     k = max(r["list_id"] for r in rows)
     dim = max(r["pos"] for r in rows) + 1
     anchors = [[0.0] * dim for _ in range(k)]

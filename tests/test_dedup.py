@@ -605,3 +605,20 @@ def test_ivf_centroid_persistence_roundtrip(spark, tmp_path):
     a = SIM.with_ivf_bucket(df, k=4, dim=8, anchors=trained).select("vec_id", "ivf_list")
     b = SIM.with_ivf_bucket(df, k=4, dim=8, anchors=loaded).select("vec_id", "ivf_list")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_centroid_persistence_guards(spark, tmp_path):
+    """Empty anchors / empty tables fail fast with descriptive errors
+    instead of a bare max()-of-empty-sequence ValueError."""
+    import pytest
+
+    from data_quality_analyzer_spark.operators import similarity as SIM
+
+    with pytest.raises(ValueError, match="empty anchor list"):
+        SIM.save_ivf_centroids(spark, [], str(tmp_path / "c0"))
+    empty_path = str(tmp_path / "c1")
+    spark.createDataFrame(
+        [], "list_id int, pos int, value double"
+    ).write.parquet(empty_path)
+    with pytest.raises(ValueError, match="no centroids at"):
+        SIM.load_ivf_centroids(spark, empty_path)

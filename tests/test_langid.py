@@ -100,6 +100,27 @@ def test_perplexity_batch_matches_per_row_reference():
             assert abs(got.iloc[i] - ref) / ref < 1e-3, t
 
 
+def test_trailing_short_text_does_not_truncate_previous_row():
+    """Regression: a chunk ending in a row with zero n-grams of some size
+    (1-2 byte text) must not truncate the PREVIOUS row's gram sum.  The old
+    clamped-reduceat form lost the last element of the preceding segment
+    (score_batch(['hello world this is text','ab']) = 7.13 vs 9.17)."""
+    lm = P.get_model()
+    long_txt = "hello world this is text"
+    ref = lm.perplexity(long_txt)
+    for tail in ["ab", "a", ""]:
+        got = P.score_batch(pd.Series([long_txt, tail]), lm)
+        assert abs(got.iloc[0] - ref) / ref < 1e-6, tail
+        assert np.isinf(got.iloc[1])
+    m = L.get_model()
+    ref_sc = m.score_text("hello world")
+    ref_order = np.argsort(ref_sc)
+    ref_conf = float(ref_sc[ref_order[-1]] - ref_sc[ref_order[-2]])
+    for tail in ["a", "ab"]:  # 1 byte: no bi/tri-grams; 2 bytes: no trigrams
+        pred = L.predict_batch(pd.Series(["hello world", tail]), m)
+        assert abs(pred["lang_conf"].iloc[0] - ref_conf) < 2e-3, tail
+
+
 def test_perplexity_short_and_null_rows():
     lm = P.get_model()
     got = P.score_batch(pd.Series([None, "", "a", "ab", 3.5]), lm)
