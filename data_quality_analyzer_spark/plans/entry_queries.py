@@ -1790,6 +1790,84 @@ def q48(spark, sf_dir):
     return kept.select("vec_id")
 
 
+@_register(
+    "q49_decontamination",
+    """
+    WITH ev AS (
+      SELECT doc_id AS eval_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE doc_id % 101 = 7 AND text IS NOT NULL
+    ),
+    ev_grams AS (
+      SELECT DISTINCT eval_id, g FROM (
+        SELECT eval_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM ev WHERE len(w) >= 3)
+    ),
+    ev_sizes AS (
+      SELECT eval_id, COUNT(*) AS eval_grams FROM ev_grams GROUP BY eval_id
+    ),
+    dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 1),
+                                     i -> array_to_string(w[i:i+2], ' '))) AS g
+        FROM dw WHERE len(w) >= 3)
+    ),
+    ovl AS (
+      SELECT d.doc_id, e.eval_id, COUNT(*) AS overlap
+      FROM doc_grams d JOIN ev_grams e ON d.g = e.g
+      GROUP BY d.doc_id, e.eval_id
+    ),
+    cont AS (
+      SELECT o.doc_id, o.eval_id,
+             o.overlap * 1.0 / s.eval_grams AS containment
+      FROM ovl o JOIN ev_sizes s ON o.eval_id = s.eval_id
+    )
+    SELECT doc_id, COUNT(*) AS n_eval_hits,
+           ROUND(MAX(containment), 4) AS max_containment
+    FROM cont WHERE containment >= 0.8
+    GROUP BY doc_id
+    """,
+)
+def q49(spark, sf_dir):
+    """Eval-set DECONTAMINATION (operators/decontam.py): drop/flag training
+    documents containing benchmark text, verified by word-3-gram
+    CONTAINMENT (|eval ∩ doc| / |eval| — asymmetric because eval docs are
+    short and may be embedded in large documents; symmetric Jaccard would
+    miss that).  The eval set here is a deterministic corpus slice
+    (doc_id % 101 = 7) so both engines construct it from the same table;
+    each eval doc flags at least itself (containment 1.0) and any
+    near-verbatim sibling.  Reference analogue: the set-coverage anti-join
+    of charge_analysis_checks.py:666-699 with a fractional-coverage
+    verdict.  Scale shape: gram derivation is pure codegen (split/slice/
+    xxhash64, array_distinct BEFORE explode), the eval-gram relation is
+    broadcast (eval sets are MBs), the only shuffle is the overlap count
+    over ledger-hit grams."""
+    from ..operators import decontam as DC
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter((F.col("doc_id") % 101 == 7) & F.col("text").isNotNull())
+    grams = DC.eval_gram_table(ev, "text", "doc_id", n=3)
+    hits = DC.contamination_hits(d, grams, "text", "doc_id", n=3)
+    return (
+        hits.filter(F.col("containment") >= 0.8)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_eval_hits"),
+            F.round(F.max("containment"), 4).alias("max_containment"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -701,3 +701,101 @@ def dedup_incremental_embedding(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(store_dir, EMB_MANIFEST))
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Contamination ledger: committed eval/benchmark n-gram fingerprints.
+# ---------------------------------------------------------------------------
+
+CONTAM_DIR = "_contam_grams"
+CONTAM_MANIFEST = "_contam_manifest.json"
+
+
+def read_contam_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, CONTAM_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "n": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_contamination(
+    spark: SparkSession,
+    eval_docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> None:
+    """Commit an eval/benchmark corpus's word-n-gram fingerprints as a
+    FIXED contamination ledger batch (atomic-manifest rule, idempotent
+    replay, torn writes cleaned — same contract as the dedup ledgers).
+
+    Stores only ``(eval_id, gram)`` hashed grams — never eval text, so the
+    ledger can ship next to a training corpus without leaking benchmark
+    content.  All batches must use one gram size ``n``; a mismatch raises
+    (mixed gram sizes would silently under-count containment).
+    """
+    from ..operators import decontam as DC
+
+    manifest = read_contam_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return
+    if manifest["n"] is not None and manifest["n"] != n:
+        raise ValueError(
+            f"contamination ledger at {store_dir!r} was built with n="
+            f"{manifest['n']}, refusing to commit a batch with n={n}"
+        )
+    os.makedirs(store_dir, exist_ok=True)
+    batch_dir = os.path.join(store_dir, CONTAM_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
+        shutil.rmtree(batch_dir)
+    DC.eval_gram_table(eval_docs, text_col, id_col, n).write.parquet(
+        batch_dir
+    )
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    manifest["n"] = n
+    tmp = os.path.join(store_dir, CONTAM_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, CONTAM_MANIFEST))
+
+
+def read_contamination(
+    spark: SparkSession, store_dir: str
+) -> tuple[DataFrame, int] | None:
+    """((eval_id, gram) relation of every COMMITTED batch, gram size n);
+    None when the ledger is empty.  Torn writes are invisible."""
+    manifest = read_contam_manifest(store_dir)
+    if not manifest["batches"]:
+        return None
+    df = spark.read.parquet(os.path.join(store_dir, CONTAM_DIR))
+    grams = df.filter(
+        F.col("batch_id").isin(manifest["batches"])
+    ).select("eval_id", "gram")
+    return grams, manifest["n"]
+
+
+def decontaminate_committed(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Drop documents contaminated against the COMMITTED eval ledger at
+    ``store_dir`` (gram size comes from the ledger manifest so the doc
+    side always matches the committed derivation).  An empty ledger is a
+    no-op — the corpus passes through unchanged."""
+    from ..operators import decontam as DC
+
+    loaded = read_contamination(spark, store_dir)
+    if loaded is None:
+        return docs
+    grams, n = loaded
+    return DC.decontaminate(
+        docs, grams, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold,
+    )
