@@ -686,3 +686,97 @@ def dedup_near(
         F.col("node").alias(id_col)
     )
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Line-level exact dedup (C4-style boilerplate removal).
+# ---------------------------------------------------------------------------
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_blank_docs: bool = True,
+) -> DataFrame:
+    """C4-style LINE-level exact dedup: every non-blank line is kept only
+    at its globally-first occurrence (min ``(doc_id, line_no)``), documents
+    are reassembled from their surviving lines, and documents reduced to
+    nothing are dropped.  This removes boilerplate repeated across
+    millions of pages (navigation text, cookie banners, footers) that
+    document-level :func:`dedup_exact` cannot see.
+
+    Semantics:
+
+    * Lines are exact ``\\n``-split segments; a line participates in dedup
+      iff it is non-blank after trim.  Blank lines pass through (deduping
+      the empty line globally would mangle every multi-paragraph doc).
+    * "First" is the lexicographic min of ``(doc_id, line_no)`` — total,
+      deterministic, and computed as a hash aggregate over ``min(struct)``
+      (the A10 no-window-sort shape), never a global sort.
+    * Null-text rows pass through untouched.  With ``drop_blank_docs``
+      (default), documents whose surviving text is blank are removed —
+      a doc that was 100% boilerplate carries no information.
+
+    Scale shape (the one that matters at 10^12 docs): the explode produces
+    rows = total lines; the winner computation is ONE groupBy on the line
+    fingerprint with map-side partial aggregation, so a cookie banner
+    repeated in 10^8 docs costs one combiner row per input partition, not
+    a 10^8-row reduce skew; the keep-decision is a fingerprint equi-join
+    (AQE skew-split safe) and the reassembly groups by doc_id — bounded by
+    lines-per-doc.  No window over the fingerprint is used precisely
+    because a hot fingerprint would pile one partition high.
+    """
+    keep_other = df.filter(F.col(text_col).isNull())
+    lines = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias(
+                "_line_no", "_line"
+            ),
+        )
+        .withColumn("_blank", F.trim("_line") == "")
+        .withColumn("_fp", F.xxhash64("_line"))
+    )
+    winners = (
+        lines.filter(~F.col("_blank"))
+        .groupBy("_fp")
+        .agg(F.min(F.struct("_id", "_line_no")).alias("_w"))
+        .select("_fp", F.col("_w._id").alias("_wid"),
+                F.col("_w._line_no").alias("_wno"))
+    )
+    kept_lines = (
+        lines.join(winners, on="_fp", how="left")
+        .filter(
+            F.col("_blank")
+            | ((F.col("_id") == F.col("_wid"))
+               & (F.col("_line_no") == F.col("_wno")))
+        )
+    )
+    rebuilt = (
+        kept_lines.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_line_no", "_line"))
+                    ),
+                    lambda s: s["_line"],
+                ),
+            ).alias("_new_text")
+        )
+    )
+    out = (
+        df.filter(F.col(text_col).isNotNull())
+        # left join: a doc whose every line was deduplicated away has no
+        # surviving rows — it must still appear (as empty text) when
+        # drop_blank_docs=False rather than silently vanish.
+        .join(rebuilt, F.col(id_col) == F.col("_id"), "left")
+        .drop("_id")
+        .withColumn(text_col, F.coalesce(F.col("_new_text"), F.lit("")))
+        .drop("_new_text")
+    )
+    if drop_blank_docs:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out.unionByName(keep_other)

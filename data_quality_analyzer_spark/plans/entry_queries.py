@@ -1868,6 +1868,83 @@ def q49(spark, sf_dir):
     )
 
 
+_Q50_HDR = "subscribe to our newsletter for updates today"
+
+
+@_register(
+    "q50_line_level_dedup",
+    f"""
+    WITH synth AS (
+      SELECT CAST(FLOOR(doc_id / 5) AS BIGINT) AS g,
+             string_agg(text, chr(10) ORDER BY doc_id) AS body
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    docs AS (
+      SELECT g AS doc_id, '{_Q50_HDR}' || chr(10) || body AS text FROM synth
+    ),
+    lines AS (
+      SELECT doc_id, s.no AS line_no, s.line AS line FROM (
+        SELECT doc_id, unnest(list_transform(range(1, len(l)+1),
+               i -> {{'no': i, 'line': l[i]}})) AS s
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM docs))
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY line
+                                   ORDER BY doc_id, line_no) AS rn
+      FROM lines WHERE TRIM(line) <> ''
+    ),
+    kept AS (
+      SELECT doc_id, line_no, line FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, line_no, line FROM lines WHERE TRIM(line) = ''
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT doc_id, len(string_split(text, chr(10))) AS n_lines,
+           md5(text) AS text_md5
+    FROM rebuilt WHERE TRIM(text) <> ''
+    """,
+)
+def q50(spark, sf_dir):
+    """LINE-level exact dedup, C4-style (operators/dedup.py:dedup_lines):
+    boilerplate lines repeated across pages survive only at their globally
+    first (doc_id, line_no) occurrence and documents are reassembled from
+    surviving lines.  The fixture corpus is single-line, so both engines
+    deterministically synthesize multi-line pages (5 consecutive docs per
+    page, each prefixed with a shared boilerplate header) — after dedup the
+    header survives exactly once, in page 0; duplicated body texts (the
+    q25 exact-dup group) collapse to their first page too.  Composes the
+    proven P15 explode + A10 min(struct) first-occurrence + A12 re-group
+    shapes; the winner groupBy is a map-side-combining hash agg on the
+    line fingerprint precisely so a hot boilerplate line costs one
+    combiner row per partition, never a window-sort pile-up.  The oracle
+    expresses the same semantics with a ROW_NUMBER window (fine at DuckDB
+    test scale; the Spark side deliberately avoids it)."""
+    from ..operators import dedup as DD
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    body = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    pages = (
+        d.groupBy(F.floor(F.col("doc_id") / 5).alias("doc_id"))
+        .agg(
+            F.concat_ws(
+                "\n", F.concat(F.array(F.lit(_Q50_HDR)), body)
+            ).alias("text")
+        )
+    )
+    deduped = DD.dedup_lines(pages, text_col="text", id_col="doc_id")
+    return deduped.select(
+        "doc_id",
+        F.size(F.split("text", "\n", -1)).alias("n_lines"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -622,3 +622,48 @@ def test_ivf_centroid_persistence_guards(spark, tmp_path):
     ).write.parquet(empty_path)
     with pytest.raises(ValueError, match="no centroids at"):
         SIM.load_ivf_centroids(spark, empty_path)
+
+
+def test_dedup_lines_boilerplate_survives_once(spark):
+    """A boilerplate line planted across N docs survives exactly once, at
+    its globally-first (doc_id, line_no); unique lines are untouched;
+    blank lines pass through; all-boilerplate docs are dropped."""
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    BP = "accept all cookies to continue"
+    rows = [
+        (1, f"unique alpha line\n{BP}\nunique beta line"),
+        (2, f"{BP}\nunique gamma line\n\nunique delta line"),
+        (3, BP),                      # 100% boilerplate -> dropped
+        (4, "unique epsilon line"),
+        (5, None),                    # null passthrough
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in DD.dedup_lines(df).collect()}
+    assert out[1] == f"unique alpha line\n{BP}\nunique beta line"
+    # doc 2 loses the boilerplate but keeps its blank line
+    assert out[2] == "unique gamma line\n\nunique delta line"
+    assert 3 not in out
+    assert out[4] == "unique epsilon line"
+    assert 5 in out and out[5] is None
+    # with drop_blank_docs=False the all-boilerplate doc survives empty
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in DD.dedup_lines(df, drop_blank_docs=False).collect()
+    }
+    assert out2[3] == ""
+
+
+def test_dedup_lines_identity_without_duplicates(spark):
+    """No shared lines -> byte-identical roundtrip (split+reassemble must
+    preserve interior blank lines and ordering)."""
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    rows = [
+        (1, "first line\n\nthird line after a blank"),
+        (2, "solo line"),
+        (3, "x\ny\nz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in DD.dedup_lines(df).collect()}
+    assert out == dict(rows)
