@@ -27,6 +27,7 @@ from typing import Any
 
 from .functions import langid as LI
 from .functions import perplexity as PX
+from .functions import quality_clf as QC
 from .functions import text as TX
 from .operators import images as IM
 
@@ -49,6 +50,7 @@ class PipelineSettings:
     # model-score gates
     min_lang_confidence: float = LI.MIN_CONFIDENCE
     max_perplexity: float = PX.MAX_PERPLEXITY
+    min_quality_score: float = QC.MIN_QUALITY_SCORE
     # image bounds
     min_dim: int = IM.MIN_DIM
     max_dim: int = IM.MAX_DIM
@@ -63,7 +65,8 @@ _POSITIVE = (
     "min_mean_word_len", "max_mean_word_len", "max_perplexity",
     "min_dim", "max_dim",
 )
-_RATIO = ("max_symbol_ratio", "min_stopword_ratio", "min_distinct_ratio")
+_RATIO = ("max_symbol_ratio", "min_stopword_ratio", "min_distinct_ratio",
+          "min_quality_score")
 
 _REQUIRED_SECTIONS = ("stats_settings", "readiness_settings")
 _REQUIRED_FIELDS = tuple(f.name for f in dataclasses.fields(PipelineSettings))

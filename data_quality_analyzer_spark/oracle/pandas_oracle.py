@@ -18,6 +18,7 @@ import pandas as pd
 from ..config import DEFAULT_SETTINGS, PipelineSettings
 from ..functions import langid as LI
 from ..functions import perplexity as PX
+from ..functions import quality_clf as QC
 from ..functions import scrub as SC
 from ..functions import text as TX
 from ..operators import images as IM
@@ -101,6 +102,7 @@ def oracle_verdicts(
     lm = PX.get_model()
     li = LI.predict_batch(cap_gated, li_model)
     ppl = PX.score_batch(cap_gated, lm)
+    qscore = QC.score_batch(cap_gated, QC.get_model())
     img_flags = IM.validate_batch(
         images["bytes"].where(gate),
         images["w"],
@@ -120,6 +122,7 @@ def oracle_verdicts(
     out["lang_pred"] = li["lang_pred"]
     out["lang_conf"] = li["lang_conf"]
     out["perplexity"] = ppl.values
+    out["quality_score"] = qscore.values
 
     def passes(row_i: int) -> dict[str, bool]:
         t = cap.iloc[row_i]
@@ -144,6 +147,8 @@ def oracle_verdicts(
             "toxicity": not any(tok in tox for tok in _tokens(t.lower() if is_str else None)),
             "lang_confident": out["lang_conf"].iloc[row_i] >= s.min_lang_confidence,
             "ppl_bound": out["perplexity"].iloc[row_i] <= s.max_perplexity,
+            "quality_clf": out["quality_score"].iloc[row_i]
+            >= s.min_quality_score,
             "bytes_present": images["bytes"].iloc[row_i] is not None
             and len(images["bytes"].iloc[row_i]) > 0,
             "magic_ok": bool(img_flags["magic_ok"].iloc[row_i]),

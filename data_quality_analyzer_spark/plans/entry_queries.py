@@ -1945,6 +1945,52 @@ def q50(spark, sf_dir):
     )
 
 
+def _q51_oracle() -> str:
+    from ..functions import quality_clf as QC
+
+    score = QC.score_duck_sql("text")
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, lang, {score} AS s FROM documents WHERE text IS NOT NULL
+    )
+    SELECT CAST(FLOOR(s * 10) AS INT) AS score_decile,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(s), 4) AS avg_score,
+           CAST(SUM(CASE WHEN s >= {QC.MIN_QUALITY_SCORE} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass
+    FROM scored GROUP BY 1
+    """
+
+
+@_register("q51_quality_classifier", _q51_oracle())
+def q51(spark, sf_dir):
+    """TRAINED quality classifier (functions/quality_clf.py): fastText-
+    style NB linear model over hashed poly60 codepoint trigrams,
+    deterministic seed training (good = embedded multilingual sentences,
+    bad = synthesized gibberish/symbol-spam/keyboard-mash), scored by an
+    Arrow-batched pandas UDF with broadcast numpy weights — the
+    production path.  The DuckDB oracle runs a plain-SQL twin whose
+    rounded weight table is embedded as a literal and whose bucket ids
+    are bit-exact (the q43 poly60 recipe applied to model features), so
+    the learned scores get a real value-hash check, not rows-only.
+    Returns the score-decile histogram + pass counts at the pipeline's
+    min_quality_score gate."""
+    from ..functions import quality_clf as QC
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = QC.quality_udf(spark)
+    scored = d.select("doc_id", "lang", q(F.col("text")).alias("s"))
+    return scored.groupBy(
+        F.floor(F.col("s") * 10).cast("int").alias("score_decile")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("s"), 4).alias("avg_score"),
+        F.sum(
+            F.when(F.col("s") >= QC.MIN_QUALITY_SCORE, 1).otherwise(0)
+        ).cast("long").alias("n_pass"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..functions import langid as LI
 from ..functions import perplexity as PX
+from ..functions import quality_clf as QC
 from ..functions import scrub as SC
 from ..functions import text as TX
 from ..operators import images as IM
@@ -65,6 +66,7 @@ PIPELINE_RULES: tuple[tuple[str, str], ...] = (
     ("toxicity", "critical"),
     ("lang_confident", "high"),
     ("ppl_bound", "high"),
+    ("quality_clf", "medium"),
     ("bytes_present", "critical"),
     ("magic_ok", "high"),
     ("decodable", "critical"),
@@ -166,9 +168,10 @@ def run_pipeline(
     # -- stage 2: model scores (Arrow-batched pandas UDFs) -----------------
     langid = LI.langid_udf(spark)
     ppl = PX.perplexity_udf(spark)
+    qclf = QC.quality_udf(spark)
     df = df.withColumn("_li", langid(c_gated)).withColumn(
         "perplexity", ppl(c_gated)
-    )
+    ).withColumn("quality_score", qclf(c_gated))
     df = df.withColumn("lang_pred", F.col("_li.lang_pred")).withColumn(
         "lang_conf", F.col("_li.lang_conf")
     ).drop("_li")
@@ -179,6 +182,9 @@ def run_pipeline(
             ),
             "pass_ppl_bound": F.coalesce(
                 F.col("perplexity") <= s.max_perplexity, F.lit(False)
+            ),
+            "pass_quality_clf": F.coalesce(
+                F.col("quality_score") >= s.min_quality_score, F.lit(False)
             ),
         }
     )
