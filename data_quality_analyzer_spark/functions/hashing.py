@@ -175,3 +175,96 @@ def poly60_duck_sql(k: int, cps: str = "cps", i: str = "i") -> str:
     return (
         f"(({t1}) % {POLY_M1}) * {_POLY_SHIFT} + ((({t2}) % {POLY_M2}) % {_POLY_SHIFT})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Variable-length TOKEN hash — the poly family for SimHash.
+#
+# SimHash hashes whitespace tokens (variable length), not fixed-k windows.
+# Family definition (portable across numpy / DuckDB BIGINT / Python):
+#     p  = min(len(tok), 64)                       -- hashed prefix
+#     h1 = (Σ_{j<p} cp[j]·P1^(p-1-j)) mod M1,  h2 = (… P2 … ) mod M2
+#     h  = (h1·2^29 + (h2 mod 2^29) + P1·len(tok)) mod 2^60
+# The length term separates tokens sharing a 64-codepoint prefix; the
+# overflow audit of the windowed form applies unchanged (≤64 terms < 2^58;
+# h1·2^29 < 2^60; P1·len < 2^47 for any realistic token → sum < 2^61).
+# ---------------------------------------------------------------------------
+
+TOKEN_MAX_K = POLY_MAX_K  # 64-codepoint hashed prefix
+_TOKEN_MOD = 1 << 60
+
+# powers P^(e) mod M for e = 0..TOKEN_MAX_K-1 (weight of position j in a
+# p-long prefix is P^(p-1-j))
+_PW1 = [pow(POLY_P1, e, POLY_M1) for e in range(TOKEN_MAX_K)]
+_PW2 = [pow(POLY_P2, e, POLY_M2) for e in range(TOKEN_MAX_K)]
+
+
+def poly60_token_python(s: str) -> int:
+    """Pure-python reference of the token family (tests pin equality)."""
+    cps = [ord(c) for c in s[:TOKEN_MAX_K]]
+    p = len(cps)
+    h1 = sum(c * _PW1[p - 1 - j] for j, c in enumerate(cps)) % POLY_M1
+    h2 = sum(c * _PW2[p - 1 - j] for j, c in enumerate(cps)) % POLY_M2
+    return (h1 * _POLY_SHIFT + (h2 % _POLY_SHIFT) + POLY_P1 * len(s)) % _TOKEN_MOD
+
+
+def poly60_token_np(tokens: list[str]) -> "np.ndarray":
+    """Vectorized token-family hash of a list of (typically distinct)
+    tokens: one utf-32 decode + two weighted segment sums via
+    ``add.reduceat`` — no per-token Python beyond the encode."""
+    n = len(tokens)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    full_lens = np.array([len(t) for t in tokens], dtype=np.int64)
+    enc = [t[:TOKEN_MAX_K].encode("utf-32-le") for t in tokens]
+    plens = np.array([len(e) // 4 for e in enc], dtype=np.int64)
+    big = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.int64)
+    starts = np.cumsum(plens) - plens
+    tid = np.repeat(np.arange(n), plens)
+    pos = np.arange(big.size) - starts[tid]
+    exp = plens[tid] - 1 - pos  # P^(p-1-j)
+    pw1 = np.asarray(_PW1, dtype=np.int64)
+    pw2 = np.asarray(_PW2, dtype=np.int64)
+    t1 = big * pw1[exp]
+    t2 = big * pw2[exp]
+    # rows with empty prefix (empty token) contribute no terms; their
+    # offsets coincide with the next row's — reduceat only over non-empty
+    # rows (strictly increasing, in-bounds), then scatter.
+    offs = np.zeros(n, dtype=np.int64)
+    np.cumsum(plens[:-1], out=offs[1:])
+    nonzero = plens > 0
+    h1 = np.zeros(n, dtype=np.int64)
+    h2 = np.zeros(n, dtype=np.int64)
+    if big.size:
+        h1[nonzero] = np.add.reduceat(t1, offs[nonzero]) % POLY_M1
+        h2[nonzero] = np.add.reduceat(t2, offs[nonzero]) % POLY_M2
+    return (
+        h1 * _POLY_SHIFT + (h2 % _POLY_SHIFT) + POLY_P1 * full_lens
+    ) % _TOKEN_MOD
+
+
+def poly60_token_duck_sql(tok: str) -> str:
+    """DuckDB twin of the token family for a token expression ``tok`` —
+    the position weights are embedded power-table literals, every
+    intermediate fits BIGINT (overflow audit above)."""
+    pw1 = "[" + ", ".join(str(v) for v in _PW1) + "]"
+    pw2 = "[" + ", ".join(str(v) for v in _PW2) + "]"
+    p = f"least(length({tok}), {TOKEN_MAX_K})"
+
+    # DuckDB's list_sum over BIGINT promotes to DOUBLE (precision loss past
+    # 2^53) — accumulate in HUGEINT (exact 128-bit) and cast back after the
+    # mod.  Weight of 1-based position j is P^(p-j) = PW[p-j+1].
+    def term_sum(pw: str, m: int) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, {p} + 1), "
+            f"j -> CAST(unicode(substr({tok}, CAST(j AS INT), 1)) AS HUGEINT) * "
+            f"({pw})[CAST({p} - j + 1 AS INT)])) % {m} AS BIGINT)"
+        )
+
+    t1 = term_sum(pw1, POLY_M1)
+    t2 = term_sum(pw2, POLY_M2)
+    return (
+        f"(COALESCE({t1}, 0) * {_POLY_SHIFT} "
+        f"+ (COALESCE({t2}, 0) % {_POLY_SHIFT}) "
+        f"+ {POLY_P1} * length({tok})) % {_TOKEN_MOD}"
+    )

@@ -186,38 +186,119 @@ def minhash_signature_poly_udf(
 _WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
-def simhash_udf(bits: int = 60):
-    """Arrow-batched numpy twin of :func:`simhash` — same md5 token hashes,
-    same bit-vote fold, bit-identical output.  Tokenization mirrors the
-    engine form exactly: ``trim`` strips SPACES only (so a leading tab
-    survives and yields an empty first token, which votes as md5("")), and
-    the split class is Java's ASCII ``\\s`` (see ``_WS_RE``)."""
+_SIMHASH_CHUNK_TOKENS = 200_000  # bounds the (tokens × bits) vote slab
+
+
+def simhash_udf(bits: int = 60, hash_family: str = "md5"):
+    """Arrow-batched numpy SimHash.
+
+    ``hash_family="md5"``: bit-identical twin of the HOF reference form
+    :func:`simhash` — same md5 token hashes, same bit-vote fold.
+    Tokenization mirrors the engine form exactly: ``trim`` strips SPACES
+    only (so a leading tab survives and yields an empty first token, which
+    votes as md5("")), and the split class is Java's ASCII ``\\s``
+    (see ``_WS_RE``).
+
+    ``hash_family="poly"``: the PRODUCTION fast path — the variable-length
+    polynomial token family (``hashing.poly60_token_np``; same recipe that
+    took minhash from md5-interpreter-bound to two int64 matmuls), hashed
+    once per DISTINCT batch token fully vectorized, with a chunk-global
+    bit-vote fold (one reduceat per chunk instead of one numpy round-trip
+    per row).  Different family ⇒ different fingerprints than md5 — pick
+    one per corpus and keep it.  Exact DuckDB twin:
+    ``hashing.poly60_token_duck_sql``.
+    """
+    if hash_family not in ("poly", "md5"):
+        raise ValueError(f"hash_family must be 'poly' or 'md5', got {hash_family!r}")
     shifts = np.arange(bits, dtype=np.int64)
 
+    if hash_family == "md5":
+
+        @F.pandas_udf("long")
+        def _sh(texts: pd.Series) -> pd.Series:
+            out = np.zeros(len(texts), dtype=np.int64)
+            # token vocabulary is Zipfian: memoize md5 per DISTINCT token
+            # per Arrow batch, so the interpreter cost is O(vocab), not
+            # O(tokens) (bit-identical — same md5, just deduplicated)
+            memo: dict[str, int] = {}
+            for i, t in enumerate(texts):
+                if not isinstance(t, str):
+                    continue
+                toks = _WS_RE.split(t.strip(" ").lower())
+                hv = np.fromiter(
+                    (
+                        memo[tok] if tok in memo
+                        else memo.setdefault(tok, _h60_py(tok))
+                        for tok in toks
+                    ),
+                    dtype=np.int64,
+                )
+                votes = (2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
+                out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+            return pd.Series(out)
+
+        return _sh
+
+    from ..functions import hashing as HH
+
     @F.pandas_udf("long")
-    def _sh(texts: pd.Series) -> pd.Series:
+    def _shp(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
-        # token vocabulary is Zipfian: memoize md5 per DISTINCT token per
-        # Arrow batch, so the interpreter cost is O(vocab), not O(tokens)
-        # (bit-identical — same md5, just deduplicated)
-        memo: dict[str, int] = {}
-        for i, t in enumerate(texts):
+        vals = texts.to_numpy(dtype=object)
+        # one vocabulary per Arrow batch: hash each distinct token ONCE,
+        # vectorized (no hashlib, no per-token Python hashing)
+        vocab: dict[str, int] = {}
+        row_tok_ids: list[np.ndarray | None] = []
+        for t in vals:
             if not isinstance(t, str):
+                row_tok_ids.append(None)
                 continue
             toks = _WS_RE.split(t.strip(" ").lower())
-            hv = np.fromiter(
+            ids = np.fromiter(
                 (
-                    memo[tok] if tok in memo
-                    else memo.setdefault(tok, _h60_py(tok))
+                    vocab[tok] if tok in vocab
+                    else vocab.setdefault(tok, len(vocab))
                     for tok in toks
                 ),
                 dtype=np.int64,
+                count=len(toks),
             )
-            votes = (2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
-            out[i] = int(((votes > 0).astype(np.int64) << shifts).sum())
+            row_tok_ids.append(ids)
+        vocab_h = HH.poly60_token_np(list(vocab))
+        # chunk-global vote fold: rows grouped so the ±1 slab stays small;
+        # every row has ≥1 token (split('') == ['']), so reduceat offsets
+        # are strictly increasing and in-bounds.
+        i = 0
+        n = len(vals)
+        while i < n:
+            j = i
+            tok_total = 0
+            rows: list[np.ndarray] = []
+            row_pos: list[int] = []
+            while j < n and tok_total < _SIMHASH_CHUNK_TOKENS:
+                ids = row_tok_ids[j]
+                if ids is not None:
+                    rows.append(ids)
+                    row_pos.append(j)
+                    tok_total += ids.size
+                j += 1
+            if rows:
+                hv = vocab_h[np.concatenate(rows)]
+                pm = (
+                    2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1
+                ).astype(np.int32)
+                cnt = np.array([r.size for r in rows], dtype=np.int64)
+                offs = np.zeros(len(rows), dtype=np.int64)
+                np.cumsum(cnt[:-1], out=offs[1:])
+                votes = np.add.reduceat(pm, offs, axis=0)
+                fps = ((votes > 0).astype(np.int64) << shifts[None, :]).sum(
+                    axis=1
+                )
+                out[np.asarray(row_pos)] = fps
+            i = j
         return pd.Series(out)
 
-    return _sh
+    return _shp
 
 
 def lsh_candidate_pairs(
@@ -348,6 +429,7 @@ def simhash_near_duplicates(
     bands: int = 4,
     bits: int = 60,
     max_hamming: int = 3,
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Banded-Hamming SimHash near-dup search (the bucketed search promised
     by the module docstring): split the fingerprint into `bands` bit-bands;
@@ -356,10 +438,14 @@ def simhash_near_duplicates(
     band_bits) — shuffle volume rows×bands, never all-pairs — then verify
     with an exact popcount on the XOR.
 
+    ``hash_family`` selects the token hash (see :func:`simhash_udf`):
+    "md5" is the HOF-reference-identical form, "poly" the vectorized
+    production path.
+
     Returns (id_a, id_b, hamming ≤ max_hamming).  Callers should keep
     max_hamming < bands for full recall (pigeonhole guarantee).
     """
-    fp = simhash_udf(bits)(F.col(text_col))  # numpy twin, bit-identical
+    fp = simhash_udf(bits, hash_family)(F.col(text_col))
     # materialized once for the same both-sides reason as lsh_candidate_pairs
     with_fp = (
         df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))

@@ -1273,7 +1273,9 @@ def q44(spark, sf_dir):
 
 
 def _q38_oracle() -> str:
-    return """
+    from ..functions import hashing as HH
+
+    return f"""
     WITH base AS (
       SELECT doc_id, text FROM documents
       WHERE text IS NOT NULL AND length(trim(text)) > 0
@@ -1286,7 +1288,7 @@ def _q38_oracle() -> str:
       FROM base
     ),
     h AS (
-      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS hv FROM toks
+      SELECT doc_id, {HH.poly60_token_duck_sql('t')} AS hv FROM toks
     ),
     bits AS (
       SELECT doc_id, j, SUM(CASE WHEN (hv >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -1332,7 +1334,8 @@ def q38(spark, sf_dir):
     )
     full = d.unionByName(twins)
     out = DD.simhash_near_duplicates(
-        full, "text", "doc_id", bands=4, bits=60, max_hamming=3
+        full, "text", "doc_id", bands=4, bits=60, max_hamming=3,
+        hash_family="poly",
     )
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 

@@ -667,3 +667,64 @@ def test_dedup_lines_identity_without_duplicates(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r["text"] for r in DD.dedup_lines(df).collect()}
     assert out == dict(rows)
+
+
+def test_simhash_poly_family(spark):
+    """The poly token family: engine fingerprints match the pure-python
+    token-hash reference fold, differ from the md5 family, and the banded
+    search still finds exact twins at Hamming 0."""
+    import hashlib
+
+    import numpy as np
+
+    from data_quality_analyzer_spark.functions import hashing as HH
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    texts = [
+        "the quick brown fox jumps over the dog",
+        "pack my box with five dozen liquor jugs",
+        "  leading spaces\tand tabs here",
+        "xyzzy plugh quux corge grault",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", DD.simhash_udf(60, "poly")(F.col("text")).alias("fp")
+        ).collect()
+    }
+
+    def ref_fp(t):
+        toks = DD._WS_RE.split(t.strip(" ").lower())
+        hv = np.array([HH.poly60_token_python(tok) for tok in toks], dtype=np.int64)
+        shifts = np.arange(60, dtype=np.int64)
+        votes = (2 * ((hv[:, None] >> shifts[None, :]) & 1) - 1).sum(axis=0)
+        return int(((votes > 0).astype(np.int64) << shifts).sum())
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref_fp(t), t
+
+    md5_got = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", DD.simhash_udf(60, "md5")(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert all(md5_got[i] != got[i] for i in range(len(texts)))
+
+    twins = df.union(
+        df.filter(F.col("doc_id") == 0).select(
+            (F.col("doc_id") + 100).alias("doc_id"), "text"
+        )
+    )
+    pairs = DD.simhash_near_duplicates(
+        twins, "text", "doc_id", hash_family="poly"
+    ).collect()
+    assert any(
+        {p["id_a"], p["id_b"]} == {0, 100} and p["hamming"] == 0 for p in pairs
+    )
+
+    with pytest.raises(ValueError, match="hash_family"):
+        DD.simhash_udf(60, "sha1")
