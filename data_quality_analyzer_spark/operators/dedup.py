@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..exec_utils import materialize
 
 DEFAULT_SHINGLE = 5
 DEFAULT_NUM_HASHES = 16
@@ -345,7 +346,7 @@ def lsh_candidate_pairs(
     with_sig = (
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
         .select(F.col(id_col).alias("_id"), sig.alias("_sig"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     band_rows = with_sig.select(
         "_id", band_fp_explode("_sig", bands, rows_per_band).alias("bf")
@@ -450,7 +451,7 @@ def simhash_near_duplicates(
     with_fp = (
         df.filter(F.col(text_col).isNotNull() & (F.length(F.trim(text_col)) > 0))
         .select(F.col(id_col).alias("_id"), fp.alias("_fp"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     return fingerprint_near_duplicates(
         with_fp, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
@@ -537,7 +538,7 @@ def image_near_duplicates(
     reps = (
         images.groupBy(F.col(fp_col).alias("_fp"))
         .agg(F.min(id_col).alias("_id"), F.count("*").alias("_n"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     pairs = fingerprint_near_duplicates(
         reps, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
@@ -571,7 +572,7 @@ def dedup_image_near(
     reps = (
         images.groupBy(F.col(fp_col).alias("_fp"))
         .agg(F.min(id_col).alias("_rep"))
-        .localCheckpoint(eager=True)  # one corpus scan, reused on every side
+        .transform(materialize)  # one corpus scan, reused on every side
     )
     pairs = fingerprint_near_duplicates(
         reps, "_fp", "_rep", bands=bands, bits=64, max_hamming=max_hamming
@@ -623,7 +624,7 @@ def near_duplicates(
     # LSH design
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, k, hash_family
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     slim = cands.select("id_a", "id_b")
     # precompute each CANDIDATE document's distinct shingle set ONCE (the
     # naive per-pair ngram_jaccard(text_a, text_b) would rebuild both
@@ -646,7 +647,7 @@ def near_duplicates(
         df.filter(F.col(text_col).isNotNull() & (F.length(text_col) >= k))
         .join(F.broadcast(cand_ids), F.col(id_col) == F.col("_tid"))
         .select(F.col(id_col).alias("_tid"), shingles.alias("_sh"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # broadcast ONLY the slim (id_a, id_b) pair relation at both lookups —
     # never a join result carrying shingle arrays: broadcast size must
@@ -710,12 +711,12 @@ def connected_components(
             edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     labels = (
         sym.select(F.col("_s").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     for _ in range(max_iter):
         # (1) neighbor-min: candidate labels flow one hop along edges
@@ -731,7 +732,7 @@ def connected_components(
         lut = new.select(F.col("node").alias("label"), F.col("label").alias("_ll"))
         new = new.join(lut, "label", "left").select(
             "node", F.coalesce("_ll", "label").alias("label")
-        ).localCheckpoint(eager=True)
+        ).transform(materialize)
         changed = (
             new.alias("n")
             .join(labels.alias("o"), "node")

@@ -16,6 +16,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..exec_utils import materialize
 
 RP_SEED = 20260816
 
@@ -422,7 +423,7 @@ def dedup_embedding_near(
     reps = (
         df.groupBy(F.col(vec_col).alias("_v"))
         .agg(F.min(id_col).alias("_rep"))
-        .localCheckpoint(eager=True)  # one scan; feeds pair join + keep join
+        .transform(materialize)  # one scan; feeds pair join + keep join
     )
     pairs = embedding_near_duplicates(
         reps.select(F.col("_rep").alias(id_col), F.col("_v").alias(vec_col)),

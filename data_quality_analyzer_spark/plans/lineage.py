@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineSettings
+from ..exec_utils import materialize
 from .pipeline import langid_histogram, pipeline_metrics, run_pipeline
 
 # underscore prefix: Spark's parquet reader skips _-prefixed files, so the
@@ -403,7 +404,7 @@ def dedup_incremental_near(
         eligible.select(
             F.col(id_col).alias("_id"), sig_udf(F.col(text_col)).alias("_sig")
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     archive = read_committed_signatures(spark, store_dir)
     drop_ids = None
@@ -655,7 +656,7 @@ def dedup_incremental_embedding(
         new_rows = (
             df.select(id_col, vec_col)
             .withColumn("_efp", fp_expr)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         new_bands = new_rows.select(
             id_col,

@@ -728,3 +728,43 @@ def test_simhash_poly_family(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         DD.simhash_udf(60, "sha1")
+
+
+def test_materialize_seam_reliable_checkpoint(spark, tmp_path):
+    """materialize() upgrades localCheckpoint to reliable checkpoint()
+    when a checkpoint dir is configured: dedup_near output is identical
+    and the checkpoint dir receives RDD blocks (the cluster fault-
+    tolerance seam, mirror of test_resume's writer seam)."""
+    import os
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and agaiN"),
+        (3, "a completely different document about spark physical plans"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = sorted(
+        r["doc_id"] for r in DD.dedup_near(df, "text", "doc_id").collect()
+    )
+    ckpt = str(tmp_path / "ckpt")
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(ckpt)
+    try:
+        assert sc.getCheckpointDir() is not None
+        with_ckpt = sorted(
+            r["doc_id"]
+            for r in DD.dedup_near(df, "text", "doc_id").collect()
+        )
+        assert with_ckpt == base
+        # reliable checkpoint actually wrote into the configured dir
+        found = []
+        for root, _dirs, files in os.walk(ckpt):
+            found += files
+        assert found, "no checkpoint files written under the checkpoint dir"
+    finally:
+        sc.setCheckpointDir(None)
+        assert sc.getCheckpointDir() is None
