@@ -431,6 +431,7 @@ def simhash_near_duplicates(
     bits: int = 60,
     max_hamming: int = 3,
     hash_family: str = "md5",
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Banded-Hamming SimHash near-dup search (the bucketed search promised
     by the module docstring): split the fingerprint into `bands` bit-bands;
@@ -454,7 +455,8 @@ def simhash_near_duplicates(
         .transform(materialize)
     )
     return fingerprint_near_duplicates(
-        with_fp, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
+        with_fp, "_fp", "_id", bands=bands, bits=bits,
+        max_hamming=max_hamming, max_band_size=max_band_size,
     )
 
 
@@ -465,6 +467,7 @@ def fingerprint_near_duplicates(
     bands: int = 4,
     bits: int = 64,
     max_hamming: int = 3,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Banded-Hamming near-dup search over an EXISTING int64 fingerprint
     column (the generic core of :func:`simhash_near_duplicates`; also the
@@ -476,7 +479,22 @@ def fingerprint_near_duplicates(
     recall (pigeonhole).  Input rows should carry DISTINCT fingerprints
     when duplicate-heavy data is possible — collapse exact-equal
     fingerprints with a groupBy first (see :func:`image_near_duplicates`),
-    or a hot fingerprint degenerates to quadratic pairs."""
+    or a hot fingerprint degenerates to quadratic pairs.
+
+    **Hot-BAND guard** (distinct from the hot-fingerprint guard above): a
+    low-entropy corpus can put MANY distinct fingerprints into one
+    (band, band_bits) bucket — e.g. phashes whose low 16 bits are constant
+    because every image shares a border.  That bucket joins quadratically
+    even though verify rejects almost all of it.  ``max_band_size=N``
+    excludes buckets holding more than N fingerprints from candidate
+    generation and logs them LOUDLY (count + worst sizes — never a silent
+    cap).  Recall contract: a pair is lost only if oversized buckets were
+    its ONLY shared bands, so choose N well above the plausible true
+    near-dup cluster size; an oversized band carries almost no
+    discriminative signal (it says "shares a constant region", not "is a
+    near duplicate").  Widening ``bits``/``bands`` is the structural fix
+    (more band entropy); the cap is the operational guard.
+    """
     band_bits = bits // bands
     with_fp = df.select(F.col(id_col).alias("_id"), F.col(fp_col).alias("_fp"))
     band_rows = with_fp.select(
@@ -484,6 +502,29 @@ def fingerprint_near_duplicates(
         "_fp",
         int_band_explode("_fp", bands, band_bits).alias("bf"),
     ).select("_id", "_fp", F.col("bf.band").alias("band"), F.col("bf.bb").alias("bb"))
+    if max_band_size is not None:
+        hot = (
+            band_rows.groupBy("band", "bb")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") > max_band_size)
+        )
+        hot_rows = hot.orderBy(F.desc("_n")).limit(5).collect()
+        if hot_rows:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "fingerprint_near_duplicates: excluding %d oversized "
+                "band bucket(s) > max_band_size=%d from candidate "
+                "generation (worst: %s) — pairs whose ONLY shared bands "
+                "are these buckets will be missed; raise bits/bands for "
+                "more band entropy if this matters",
+                hot.count(),
+                max_band_size,
+                [(r["band"], r["_n"]) for r in hot_rows],
+            )
+        band_rows = band_rows.join(
+            hot.select("band", "bb"), on=["band", "bb"], how="left_anti"
+        )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -513,6 +554,7 @@ def image_near_duplicates(
     bands: int = 4,
     max_hamming: int = 3,
     bits: int = 64,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate IMAGE pairs by perceptual-hash Hamming distance —
     the image-payload twin of the text near-dup path, over the corpus's
@@ -541,7 +583,8 @@ def image_near_duplicates(
         .transform(materialize)
     )
     pairs = fingerprint_near_duplicates(
-        reps, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming
+        reps, "_fp", "_id", bands=bands, bits=bits, max_hamming=max_hamming,
+        max_band_size=max_band_size,
     )
     sizes = reps.select("_id", "_n")
     return (

@@ -99,3 +99,97 @@ def test_salted_join_default_salt_not_key_function(hot, dim):
     # passing only the join key as the salt source is rejected
     with pytest.raises(ValueError, match="salt_cols"):
         SK.salted_join(hot, dim, "lang", n=n, salt_cols=["lang"])
+
+
+# ---------------------------------------------------------------------------
+# Adversarial hot BAND (round-4 VERDICT task 6): many DISTINCT fingerprints
+# sharing one band value — the low-entropy-corpus failure mode the
+# hot-FINGERPRINT collapse cannot see.
+# ---------------------------------------------------------------------------
+
+
+def _hot_band_fps(n: int):
+    """n distinct 64-bit fingerprints whose LOW 16 bits are constant
+    (band 0 of a 4x16 split is one bucket) and whose upper 46 bits are
+    seeded-random — pairwise Hamming ≤ 3 has probability ~5e-6 across
+    C(400,2) pairs, so verify rejects every hot-band pair."""
+    import numpy as np
+
+    rng = np.random.default_rng(424242)
+    seen: set[int] = set()
+    fps = []
+    while len(fps) < n:
+        hi = int(rng.integers(0, 1 << 46))
+        if hi in seen:
+            continue
+        seen.add(hi)
+        fps.append((hi << 16) | 0xBEEF)
+    return fps
+
+
+def test_hot_band_candidate_volume_and_cap(spark):
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    n = 400
+    rows = [(i, fp) for i, fp in enumerate(_hot_band_fps(n))]
+    # plus one TRUE near-dup pair in a normal (non-hot) band neighborhood
+    rows += [(9000, 0x0123_4567_89AB_0001), (9001, 0x0123_4567_89AB_0003)]
+    df = spark.createDataFrame(rows, "vid long, fp long")
+
+    # measured candidate volume without the guard: the hot band produces
+    # C(400,2) = 79800 candidate pairs that verify then throws away
+    band_rows = df.select(
+        "vid", DD.int_band_explode("fp", 4, 16).alias("bf")
+    ).select("vid", "bf.band", "bf.bb")
+    a, b = band_rows.alias("a"), band_rows.alias("b")
+    n_cand = (
+        a.join(b, ["band", "bb"])
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .count()
+    )
+    assert n_cand >= n * (n - 1) // 2  # quadratic blowup is real
+
+    # verify keeps only the planted pair — all hot-band pairs are junk
+    pairs = DD.fingerprint_near_duplicates(df, "fp", "vid").collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(9000, 9001)}
+
+    # with the cap: same OUTPUT (the planted pair's bands are small),
+    # quadratic candidate work gone
+    capped = DD.fingerprint_near_duplicates(
+        df, "fp", "vid", max_band_size=50
+    ).collect()
+    assert {(p["id_a"], p["id_b"]) for p in capped} == {(9000, 9001)}
+
+
+def test_hot_band_cap_logs_loudly(spark, caplog):
+    import logging
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    rows = [(i, fp) for i, fp in enumerate(_hot_band_fps(100))]
+    df = spark.createDataFrame(rows, "vid long, fp long")
+    with caplog.at_level(logging.WARNING):
+        DD.fingerprint_near_duplicates(
+            df, "fp", "vid", max_band_size=10
+        ).collect()
+    msgs = [r.message for r in caplog.records]
+    assert any("oversized" in m and "max_band_size=10" in m for m in msgs)
+
+
+def test_hot_band_cap_recall_contract(spark):
+    """The documented recall loss: a pair whose ONLY shared band is the
+    oversized one IS missed with the cap — loudly, by contract."""
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    fps = _hot_band_fps(100)
+    # twin of fps[0] at Hamming 1 (flip one bit in band 1's range):
+    # shares band 0 (hot) AND bands 2,3 -> still found under the cap
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    rows.append((7000, fps[0] ^ (1 << 20)))
+    df = spark.createDataFrame(rows, "vid long, fp long")
+    got = DD.fingerprint_near_duplicates(
+        df, "fp", "vid", max_band_size=50
+    ).collect()
+    assert any({p["id_a"], p["id_b"]} == {0, 7000} for p in got)
