@@ -668,7 +668,26 @@ def near_duplicates(
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, k, hash_family
     ).transform(materialize)
-    slim = cands.select("id_a", "id_b")
+    return verify_candidate_pairs(
+        df, cands, text_col, id_col, jaccard_threshold, k
+    )
+
+
+def verify_candidate_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str,
+    id_col: str,
+    jaccard_threshold: float = 0.8,
+    k: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """The exact-Jaccard VERIFY stage on its own: given candidate
+    ``pairs`` (id_a, id_b — from LSH, a ledger band-join, or the streaming
+    candidate stage) and the document relation, return the pairs whose
+    exact shingle Jaccard clears the threshold.  Extracted from
+    :func:`near_duplicates` so the streaming path can reuse the identical
+    batch verify inside ``foreachBatch``."""
+    slim = pairs.select("id_a", "id_b").distinct().transform(materialize)
     # precompute each CANDIDATE document's distinct shingle set ONCE (the
     # naive per-pair ngram_jaccard(text_a, text_b) would rebuild both
     # shingle arrays twice per candidate — once in the intersection, once

@@ -368,3 +368,75 @@ def stream_verdicts_foreach_batch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_near_dup_verified(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    doc_store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    num_buckets: int = 64,
+    hash_family: str = "poly",
+    timeout_minutes: float | None = None,
+):
+    """END-TO-END streaming near-dup: the stateful candidate stage
+    (:func:`streaming_near_dup_candidates`) composed with the batch
+    pipeline's exact-Jaccard verify (``dedup.verify_candidate_pairs``)
+    inside ``foreachBatch`` — candidates are flagged across micro-batches
+    by band-fingerprint state, then each micro-batch of candidate pairs is
+    CONFIRMED (or rejected as a band collision) against the committed
+    document store before anything is reported.
+
+    Why verify lives in foreachBatch, not stream state: the verify needs
+    both documents' shingle sets — pulling texts into stream state would
+    make state corpus-sized.  The store at ``doc_store_dir`` is the
+    ingest-side parquet of everything streamed so far (the same pattern as
+    the lineage ledgers: the stream writes docs as they arrive, so both
+    pair sides are present by the time their candidate emits).  Per batch
+    the store scan is pruned to candidate ids by the broadcast semi-join
+    inside the shared verify.
+
+    Sink: verified (id_a, id_b, jaccard) parquet partitioned by epoch —
+    idempotent replay (overwrite per epoch), exactly-once effect.
+    """
+    from ..operators import dedup as DD  # noqa: PLC0415
+
+    cands = streaming_near_dup_candidates(
+        docs_stream,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        k=k,
+        num_buckets=num_buckets,
+        hash_family=hash_family,
+        timeout_minutes=timeout_minutes,
+    )
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = batch_df.select(
+            F.col("id_first").alias("id_a"), F.col("id_new").alias("id_b")
+        ).distinct()
+        store = spark.read.parquet(doc_store_dir)
+        verified = DD.verify_candidate_pairs(
+            store, pairs, text_col, id_col, jaccard_threshold, k
+        )
+        (
+            verified.withColumn("epoch", F.lit(epoch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        cands.writeStream.foreachBatch(_sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

@@ -225,3 +225,75 @@ def test_streaming_near_dup_candidates(spark):
     flagged_with_9 = {p for p in pairs if 9 in p}
     assert not flagged_with_9, f"unrelated doc collided: {flagged_with_9}"
     assert not {p for p in pairs if 14 in p}
+
+
+def test_streaming_near_dup_verified_end_to_end(spark):
+    """Round-4 task 7: the composed candidates → foreachBatch verify
+    recipe.  A cross-batch near-twin is CONFIRMED (jaccard ≥ 0.8); a
+    planted band collision (1 shared band, true jaccard ≈ 0.30) is
+    flagged as a candidate but REJECTED by the verify stage."""
+    import pandas as pd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the spark engine "
+        "shuffles partitions across the cluster in broad daylight today"
+    )
+    # deterministic false candidate: shares exactly 1 of 4 minhash bands
+    # with `base` (k=9, 16 poly hashes) at true 9-shingle jaccard 0.3027
+    collide = (
+        "the zeta brown zeta jumps over the kappa dog while the spark "
+        "engine matrix partitions across the zeta lambda broad daylight today"
+    )
+    in_dir = os.path.join(OUT, "nd_ver_in")
+    store_dir = os.path.join(OUT, "nd_ver_store")
+    out_dir = os.path.join(OUT, "nd_ver_out")
+    ckpt = os.path.join(OUT, "nd_ver_ckpt")
+    for d in (in_dir, store_dir, out_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(in_dir, exist_ok=True)
+    schema = "doc_id long, text string"
+    b1 = pd.DataFrame({"doc_id": [1], "text": [base]})
+    b2 = pd.DataFrame({"doc_id": [12, 20], "text": [base + " twin", collide]})
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(in_dir, mode="append")
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(in_dir, mode="append")
+    # the ingest-side document store holds everything streamed
+    spark.read.parquet(in_dir).write.parquet(store_dir)
+
+    # 1) the collision IS a candidate (otherwise the rejection below is vacuous)
+    docs = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    cands = ST.streaming_near_dup_candidates(docs, num_hashes=16, bands=4, k=9)
+    q = (
+        cands.writeStream.outputMode("append")
+        .format("memory").queryName("nd_ver_cands").start()
+    )
+    try:
+        q.processAllAvailable()
+        cand_pairs = set(
+            map(tuple, spark.sql(
+                "SELECT id_first, id_new FROM nd_ver_cands"
+            ).toPandas().itertuples(index=False))
+        )
+    finally:
+        q.stop()
+    assert (1, 20) in cand_pairs, "planted band collision was not flagged"
+    assert (1, 12) in cand_pairs
+
+    # 2) end-to-end: verify confirms the twin, rejects the collision
+    docs2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q2 = ST.streaming_near_dup_verified(
+        spark, docs2, store_dir, out_dir, ckpt,
+        num_hashes=16, bands=4, k=9,
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = spark.read.parquet(out_dir).toPandas()
+    confirmed = set(zip(got["id_a"], got["id_b"]))
+    assert (1, 12) in confirmed
+    assert all(20 not in p for p in confirmed), f"collision not rejected: {confirmed}"
+    assert (got.set_index(["id_a", "id_b"]).loc[(1, 12), "jaccard"] >= 0.8).all()
