@@ -118,6 +118,47 @@ def _run_pinned_level(images_path: str, cpus: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def compare_with_prior(queries: dict[str, float]) -> dict | None:
+    """Regression guardrail (round-4 VERDICT task 8): compare this run's
+    per-query times against the newest committed BENCH_r{N}.json and flag
+    anything slower than 2× its prior time — far outside the documented
+    ±25% VM noise band, so a hit means a structural regression, not a
+    co-tenant burst.  Sub-100 ms priors are skipped (pure fixed-overhead
+    territory where a scheduler hiccup doubles the number meaninglessly).
+    The block rides along in the JSON line; regressions also go to stderr
+    so a human running bench.py sees them without parsing."""
+    import glob
+
+    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    if not benches:
+        return None
+    latest = benches[-1]
+    try:
+        with open(latest) as f:
+            prior = json.load(f)
+        prior_q = (prior.get("parsed") or {}).get("queries") or {}
+    except (json.JSONDecodeError, OSError):
+        return None
+    regressions = {}
+    for name, now in queries.items():
+        p = prior_q.get(name)
+        if p is not None and p >= 0.1 and now > 2.0 * p:
+            regressions[name] = {
+                "prior_sec": p, "now_sec": now, "ratio": round(now / p, 2)
+            }
+    if regressions:
+        print(
+            f"bench-guard: {len(regressions)} quer(ies) regressed >2x vs "
+            f"{os.path.basename(latest)}: {regressions}",
+            file=sys.stderr,
+        )
+    return {
+        "vs": os.path.basename(latest),
+        "threshold": "2x (noise band is ±25%)",
+        "regressions": regressions,
+    }
+
+
 def main() -> None:
     from data_quality_analyzer_spark.session import get_spark
 
@@ -174,6 +215,10 @@ def main() -> None:
         "pipeline_rows": pipe_rows,
         "images_per_sec": round(pipe_rows / pipe_sec, 1),
     }
+    if not scaling:
+        guard = compare_with_prior(result["queries"])
+        if guard is not None:
+            result["bench_guard"] = guard
 
     if scaling:
         spark.stop()
