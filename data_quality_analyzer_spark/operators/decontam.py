@@ -51,12 +51,19 @@ def word_gram_hashes(text_col: str, n: int = DEFAULT_N):
     words = (
         f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
     )
+    # HOF let-binding (the minhash_signature trick): evaluate the words
+    # array ONCE per row and bind it as the lambda variable `w` — higher-
+    # order functions are CodegenFallback-interpreted, so without the
+    # binding the split+filter would re-run for the size check, the
+    # sequence bound, and every slice.  Null text → null words array; the
+    # explicit IS NULL arm matters because ANSI size(NULL) is NULL, which
+    # would fall through to the ELSE and null the whole result.
     return F.expr(
-        f"CASE WHEN {text_col} IS NULL THEN cast(array() as array<bigint>) "
-        f"WHEN size({words}) < {n} THEN cast(array() as array<bigint>) "
-        f"ELSE array_distinct(transform("
-        f"sequence(1, size({words}) - {n} + 1), "
-        f"i -> xxhash64(concat_ws(' ', slice({words}, i, {n}))))) END"
+        f"transform(array({words}), w -> "
+        f"CASE WHEN w IS NULL OR size(w) < {n} "
+        f"THEN cast(array() as array<bigint>) "
+        f"ELSE array_distinct(transform(sequence(1, size(w) - {n} + 1), "
+        f"i -> xxhash64(concat_ws(' ', slice(w, i, {n}))))) END)[0]"
     )
 
 

@@ -1857,7 +1857,12 @@ def q49(spark, sf_dir):
     over ledger-hit grams."""
     from ..operators import decontam as DC
 
-    d = _t(spark, sf_dir, "documents")
+    # the sf parquet is one small file → one scan partition; the gram
+    # explode is the per-row cost center, so spread it (at corpus scale
+    # the scan has thousands of partitions and this is a no-op concern)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     ev = d.filter((F.col("doc_id") % 101 == 7) & F.col("text").isNotNull())
     grams = DC.eval_gram_table(ev, "text", "doc_id", n=3)
     hits = DC.contamination_hits(d, grams, "text", "doc_id", n=3)

@@ -6,7 +6,13 @@ rejection first, pair-producing work on the smallest possible set:
 1. **quality filter + scrub** (``pipeline.run_pipeline``): caption
    heuristics, langid, perplexity, PII scrub, image decode/validate —
    map-only, keep rows survive;
-2. **image near-dedup** (``dedup.dedup_image_near`` within one batch, or
+2. **eval-set decontamination** (optional, ``contamination_dir``):
+   captions containing benchmark text — verified by n-gram CONTAINMENT
+   against the committed gram ledger — are dropped before any pair work
+   (``lineage.decontaminate_committed``).  Runs on keeps only and before
+   dedup on purpose: a contaminated doc must not survive as its dedup
+   cluster's canonical representative.
+3. **image near-dedup** (``dedup.dedup_image_near`` within one batch, or
    the committed cross-run phash ledger ``lineage.dedup_incremental_image``
    when a store/batch is given): byte-identical and small-Hamming
    perceptual duplicates collapse to one keeper.
@@ -38,6 +44,8 @@ def prep_corpus(
     store_dir: str | None = None,
     batch_id: str | None = None,
     max_hamming: int = 3,
+    contamination_dir: str | None = None,
+    contamination_threshold: float = 0.8,
 ) -> DataFrame:
     """images(input_hint schema) → deduplicated keep-verdict rows.
 
@@ -46,7 +54,9 @@ def prep_corpus(
     With ``store_dir``+``batch_id``, image dedup goes through the
     committed cross-run ledger (drops near-copies of previously committed
     batches, commits this batch's surviving fingerprints atomically);
-    without, it dedups within the batch only.
+    without, it dedups within the batch only.  With ``contamination_dir``,
+    rows whose captions contain committed eval/benchmark text are dropped
+    between the filter and the dedup (an empty ledger is a no-op).
     """
     if (store_dir is None) != (batch_id is None):
         raise ValueError("store_dir and batch_id must be given together")
@@ -55,6 +65,12 @@ def prep_corpus(
 
     verdicts = run_pipeline(spark, images, settings=settings)
     keeps = verdicts.filter(F.col("keep"))
+    if contamination_dir is not None:
+        keeps = LN.decontaminate_committed(
+            spark, keeps, contamination_dir,
+            text_col="caption", id_col="image_id",
+            threshold=contamination_threshold,
+        )
     if store_dir is not None:
         return LN.dedup_incremental_image(
             spark, keeps, store_dir, batch_id, max_hamming=max_hamming

@@ -203,3 +203,37 @@ def test_prep_corpus_composition(spark, corpus_path):
     assert prepped.filter(F.col("phash") == hot_fp).count() <= 1
     assert "caption_scrubbed" in prepped.columns
     prepped.unpersist()
+
+
+def test_prep_corpus_with_decontamination(spark, corpus_path, tmp_path):
+    """The optional decontamination stage: a kept caption committed to the
+    contamination ledger is dropped by prep_corpus; everything else is
+    unchanged vs the no-ledger run; an empty ledger is a no-op."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.plans import lineage as LN
+    from data_quality_analyzer_spark.plans.prep import prep_corpus
+
+    images = spark.read.parquet(corpus_path)
+    base = prep_corpus(spark, images).select("image_id", "caption").cache()
+    victim = base.filter(
+        F.col("caption").isNotNull() & (F.length("caption") > 30)
+    ).first()
+    store = str(tmp_path / "contam")
+    # empty ledger: identical output
+    assert prep_corpus(
+        spark, images, contamination_dir=store
+    ).count() == base.count()
+    # commit the victim caption as "benchmark text"
+    ev = spark.createDataFrame(
+        [(1, victim["caption"])], "doc_id long, text string"
+    )
+    LN.commit_contamination(spark, ev, store, batch_id="evalset")
+    got = prep_corpus(spark, images, contamination_dir=store)
+    got_ids = {r["image_id"] for r in got.select("image_id").collect()}
+    assert victim["image_id"] not in got_ids
+    # only rows carrying the contaminated caption were dropped
+    dropped = base.filter(~F.col("image_id").isin(got_ids))
+    assert dropped.filter(
+        F.col("caption") != victim["caption"]
+    ).count() == 0
