@@ -1,0 +1,165 @@
+"""Deterministic corpus sampling / mixing — the stage that turns a
+filtered, deduplicated pool into a training mixture.
+
+Why not ``df.sample()``/``sampleBy()``: Spark's samplers are seeded
+per-partition, so the selected SET changes with partitioning, retries,
+and cluster size — poison for exactly-once pipelines and for audits
+("why is this doc in the corpus?").  Everything here selects by a
+**content-independent deterministic hash of the row key** (the portable
+60-bit md5 of ``functions/hashing.py``, so the DuckDB oracle reproduces
+the exact selection):
+
+* :func:`deterministic_sample` — keep iff ``h60(seed || key) mod D <
+  fraction·D``.  Map-only, no shuffle, no RNG state; rerunning anywhere
+  yields the same set, and different seeds give independent samples.
+* :func:`stratified_sample` — per-stratum fractions (the corpus-mixing
+  weights: "3% code, 60% web, …") via one CASE expression folded into the
+  same map-only filter.  Unknown strata default to fraction 0 LOUDLY
+  (listed in the plan, not silently kept).
+* :func:`sample_token_budget` — "take documents until the token budget is
+  met", the common mixture-building primitive.  The selection order is
+  the deterministic hash order, so the result is a PREFIX of a global
+  pseudo-random permutation.  Scalable two-phase plan: (1) one hash
+  aggregate of token sums per hash bucket (B rows to the driver — B is a
+  dial, not data-sized); the driver prefix-sums bucket totals to find the
+  cutoff bucket; (2) full buckets pass with a plain filter, and ONLY the
+  single cutoff bucket pays a within-bucket cumulative-sum window (its
+  rows ≈ corpus/B).  No global sort, no corpus-sized window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as HH
+
+SAMPLE_DENOM = 1_000_000  # fraction resolution: 1e-6
+
+
+def _h60_key(key_col: str, seed: int):
+    return F.expr(
+        HH.h60_spark_sql(f"concat('{seed}:', CAST({key_col} AS STRING))")
+    )
+
+
+def _h60_key_sql(key_col: str, seed: int) -> str:
+    return HH.h60_sql(f"concat('{seed}:', CAST({key_col} AS VARCHAR))")
+
+
+def deterministic_sample(
+    df: DataFrame, fraction: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Keep each row iff its key hashes under ``fraction`` — deterministic
+    across runs, partitionings, and engines."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(round(fraction * SAMPLE_DENOM))
+    return df.filter(
+        F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM)) < F.lit(thr)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — corpus-mixing weights.
+
+    Strata absent from ``fractions`` get fraction 0 (dropped); that
+    default is visible in the plan's CASE expression, not silent."""
+    for s_name, frac in fractions.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(
+                f"fraction for stratum {s_name!r} must be in [0, 1], got {frac}"
+            )
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s_name}' THEN {int(round(frac * SAMPLE_DENOM))}"
+        for s_name, frac in sorted(fractions.items())
+    )
+    thr = F.expr(f"CASE {arms} ELSE 0 END")
+    return df.filter(
+        F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM)) < thr
+    )
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budget: int,
+    token_col: str,
+    key_col: str,
+    seed: int = 0,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Smallest deterministic-hash-order PREFIX of rows whose token sum
+    reaches ``budget`` (i.e. every selected row except possibly the last
+    fits; the first row crossing the budget is the last one included, so
+    the sum is ≥ budget unless the corpus is smaller).
+
+    Global order = (bucket, h60, key) — a pseudo-random permutation, so
+    the prefix is an unbiased sample.  See module docstring for the
+    two-phase scalable shape."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    h = F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM))
+    bucketed = df.withColumn("_h", h).withColumn(
+        "_bkt", F.pmod(F.col("_h"), F.lit(num_buckets))
+    )
+    totals = {
+        r["_bkt"]: r["_tok"]
+        for r in bucketed.groupBy("_bkt")
+        .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("_tok"))
+        .collect()
+    }
+    acc = 0
+    cutoff = None
+    full: list[int] = []
+    for b in range(num_buckets):
+        t = totals.get(b, 0)
+        if acc + t < budget:
+            acc += t
+            full.append(b)
+        else:
+            cutoff = b
+            break
+    if cutoff is None:  # whole corpus fits inside the budget
+        return df
+    from pyspark.sql import Window
+
+    remaining = budget - acc
+    full_part = bucketed.filter(F.col("_bkt").isin(full)) if full else None
+    w = Window.partitionBy("_bkt").orderBy("_h", key_col)
+    cut_part = (
+        bucketed.filter(F.col("_bkt") == cutoff)
+        .withColumn(
+            "_cum",
+            F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w),
+        )
+        # prefix until the budget is crossed, INCLUDING the crossing row
+        .filter(
+            F.col("_cum") - F.coalesce(F.col(token_col), F.lit(0))
+            < F.lit(remaining)
+        )
+        .drop("_cum")
+    )
+    out = (
+        full_part.unionByName(cut_part) if full_part is not None else cut_part
+    )
+    return out.drop("_h", "_bkt")
+
+
+def stratified_sample_duck_sql(
+    fractions: dict[str, float], strata_col: str, key_col: str, seed: int = 0
+) -> str:
+    """DuckDB WHERE-clause twin of :func:`stratified_sample`."""
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s_name}' THEN {int(round(frac * SAMPLE_DENOM))}"
+        for s_name, frac in sorted(fractions.items())
+    )
+    return (
+        f"({_h60_key_sql(key_col, seed)}) % {SAMPLE_DENOM} < "
+        f"(CASE {arms} ELSE 0 END)"
+    )

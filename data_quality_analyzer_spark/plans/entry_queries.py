@@ -1999,6 +1999,97 @@ def q51(spark, sf_dir):
     )
 
 
+_Q52_MIX = {"en": 0.6, "de": 0.3, "fr": 0.25, "es": 0.1}  # zh absent → 0
+
+
+def _q52_oracle() -> str:
+    from ..operators import sampling as SP
+
+    where = SP.stratified_sample_duck_sql(_Q52_MIX, "lang", "doc_id", seed=7)
+    return f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE {where} GROUP BY lang
+    """
+
+
+@_register("q52_corpus_mixing", _q52_oracle())
+def q52(spark, sf_dir):
+    """Deterministic STRATIFIED sampling — the corpus-mixing stage
+    (operators/sampling.py): per-language mixing weights applied as
+    ``h60(seed || key) mod 1e6 < weight·1e6`` in one map-only filter.
+    Unlike ``df.sample``/``sampleBy`` (per-partition RNG: the selected
+    SET changes with partitioning, retries, and cluster size), the
+    selection is a pure function of the row key — identical on reruns,
+    any cluster size, and in the DuckDB oracle, which reproduces the
+    exact same set (this query hash-compares it).  Strata without a
+    weight (zh here) default to 0 visibly in the plan's CASE."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        SP.stratified_sample(d, _Q52_MIX, "lang", "doc_id", seed=7)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_Q53_BUDGET = 100_000  # chars — lands mid-corpus at every test SF
+
+
+def _q53_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import sampling as SP
+
+    key = "concat('7:', CAST(doc_id AS VARCHAR))"
+    h = f"({HH.h60_sql(key)}) % {SP.SAMPLE_DENOM}"
+    return f"""
+    WITH o AS (
+      SELECT doc_id, n_chars, {h} AS hh, ({h}) % 1024 AS bkt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars,
+             SUM(n_chars) OVER (ORDER BY bkt, hh, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+      FROM o
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           bit_xor(doc_id) AS id_checksum
+    FROM c WHERE cum - n_chars < {_Q53_BUDGET}
+    """
+
+
+@_register("q53_token_budget_sample", _q53_oracle())
+def q53(spark, sf_dir):
+    """TOKEN-BUDGET sampling (operators/sampling.py:sample_token_budget):
+    the smallest deterministic-hash-order prefix whose additive cost
+    (chars here) reaches the budget — the "take N tokens of web text"
+    mixture primitive.  Scalable two-phase plan: per-bucket token sums
+    (one hash agg, num_buckets rows to the driver), full buckets pass by
+    plain filter, and ONLY the single cutoff bucket pays a within-bucket
+    cumulative window (corpus/num_buckets rows) — no global sort, no
+    corpus-sized window state.  The oracle expresses the same selection
+    as one global running sum over (bucket, hash, key) order, which is
+    provably the identical set (full buckets: every prefix < budget;
+    cutoff bucket: same remainder rule; later buckets: prefix ≥ budget);
+    the driver hash-compares count + sum + id-XOR."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    got = SP.sample_token_budget(
+        d, _Q53_BUDGET, "n_chars", "doc_id", seed=7, num_buckets=1024
+    )
+    return got.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

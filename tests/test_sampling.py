@@ -1,0 +1,107 @@
+"""Deterministic sampling / corpus mixing: partitioning-invariance (the
+whole point vs df.sample), fraction accuracy, stratified weights, and the
+token-budget prefix contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.operators import sampling as SP
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 4 == 0, "en")
+        .when(F.col("id") % 4 == 1, "de")
+        .when(F.col("id") % 4 == 2, "fr")
+        .otherwise("zz")
+        .alias("lang"),
+        (F.col("id") % 300 + 10).alias("n_tok"),
+    )
+
+
+def test_sample_is_partitioning_invariant(docs):
+    a = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(docs, 0.3, "doc_id", seed=1).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(
+            docs.repartition(17), 0.3, "doc_id", seed=1
+        ).collect()
+    }
+    c = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(
+            docs.coalesce(1), 0.3, "doc_id", seed=1
+        ).collect()
+    }
+    assert a == b == c
+    # fraction accuracy: binomial(5000, 0.3) → ±4 sigma ≈ ±130
+    assert abs(len(a) - 1500) < 150
+    # different seeds → different (roughly independent) sets
+    d = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(docs, 0.3, "doc_id", seed=2).collect()
+    }
+    assert d != a
+    assert abs(len(a & d) - 450) < 150  # ~0.09 of corpus
+
+    with pytest.raises(ValueError, match="fraction"):
+        SP.deterministic_sample(docs, 1.5, "doc_id")
+
+
+def test_stratified_mixing_weights(docs):
+    out = (
+        SP.stratified_sample(
+            docs, {"en": 0.8, "de": 0.2, "fr": 0.0}, "lang", "doc_id", seed=3
+        )
+        .groupBy("lang")
+        .count()
+        .collect()
+    )
+    by = {r["lang"]: r["count"] for r in out}
+    assert abs(by["en"] - 1000) < 120      # 1250 × 0.8
+    assert abs(by.get("de", 0) - 250) < 100
+    assert "fr" not in by                  # explicit zero
+    assert "zz" not in by                  # absent stratum defaults to 0
+    with pytest.raises(ValueError, match="stratum"):
+        SP.stratified_sample(docs, {"en": 2.0}, "lang", "doc_id")
+
+
+def test_token_budget_prefix_contract(docs):
+    budget = 200_000
+    got = SP.sample_token_budget(
+        docs, budget, "n_tok", "doc_id", seed=4, num_buckets=64
+    )
+    rows = got.agg(
+        F.sum("n_tok").alias("s"), F.count("*").alias("n")
+    ).collect()[0]
+    total = rows["s"]
+    # the prefix crosses the budget by at most one document
+    assert total >= budget
+    max_tok = 309
+    assert total - max_tok < budget
+    # deterministic: same selection again, and invariant to partitioning
+    a = {r["doc_id"] for r in got.collect()}
+    b = {
+        r["doc_id"]
+        for r in SP.sample_token_budget(
+            docs.repartition(13), budget, "n_tok", "doc_id",
+            seed=4, num_buckets=64,
+        ).collect()
+    }
+    assert a == b
+    # whole corpus fits → everything returned
+    assert (
+        SP.sample_token_budget(
+            docs, 10**9, "n_tok", "doc_id", seed=4
+        ).count()
+        == docs.count()
+    )
+    with pytest.raises(ValueError, match="budget"):
+        SP.sample_token_budget(docs, 0, "n_tok", "doc_id")
