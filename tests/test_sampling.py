@@ -105,3 +105,49 @@ def test_token_budget_prefix_contract(docs):
     )
     with pytest.raises(ValueError, match="budget"):
         SP.sample_token_budget(docs, 0, "n_tok", "doc_id")
+
+
+def test_training_shards_reproducible(spark, tmp_path):
+    """Shard membership and within-shard order are pure functions of the
+    key: two writes from differently-partitioned inputs produce identical
+    per-shard contents in identical order; every row lands in exactly one
+    shard; reading one shard prunes to it."""
+    import pandas as pd
+
+    from data_quality_analyzer_spark.plans import shards as SH
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"),
+    )
+    p1, p2, p3 = (str(tmp_path / d) for d in ("a", "b", "c"))
+    SH.write_training_shards(df, p1, num_shards=8, key_col="doc_id", seed=5)
+    SH.write_training_shards(
+        df.repartition(23), p3, num_shards=8, key_col="doc_id", seed=5
+    )
+    SH.write_training_shards(
+        df.repartition(7), p2, num_shards=8, key_col="doc_id", seed=5,
+        max_records_per_file=50,
+    )
+    a = spark.read.parquet(p1)
+    b = spark.read.parquet(p2)
+    assert a.count() == b.count() == 2000
+    assert a.select("shard").distinct().count() == 8
+    for shard in (0, 3, 7):
+        pa = SH.read_shard(spark, p1, shard).toPandas().reset_index(drop=True)
+        pc = SH.read_shard(spark, p3, shard).toPandas().reset_index(drop=True)
+        # single-file shards: same membership AND same order despite
+        # different input partitioning
+        pd.testing.assert_frame_equal(
+            pa[["doc_id", "text"]], pc[["doc_id", "text"]]
+        )
+        # multi-file shard (maxRecordsPerFile split): membership identical;
+        # cross-file read order is a reader property, not a write contract
+        pb = SH.read_shard(spark, p2, shard).toPandas()
+        assert sorted(pb["doc_id"]) == sorted(pa["doc_id"])
+    # membership is a partition of the corpus
+    assert a.select("doc_id").distinct().count() == 2000
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="num_shards"):
+        SH.write_training_shards(df, str(tmp_path / "c"), 0, "doc_id")
