@@ -76,3 +76,85 @@ def prep_corpus(
             spark, keeps, store_dir, batch_id, max_hamming=max_hamming
         )
     return DD.dedup_image_near(keeps, max_hamming=max_hamming)
+
+
+def prep_text_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    contamination_dir: str | None = None,
+    contamination_threshold: float = 0.8,
+    min_quality_score: float | None = None,
+    jaccard_threshold: float = 0.8,
+    mixing: dict[str, float] | None = None,
+    strata_col: str = "lang",
+    sample_seed: int = 0,
+    shards_path: str | None = None,
+    num_shards: int = 64,
+) -> DataFrame:
+    """The composed DOCUMENT-corpus pipeline — every text stage the engine
+    ships, chained in cost order (cheapest per-row rejection first, pair-
+    producing work on the smallest surviving set):
+
+    1. **heuristic quality filter** (``TX.keep_verdict``: length/token/
+       symbol/stopword/repetition bounds) — map-only;
+    2. **trained quality classifier** (``quality_clf`` Arrow UDF,
+       broadcast weights) when ``min_quality_score`` is given — map-only,
+       runs after the cheap rules so junk never reaches the model;
+    3. **eval-set decontamination** vs a committed gram ledger (optional)
+       — broadcast join, before any dedup so a contaminated doc cannot
+       become a cluster representative;
+    4. **line-level exact dedup** (``dedup_lines``, C4-style boilerplate
+       removal) — BEFORE doc-level dedup so two docs differing only in
+       boilerplate collapse to byte-identical texts the next stage
+       catches;
+    5. **document exact dedup** (``dedup_exact``) — one fingerprint
+       groupBy;
+    6. **document near-dedup** (``dedup_near``: MinHash-LSH → exact
+       Jaccard verify → connected components → keep one per cluster);
+    7. **corpus mixing** (``stratified_sample``) when ``mixing`` weights
+       are given — deterministic hash selection;
+    8. **shard write** (``shards.write_training_shards``) when
+       ``shards_path`` is given — reproducible layout.
+
+    Returns the surviving rows (post-mixing, pre-shard-write schema).
+    Each stage is individually oracle-proven (q23/q49/q50/q25/q37/q44/
+    q52); this composition is the user story and is tested with planted
+    rows exercising every stage (tests/test_pipeline_oracle.py).
+    """
+    from ..functions import quality_clf as QC
+    from ..functions import text as TX
+    from ..operators import dedup as DD
+    from ..operators import sampling as SP
+    from . import lineage as LN
+    from . import shards as SH
+
+    out = docs.filter(
+        F.coalesce(TX.keep_verdict(F.col(text_col)), F.lit(False))
+    )
+    if min_quality_score is not None:
+        q = QC.quality_udf(spark)
+        out = out.withColumn("_qs", q(F.col(text_col))).filter(
+            F.col("_qs") >= min_quality_score
+        ).drop("_qs")
+    if contamination_dir is not None:
+        out = LN.decontaminate_committed(
+            spark, out, contamination_dir,
+            text_col=text_col, id_col=id_col,
+            threshold=contamination_threshold,
+        )
+    out = DD.dedup_lines(out, text_col=text_col, id_col=id_col)
+    out = DD.dedup_exact(out, text_col, id_col)
+    out = DD.dedup_near(
+        out, text_col, id_col, jaccard_threshold=jaccard_threshold
+    )
+    if mixing is not None:
+        out = SP.stratified_sample(
+            out, mixing, strata_col, id_col, seed=sample_seed
+        )
+    if shards_path is not None:
+        SH.write_training_shards(
+            out, shards_path, num_shards, id_col, seed=sample_seed
+        )
+    return out

@@ -237,3 +237,75 @@ def test_prep_corpus_with_decontamination(spark, corpus_path, tmp_path):
     assert dropped.filter(
         F.col("caption") != victim["caption"]
     ).count() == 0
+
+
+def test_prep_text_corpus_every_stage(spark, tmp_path):
+    """The composed document pipeline: one planted row per stage proves
+    each stage fires — heuristic filter, trained classifier,
+    decontamination, line dedup, exact dedup, near dedup, mixing, shard
+    write — and the good rows come through untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.functions import quality_clf as QC
+    from data_quality_analyzer_spark.plans import lineage as LN
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+
+    sents = SC.sentences("en", 12, seed=2024)
+    good_a = " ".join(sents[0:4])
+    good_d = " ".join(sents[4:8])
+    eval_snippet = " ".join(sents[8:10])
+    bp = "subscribe to our newsletter for daily updates"
+    mash = (
+        "the xkcd qwrtz plmnb the vzxcq wertyu asdfgh the zxcvbn qpwoei "
+        "the rutyq mznxbc the lkjhgf"
+    )
+    rows = [
+        (1, good_a, "en"),                       # survives
+        (2, good_a, "en"),                       # exact dup of 1 -> dropped
+        (3, good_a + " trailing extra words appended here", "en"),  # near dup
+        (4, good_d, "en"),                       # survives
+        (5, good_d + " plus " + eval_snippet, "en"),  # contaminated
+        (6, " ".join(sents[10:12]) + "\n" + bp, "en"),   # keeps its BP line
+        (7, "x", "en"),                          # heuristic drop (too short)
+        (8, mash, "en"),                         # classifier drop
+        (9, good_d.replace("the", "die") + " completely other words", "zz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    # sanity: the mash row passes heuristics but fails the classifier
+    from data_quality_analyzer_spark.functions import text as TX
+    import pandas as pd
+
+    assert docs.filter(
+        (F.col("doc_id") == 8) & TX.keep_verdict(F.col("text"))
+    ).count() == 1
+    assert QC.score_batch(pd.Series([mash]), QC.get_model()).iloc[0] < 0.3
+
+    contam = str(tmp_path / "contam")
+    LN.commit_contamination(
+        spark,
+        spark.createDataFrame([(1, eval_snippet)], "doc_id long, text string"),
+        contam,
+        batch_id="bench",
+    )
+    shards = str(tmp_path / "shards")
+    out = prep_text_corpus(
+        spark,
+        docs,
+        contamination_dir=contam,
+        contamination_threshold=0.8,
+        min_quality_score=0.3,
+        mixing={"en": 1.0},
+        shards_path=shards,
+        num_shards=4,
+    )
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert set(got) == {1, 4, 6}
+    assert got[1] == good_a and got[4] == good_d
+    assert got[6].endswith(bp)  # first (only) BP occurrence kept
+    # shards written and consistent with the returned rows
+    written = spark.read.parquet(shards)
+    assert {r["doc_id"] for r in written.select("doc_id").collect()} == {1, 4, 6}
+    assert os.path.isdir(shards)
