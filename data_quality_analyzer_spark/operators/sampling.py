@@ -76,6 +76,10 @@ def stratified_sample(
             raise ValueError(
                 f"fraction for stratum {s_name!r} must be in [0, 1], got {frac}"
             )
+        if "'" in s_name or "\\" in s_name:
+            # stratum names are folded into a CASE literal; quotes would
+            # corrupt the expression (clear error beats a parse failure)
+            raise ValueError(f"stratum name {s_name!r} contains a quote")
     arms = " ".join(
         f"WHEN {strata_col} = '{s_name}' THEN {int(round(frac * SAMPLE_DENOM))}"
         for s_name, frac in sorted(fractions.items())

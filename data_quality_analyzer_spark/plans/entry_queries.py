@@ -1925,8 +1925,10 @@ def q50(spark, sf_dir):
     header survives exactly once, in page 0; duplicated body texts (the
     q25 exact-dup group) collapse to their first page too.  Composes the
     proven P15 explode + A10 min(struct) first-occurrence + A12 re-group
-    shapes; the winner groupBy is a map-side-combining hash agg on the
-    line fingerprint precisely so a hot boilerplate line costs one
+    shapes (reference ancestors: the double-unnest of
+    charge_analysis_checks.py and the duplicate detection of
+    claim_analysis.py:225-247, recast at line granularity); the winner
+    groupBy is a map-side-combining hash agg on the line fingerprint precisely so a hot boilerplate line costs one
     combiner row per partition, never a window-sort pile-up.  The oracle
     expresses the same semantics with a ROW_NUMBER window (fine at DuckDB
     test scale; the Spark side deliberately avoids it)."""
@@ -1982,7 +1984,9 @@ def q51(spark, sf_dir):
     are bit-exact (the q43 poly60 recipe applied to model features), so
     the learned scores get a real value-hash check, not rows-only.
     Returns the score-decile histogram + pass counts at the pipeline's
-    min_quality_score gate."""
+    min_quality_score gate.  Reference ancestor: the rule-based
+    completeness/validity verdicts (additional_charge_checks.py:840-868)
+    upgraded from hand-written rules to a trained model."""
     from ..functions import quality_clf as QC
 
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -2023,7 +2027,10 @@ def q52(spark, sf_dir):
     selection is a pure function of the row key — identical on reruns,
     any cluster size, and in the DuckDB oracle, which reproduces the
     exact same set (this query hash-compares it).  Strata without a
-    weight (zh here) default to 0 visibly in the plan's CASE."""
+    weight (zh here) default to 0 visibly in the plan's CASE.  Reference
+    ancestor: the cost-bounding sampling scan (S7,
+    additional_charge_checks.py:741 `find(query).limit(100)`) upgraded
+    from "any 100 docs" to a deterministic, auditable selection."""
     from ..operators import sampling as SP
 
     d = _t(spark, sf_dir, "documents")
