@@ -846,6 +846,7 @@ def dedup_lines(
     text_col: str = "text",
     id_col: str = "doc_id",
     drop_blank_docs: bool = True,
+    archived_fps: DataFrame | None = None,
 ) -> DataFrame:
     """C4-style LINE-level exact dedup: every non-blank line is kept only
     at its globally-first occurrence (min ``(doc_id, line_no)``), documents
@@ -887,6 +888,16 @@ def dedup_lines(
         .withColumn("_blank", F.trim("_line") == "")
         .withColumn("_fp", F.xxhash64("_line"))
     )
+    if archived_fps is not None:
+        # cross-run mode (lineage.dedup_incremental_lines): lines whose
+        # fingerprint is already committed are dropped OUTRIGHT — their
+        # first occurrence happened in a previous run.  Blank lines keep
+        # their passthrough.
+        arch = archived_fps.select(F.col("fp").alias("_fp"))
+        non_blank = lines.filter(~F.col("_blank")).join(
+            arch, on="_fp", how="left_anti"
+        )
+        lines = non_blank.unionByName(lines.filter(F.col("_blank")))
     winners = (
         lines.filter(~F.col("_blank"))
         .groupBy("_fp")

@@ -800,3 +800,90 @@ def decontaminate_committed(
         docs, grams, text_col=text_col, id_col=id_col, n=n,
         threshold=threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# Line-fingerprint ledger: cross-run C4-style boilerplate removal.
+# ---------------------------------------------------------------------------
+
+LINE_FP_DIR = "_line_fps"
+LINE_MANIFEST = "_line_fp_manifest.json"
+
+
+def read_line_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, LINE_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def read_committed_line_fps(
+    spark: SparkSession, store_dir: str
+) -> DataFrame | None:
+    """(fp) of every COMMITTED batch's kept lines; None when empty."""
+    manifest = read_line_manifest(store_dir)
+    if not manifest["batches"]:
+        return None
+    df = spark.read.parquet(os.path.join(store_dir, LINE_FP_DIR))
+    return df.filter(F.col("batch_id").isin(manifest["batches"])).select("fp")
+
+
+def dedup_incremental_lines(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_blank_docs: bool = True,
+) -> DataFrame:
+    """Cross-run LINE-level dedup with a persistent line-fingerprint
+    ledger — the C4-boilerplate sibling of the document/image/embedding
+    ledgers.  Boilerplate (navigation text, cookie banners) recurs across
+    CRAWLS, not just within one: a line whose fingerprint any committed
+    batch already kept is dropped OUTRIGHT from the new batch (its first
+    occurrence happened in a previous run); the remaining lines then go
+    through the within-batch first-occurrence dedup and documents are
+    reassembled (``dedup.dedup_lines(archived_fps=...)``).
+
+    The ledger stores 8 bytes per distinct kept line (xxhash64), never
+    text, partitioned by batch under the atomic-manifest rule: idempotent
+    replay, torn writes invisible.  Scale shape: the archive join is an
+    equi-join on the line fingerprint (shuffle = new batch's distinct
+    lines), and the commit writes only the SURVIVING lines' distinct
+    fingerprints — the archive grows with unique content, not crawls.
+    """
+    from ..operators import dedup as DD
+
+    manifest = read_line_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return docs.filter(F.lit(False))
+    os.makedirs(store_dir, exist_ok=True)
+    archive = read_committed_line_fps(spark, store_dir)
+    survivors = DD.dedup_lines(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        drop_blank_docs=drop_blank_docs,
+        archived_fps=archive,
+    ).transform(materialize)
+    kept_fps = (
+        survivors.filter(F.col(text_col).isNotNull())
+        .select(
+            F.explode(F.split(F.col(text_col), "\n")).alias("_line")
+        )
+        .filter(F.trim("_line") != "")
+        .select(F.xxhash64("_line").alias("fp"))
+        .distinct()
+    )
+    batch_dir = os.path.join(store_dir, LINE_FP_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
+        shutil.rmtree(batch_dir)
+    kept_fps.write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    tmp = os.path.join(store_dir, LINE_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, LINE_MANIFEST))
+    return survivors

@@ -373,3 +373,53 @@ def test_incremental_embedding_dedup_across_runs(spark, tmp_path):
     assert LN.read_emb_manifest(store)["batches"] == ["r1", "r2"]
     ledger = LN.read_committed_embeddings(spark, store)
     assert ledger.filter(F.col("batch_id") == "r2").count() == 1
+
+
+def test_incremental_line_dedup_across_runs(spark, tmp_path):
+    """The 5th ledger: a boilerplate line committed by batch 1 is dropped
+    outright from batch 2 (its first occurrence is archival), within-batch
+    first-occurrence dedup still applies, replay is idempotent, and torn
+    writes are invisible."""
+    import os
+
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    BP = "accept all cookies to continue browsing"
+    store = str(tmp_path / "lines")
+    b1 = spark.createDataFrame(
+        [
+            (1, f"first article body text\n{BP}\nmore unique prose"),
+            (2, f"{BP}\nsecond article entirely different words"),
+        ],
+        "doc_id long, text string",
+    )
+    out1 = {r["doc_id"]: r["text"] for r in
+            LN.dedup_incremental_lines(spark, b1, store, "b1").collect()}
+    assert BP in out1[1] and BP not in out1[2]   # within-batch first-only
+
+    b2 = spark.createDataFrame(
+        [
+            (10, f"third page fresh content\n{BP}\ntrailing fresh line"),
+            (11, BP),                            # 100% archived -> dropped
+            (12, "more unique prose"),           # line kept by batch 1 -> doc emptied
+            (13, "genuinely new standalone line"),
+        ],
+        "doc_id long, text string",
+    )
+    out2 = {r["doc_id"]: r["text"] for r in
+            LN.dedup_incremental_lines(spark, b2, store, "b2").collect()}
+    assert out2[10] == "third page fresh content\ntrailing fresh line"
+    assert 11 not in out2
+    assert 12 not in out2                        # archived line, doc emptied
+    assert out2[13] == "genuinely new standalone line"
+
+    # idempotent replay: re-running a committed batch returns empty and
+    # does not grow the ledger
+    n_fps = LN.read_committed_line_fps(spark, store).count()
+    assert LN.dedup_incremental_lines(spark, b2, store, "b2").count() == 0
+    assert LN.read_committed_line_fps(spark, store).count() == n_fps
+
+    # torn write invisible: parquet without manifest entry is ignored
+    torn_dir = os.path.join(store, LN.LINE_FP_DIR, "batch_id=torn")
+    spark.createDataFrame([(999,)], "fp long").write.parquet(torn_dir)
+    assert LN.read_committed_line_fps(spark, store).count() == n_fps
