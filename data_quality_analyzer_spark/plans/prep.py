@@ -92,6 +92,8 @@ def prep_text_corpus(
     sample_seed: int = 0,
     shards_path: str | None = None,
     num_shards: int = 64,
+    line_ledger_dir: str | None = None,
+    batch_id: str | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
@@ -144,7 +146,19 @@ def prep_text_corpus(
             text_col=text_col, id_col=id_col,
             threshold=contamination_threshold,
         )
-    out = DD.dedup_lines(out, text_col=text_col, id_col=id_col)
+    if (line_ledger_dir is None) != (batch_id is None):
+        raise ValueError(
+            "line_ledger_dir and batch_id must be given together"
+        )
+    if line_ledger_dir is not None:
+        # cross-run mode: boilerplate committed by previous crawls is
+        # dropped outright; this batch's kept lines are committed
+        out = LN.dedup_incremental_lines(
+            spark, out, line_ledger_dir, batch_id,
+            text_col=text_col, id_col=id_col,
+        )
+    else:
+        out = DD.dedup_lines(out, text_col=text_col, id_col=id_col)
     out = DD.dedup_exact(out, text_col, id_col)
     out = DD.dedup_near(
         out, text_col, id_col, jaccard_threshold=jaccard_threshold

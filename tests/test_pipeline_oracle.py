@@ -309,3 +309,33 @@ def test_prep_text_corpus_every_stage(spark, tmp_path):
     written = spark.read.parquet(shards)
     assert {r["doc_id"] for r in written.select("doc_id").collect()} == {1, 4, 6}
     assert os.path.isdir(shards)
+
+
+def test_prep_text_corpus_cross_run_lines(spark, tmp_path):
+    """prep_text_corpus in cross-run mode: boilerplate kept by run 1 is
+    dropped from run 2's documents via the line ledger."""
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+    import pytest as _pt
+
+    sents = SC.sentences("en", 8, seed=77)
+    bp = " ".join(SC.sentences("en", 1, seed=78))  # boilerplate that passes filters
+    ledger = str(tmp_path / "lines")
+    run1 = spark.createDataFrame(
+        [(1, " ".join(sents[0:3]) + "\n" + bp, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out1 = prep_text_corpus(
+        spark, run1, line_ledger_dir=ledger, batch_id="r1"
+    ).collect()
+    assert bp in out1[0]["text"]
+    run2 = spark.createDataFrame(
+        [(2, " ".join(sents[3:6]) + "\n" + bp, "en")],
+        "doc_id long, text string, lang string",
+    )
+    out2 = prep_text_corpus(
+        spark, run2, line_ledger_dir=ledger, batch_id="r2"
+    ).collect()
+    assert len(out2) == 1 and bp not in out2[0]["text"]
+    with _pt.raises(ValueError, match="batch_id"):
+        prep_text_corpus(spark, run2, line_ledger_dir=ledger)
