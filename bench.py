@@ -300,12 +300,11 @@ def main() -> None:
                 "multi-executor cluster each executor has its own memory bus, and a\n"
                 "single-stage, shuffle-free, no-driver-collect job scales with node\n"
                 "count structurally.\n\n"
-                "(Refreshed round 4 with the trained quality classifier added to the
-pipeline: absolute throughput and both efficiencies are within the
-documented noise band of the round-3 numbers — the extra Arrow UDF
-rides the same fused, shuffle-free stage.)
-
-**Round 3: the ceiling is measured, not asserted**\n"
+                "(Refreshed round 4 with the trained quality classifier added\n"
+                "to the pipeline: absolute throughput and both efficiencies are\n"
+                "within the documented noise band of the round-3 numbers — the\n"
+                "extra Arrow UDF rides the same fused, shuffle-free stage.)\n\n"
+                "**Round 3: the ceiling is measured, not asserted**\n"
                 "(`scripts/membw_triad.py` — STREAM-style triad, one pinned worker\n"
                 "process per core, barrier-synchronized so every worker sweeps the same\n"
                 "wall-clock window, 5 interleaved reps per level, medians):\n\n"
