@@ -743,25 +743,62 @@ def verify_candidate_pairs(
     )
 
 
+DRIVER_CC_MAX_EDGES = 1_000_000  # ~32 MB of int64 pairs on the driver
+
+
+def _driver_union_find(edge_rows) -> list[tuple[int, int]]:
+    """Union-find with min-root tracking — exact same (node, min-label)
+    contract as the distributed loop, for small graphs."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for s, d in edge_rows:
+        for n in (s, d):
+            if n not in parent:
+                parent[n] = n
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # union by MIN so the root IS the canonical min label
+            lo, hi = (rs, rd) if rs < rd else (rd, rs)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    driver_max_edges: int = DRIVER_CC_MAX_EDGES,
 ) -> DataFrame:
     """Connected components of an undirected pair graph → (node, label)
     with label = the MINIMUM node id in the component (the canonical doc).
 
-    Distributed min-label propagation with pointer jumping: each round
-    (1) every node takes the min of its own label and its neighbors'
-    labels (one shuffle join + one aggregate), then (2) follows its
-    label's label (path halving) — so convergence is O(log diameter)
-    rounds, not O(diameter).  No external graph library; every step is a
-    plain DataFrame join, so AQE/skew handling applies as everywhere else.
-    Near-dup pair graphs have tiny components (duplicate clusters), so the
-    loop typically converges in 2-4 rounds; ``max_iter`` is a loud
-    backstop — non-convergence raises instead of returning a wrong
-    clustering.  Lineage is cut per round with ``localCheckpoint`` (the
+    **Small-graph fast path**: verified near-dup edge lists are tiny by
+    construction (bounded by the true duplicate population, not the
+    corpus), so when the distinct edge count is ≤ ``driver_max_edges``
+    (default 10^6 ≈ 32 MB of int64 pairs) the graph is collected and
+    resolved with driver-side union-find — one job instead of 2-4
+    iterative rounds of join+agg+jump+count, each with its own
+    materialization barrier.  The output contract is identical
+    (label = min node id per component; equivalence pinned by tests).
+
+    **Distributed path** (larger graphs, or ``driver_max_edges=0``):
+    min-label propagation with pointer jumping: each round (1) every node
+    takes the min of its own label and its neighbors' labels (one shuffle
+    join + one aggregate), then (2) follows its label's label (path
+    halving) — so convergence is O(log diameter) rounds, not
+    O(diameter).  No external graph library; every step is a plain
+    DataFrame join, so AQE/skew handling applies as everywhere else.
+    ``max_iter`` is a loud backstop — non-convergence raises instead of
+    returning a wrong clustering.  Lineage is cut per round (the
     iterative plan would otherwise grow exponentially).
     """
     edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
@@ -775,6 +812,17 @@ def connected_components(
         .distinct()
         .transform(materialize)
     )
+    if driver_max_edges:
+        # limit()+count probes the size without a full count job when the
+        # graph is huge; for small graphs it IS the full edge list
+        probe = sym.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
+            spark = pairs.sparkSession
+            rows = _driver_union_find((r["_s"], r["_d"]) for r in probe)
+            schema = sym.schema["_s"].dataType.simpleString()
+            return spark.createDataFrame(
+                rows, f"node {schema}, label {schema}"
+            )
     labels = (
         sym.select(F.col("_s").alias("node")).distinct()
         .withColumn("label", F.col("node"))

@@ -768,3 +768,48 @@ def test_materialize_seam_reliable_checkpoint(spark, tmp_path):
     finally:
         sc.setCheckpointDir(None)
         assert sc.getCheckpointDir() is None
+
+
+def test_connected_components_driver_path_equivalence(spark):
+    """The small-graph union-find fast path returns EXACTLY the same
+    (node, min-label) relation as the distributed propagation loop, on a
+    random graph with chains, isolated pairs and a star."""
+    import random
+
+    rng = random.Random(99)
+    edges = set()
+    # random components of various shapes
+    for base in range(0, 500, 50):
+        kind = rng.choice(["chain", "star", "pair"])
+        ids = [base + i for i in range(rng.randint(2, 12))]
+        rng.shuffle(ids)
+        if kind == "chain":
+            edges |= {(a, b) for a, b in zip(ids, ids[1:])}
+        elif kind == "star":
+            edges |= {(ids[0], x) for x in ids[1:]}
+        else:
+            edges.add((ids[0], ids[1]))
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    fast = {
+        (r["node"], r["label"])
+        for r in DD.connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in DD.connected_components(df, driver_max_edges=0).collect()
+    }
+    assert fast == dist and fast
+    # every label is the component minimum (spot property)
+    by_label: dict[int, list[int]] = {}
+    for n, l in fast:
+        by_label.setdefault(l, []).append(n)
+    for l, nodes in by_label.items():
+        assert l == min(nodes)
+    # empty edge list -> empty labels on both paths
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.connected_components(empty).count() == 0
+    assert DD.connected_components(empty, driver_max_edges=0).count() == 0
