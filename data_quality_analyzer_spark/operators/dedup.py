@@ -503,28 +503,36 @@ def fingerprint_near_duplicates(
         int_band_explode("_fp", bands, band_bits).alias("bf"),
     ).select("_id", "_fp", F.col("bf.band").alias("band"), F.col("bf.bb").alias("bb"))
     if max_band_size is not None:
-        hot = (
+        # ONE aggregation pass: oversized buckets are few by definition
+        # (≤ rows/max_band_size), so collect them once and derive the
+        # log, the count, and the exclusion relation from that set
+        hot_rows = (
             band_rows.groupBy("band", "bb")
             .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") > max_band_size)
+            .collect()
         )
-        hot_rows = hot.orderBy(F.desc("_n")).limit(5).collect()
         if hot_rows:
             import logging
 
+            worst = sorted(hot_rows, key=lambda r: -r["_n"])[:5]
             logging.getLogger(__name__).warning(
                 "fingerprint_near_duplicates: excluding %d oversized "
                 "band bucket(s) > max_band_size=%d from candidate "
                 "generation (worst: %s) — pairs whose ONLY shared bands "
                 "are these buckets will be missed; raise bits/bands for "
                 "more band entropy if this matters",
-                hot.count(),
+                len(hot_rows),
                 max_band_size,
-                [(r["band"], r["_n"]) for r in hot_rows],
+                [(r["band"], r["_n"]) for r in worst],
             )
-        band_rows = band_rows.join(
-            hot.select("band", "bb"), on=["band", "bb"], how="left_anti"
-        )
+            spark = df.sparkSession
+            hot_df = spark.createDataFrame(
+                [(r["band"], r["bb"]) for r in hot_rows], "band int, bb bigint"
+            )
+            band_rows = band_rows.join(
+                F.broadcast(hot_df), on=["band", "bb"], how="left_anti"
+            )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (
@@ -665,9 +673,14 @@ def near_duplicates(
     # materialize the candidate pair list: it feeds THREE consumers below
     # (the candidate-id set and both per-side lookups) and is small by
     # LSH design
+    # no materialize here: verify_candidate_pairs immediately
+    # materializes the slim distinct pair relation, which is the only
+    # consumer — a second checkpoint of the same rows would be pure
+    # added latency (the signature relation inside lsh_candidate_pairs
+    # is already checkpointed, so the UDF still runs once)
     cands = lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, k, hash_family
-    ).transform(materialize)
+    )
     return verify_candidate_pairs(
         df, cands, text_col, id_col, jaccard_threshold, k
     )
@@ -813,12 +826,15 @@ def connected_components(
         .transform(materialize)
     )
     if driver_max_edges:
-        # limit()+count probes the size without a full count job when the
-        # graph is huge; for small graphs it IS the full edge list
-        probe = sym.limit(driver_max_edges + 1).collect()
-        if len(probe) <= driver_max_edges:
+        # count the MATERIALIZED relation first (cheap — blocks already
+        # computed); collect only when actually under the cap, so a big
+        # graph never ships 10^6 Row objects to the driver just to
+        # discard them
+        if sym.count() <= driver_max_edges:
             spark = pairs.sparkSession
-            rows = _driver_union_find((r["_s"], r["_d"]) for r in probe)
+            rows = _driver_union_find(
+                (r["_s"], r["_d"]) for r in sym.collect()
+            )
             schema = sym.schema["_s"].dataType.simpleString()
             return spark.createDataFrame(
                 rows, f"node {schema}, label {schema}"

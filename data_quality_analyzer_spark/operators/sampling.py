@@ -71,6 +71,11 @@ def stratified_sample(
 
     Strata absent from ``fractions`` get fraction 0 (dropped); that
     default is visible in the plan's CASE expression, not silent."""
+    if not fractions:
+        raise ValueError(
+            "stratified_sample: empty fractions map (would drop every "
+            "row); pass at least one stratum weight"
+        )
     for s_name, frac in fractions.items():
         if not (0.0 <= frac <= 1.0):
             raise ValueError(

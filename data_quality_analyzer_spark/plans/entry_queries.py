@@ -32,7 +32,13 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLE: dict[str, str] = {}
 
 
-def _register(name: str, sql: str | None):
+def _register(name: str, sql):
+    """``sql`` may be the DuckDB string, None (rows-only check), or a
+    zero-arg callable rendered lazily on first ``oracle_sql()`` — used
+    when building the string is expensive (q51 trains the quality model
+    to embed its weight literal; importers that never touch the oracle
+    should not pay that at import time)."""
+
     def deco(fn: QueryFn) -> QueryFn:
         _QUERIES[name] = fn
         if sql is not None:
@@ -1972,7 +1978,7 @@ def _q51_oracle() -> str:
     """
 
 
-@_register("q51_quality_classifier", _q51_oracle())
+@_register("q51_quality_classifier", _q51_oracle)
 def q51(spark, sf_dir):
     """TRAINED quality classifier (functions/quality_clf.py): fastText-
     style NB linear model over hashed poly60 codepoint trigrams,
@@ -2107,6 +2113,9 @@ def queries() -> dict[str, QueryFn]:
 
 
 def oracle_sql() -> dict[str, str]:
+    for k, v in list(_ORACLE.items()):
+        if callable(v):
+            _ORACLE[k] = v()  # render once, cache
     return dict(_ORACLE)
 
 

@@ -741,13 +741,16 @@ def commit_contamination(
     from ..operators import decontam as DC
 
     manifest = read_contam_manifest(store_dir)
-    if batch_id in manifest["batches"]:
-        return
+    # gram-size check FIRST: a replayed batch_id with a DIFFERENT n must
+    # raise, not silently no-op (the caller would believe an n-gram
+    # ledger exists that does not)
     if manifest["n"] is not None and manifest["n"] != n:
         raise ValueError(
             f"contamination ledger at {store_dir!r} was built with n="
             f"{manifest['n']}, refusing to commit a batch with n={n}"
         )
+    if batch_id in manifest["batches"]:
+        return
     os.makedirs(store_dir, exist_ok=True)
     batch_dir = os.path.join(store_dir, CONTAM_DIR, f"batch_id={batch_id}")
     if os.path.exists(batch_dir):  # torn previous attempt: clean re-write

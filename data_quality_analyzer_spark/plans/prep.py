@@ -152,7 +152,18 @@ def prep_text_corpus(
         )
     if line_ledger_dir is not None:
         # cross-run mode: boilerplate committed by previous crawls is
-        # dropped outright; this batch's kept lines are committed
+        # dropped outright; this batch's kept lines are committed.
+        # A replayed batch_id would return an EMPTY relation (the
+        # ledger's idempotence contract) and then OVERWRITE the shard
+        # output with nothing — refuse loudly instead: the batch's
+        # outputs already exist from the committed run.
+        if batch_id in LN.read_line_manifest(line_ledger_dir)["batches"]:
+            raise ValueError(
+                f"batch_id {batch_id!r} is already committed to the line "
+                f"ledger at {line_ledger_dir!r}; re-prepping it would "
+                "emit an empty corpus over existing outputs — use a new "
+                "batch_id or read the committed outputs"
+            )
         out = LN.dedup_incremental_lines(
             spark, out, line_ledger_dir, batch_id,
             text_col=text_col, id_col=id_col,

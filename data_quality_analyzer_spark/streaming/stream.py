@@ -428,10 +428,11 @@ def streaming_near_dup_verified(
         verified = DD.verify_candidate_pairs(
             store, pairs, text_col, id_col, jaccard_threshold, k
         )
-        (
-            verified.withColumn("epoch", F.lit(epoch_id))
-            .write.mode("overwrite")
-            .parquet(f"{out_dir}/epoch={epoch_id}")
+        # the directory name IS the epoch (partition discovery exposes
+        # it as a column on read); embedding it as a data column too
+        # would store it twice and shadow ambiguously
+        verified.write.mode("overwrite").parquet(
+            f"{out_dir}/epoch={epoch_id}"
         )
 
     return (
