@@ -128,8 +128,15 @@ def compare_with_prior(queries: dict[str, float]) -> dict | None:
     The block rides along in the JSON line; regressions also go to stderr
     so a human running bench.py sees them without parsing."""
     import glob
+    import re
 
-    benches = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    # sort by the parsed round NUMBER, not lexicographically: r100 would
+    # sort before r99 as a string and the guard would silently compare
+    # against the wrong prior
+    benches = sorted(
+        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    )
     if not benches:
         return None
     latest = benches[-1]

@@ -61,6 +61,18 @@ TEMP = 4.0  # margin temperature: sigmoid(TEMP · mean NB margin)
 
 _W1, _W2 = HH.poly_weights(K)
 
+_SHIFT29 = 1 << 29
+_MASK29 = _SHIFT29 - 1
+
+
+def _bucket_from_poly60(h: np.ndarray) -> np.ndarray:
+    """Feature bucket from the combined 60-bit poly hash
+    ``h = h1·2^29 + (h2 mod 2^29)``: XOR-fold the two halves BEFORE the
+    mod so both component hashes reach the bucket.  (The previous
+    ``h % N_BUCKETS`` silently dropped h1 — N_BUCKETS divides 2^29, so
+    only h2's low bits survived; round-4 ADVICE finding.)"""
+    return ((h >> 29) ^ (h & _MASK29)) % N_BUCKETS
+
 
 @dataclass(frozen=True)
 class QualityModel:
@@ -72,7 +84,7 @@ class QualityModel:
         if not isinstance(text, str) or len(text) < K:
             return 0.0
         cps = np.array([ord(c) for c in text], dtype=np.int64)
-        buckets = HH.poly60_np(cps, K) % N_BUCKETS
+        buckets = _bucket_from_poly60(HH.poly60_np(cps, K))
         margin = float(self.weights[buckets].mean())
         return float(1.0 / (1.0 + np.exp(-TEMP * margin)))
 
@@ -109,7 +121,7 @@ def _bucket_counts(texts: list[str]) -> tuple[np.ndarray, int]:
         cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(
             np.int64
         )
-        b = HH.poly60_np(cps, K) % N_BUCKETS
+        b = _bucket_from_poly60(HH.poly60_np(cps, K))
         np.add.at(counts, b, 1.0)
         total += b.size
     return counts, total
@@ -179,7 +191,9 @@ def score_batch(texts: pd.Series, model: QualityModel) -> pd.Series:
         b2 = big[2:][valid]
         h1 = (b0 * w1[0] + b1 * w1[1] + b2 * w1[2]) % HH.POLY_M1
         h2 = (b0 * w2[0] + b1 * w2[1] + b2 * w2[2]) % HH.POLY_M2
-        bucket = (h1 * (1 << 29) + (h2 % (1 << 29))) % N_BUCKETS
+        # == _bucket_from_poly60(h1·2^29 + h2 mod 2^29): h1 < 2^31 is the
+        # top half verbatim, so the XOR-fold applies to (h1, h2 mod 2^29)
+        bucket = (h1 ^ (h2 % _SHIFT29)) % N_BUCKETS
         lg = model.weights[bucket]
         offs = np.zeros(len(enc), dtype=np.int64)
         np.cumsum(cnt[:-1], out=offs[1:])
@@ -216,12 +230,20 @@ def score_duck_sql(text_expr: str, model: QualityModel | None = None) -> str:
     with :func:`score_batch` to float summation order (round to 4 dp)."""
     poly = HH.poly60_duck_sql(K, cps="cps", i="i")
     wl = weights_duck_literal(model)
+    # XOR-fold bucket (see _bucket_from_poly60); the single-element
+    # list_transform let-binds the poly hash so it is evaluated once per
+    # window, not once per half
+    bucket = (
+        f"list_transform([({poly})], "
+        f"h -> CAST(xor(h // {_SHIFT29}, h % {_SHIFT29}) % {N_BUCKETS} "
+        f"AS INT))[1]"
+    )
     return (
         f"CASE WHEN {text_expr} IS NULL OR length({text_expr}) < {K} "
         f"THEN 0.0 ELSE ("
         f"SELECT 1.0 / (1.0 + exp(-{TEMP} * (list_sum(list_transform("
         f"range(1, length({text_expr}) - {K - 2}), "
-        f"i -> wl[CAST(({poly}) % {N_BUCKETS} AS INT) + 1])) "
+        f"i -> wl[({bucket}) + 1])) "
         f"/ (length({text_expr}) - {K - 1}))))"
         f" FROM (SELECT {wl}::DOUBLE[] AS wl, "
         f"list_transform(range(1, length({text_expr}) + 1), "

@@ -110,7 +110,13 @@ def sample_token_budget(
 
     Global order = (bucket, h60, key) — a pseudo-random permutation, so
     the prefix is an unbiased sample.  See module docstring for the
-    two-phase scalable shape."""
+    two-phase scalable shape.
+
+    NULL-cost semantics (pinned; mirrored by the q53 oracle's COALESCE):
+    a row whose ``token_col`` is NULL counts as cost **0 and stays
+    eligible** — it consumes no budget, so it is kept whenever its hash
+    position falls inside the selected prefix.  Filter such rows upstream
+    if "unknown cost" should mean "excluded"."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     h = F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM))

@@ -2061,7 +2061,8 @@ def _q53_oracle() -> str:
     h = f"({HH.h60_sql(key)}) % {SP.SAMPLE_DENOM}"
     return f"""
     WITH o AS (
-      SELECT doc_id, n_chars, {h} AS hh, ({h}) % 1024 AS bkt FROM documents
+      SELECT doc_id, COALESCE(n_chars, 0) AS n_chars,
+             {h} AS hh, ({h}) % 1024 AS bkt FROM documents
     ),
     c AS (
       SELECT doc_id, n_chars,

@@ -107,6 +107,38 @@ def test_token_budget_prefix_contract(docs):
         SP.sample_token_budget(docs, 0, "n_tok", "doc_id")
 
 
+def test_token_budget_null_cost_rows_kept(spark):
+    """Pinned NULL-cost semantic (round-4 ADVICE): NULL token counts cost
+    0 and stay ELIGIBLE — the engine must keep exactly the rows a global
+    COALESCE(cost, 0) running-sum prefix would keep, so the q53 oracle's
+    COALESCE mirrors the engine rather than diverging on NULLs."""
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        # every 5th row has an unknown cost
+        F.when(F.col("id") % 5 != 0, F.col("id") % 97 + 5).alias("n_tok"),
+    )
+    budget = 20_000
+    got = SP.sample_token_budget(
+        docs, budget, "n_tok", "doc_id", seed=9, num_buckets=32
+    )
+    rows = got.collect()
+    picked = {r["doc_id"] for r in rows}
+    # NULL-cost rows do appear in the selection
+    assert any(r["n_tok"] is None for r in rows)
+    # reference: global prefix over (bucket, hash, key) order with
+    # COALESCE(cost, 0) — computed driver-side from the same hash exprs
+    hashed = docs.withColumn(
+        "_h", F.pmod(SP._h60_key("doc_id", 9), F.lit(SP.SAMPLE_DENOM))
+    ).withColumn("_b", F.pmod(F.col("_h"), F.lit(32))).collect()
+    acc, want = 0, set()
+    for r in sorted(hashed, key=lambda r: (r["_b"], r["_h"], r["doc_id"])):
+        if acc >= budget:
+            break
+        want.add(r["doc_id"])
+        acc += r["n_tok"] or 0
+    assert picked == want
+
+
 def test_training_shards_reproducible(spark, tmp_path):
     """Shard membership and within-shard order are pure functions of the
     key: two writes from differently-partitioned inputs produce identical
