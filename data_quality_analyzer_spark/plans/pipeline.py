@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import caption_scores as CS
 from ..functions import langid as LI
 from ..functions import perplexity as PX
 from ..functions import quality_clf as QC
@@ -103,6 +104,8 @@ def run_pipeline(
     images: DataFrame,
     settings: CFG.PipelineSettings | None = None,
     short_circuit: bool = True,
+    fuse_scores: bool = True,
+    with_quality_clf: bool = True,
 ) -> DataFrame:
     """images(input_hint schema) → verdict table.
 
@@ -114,6 +117,13 @@ def run_pipeline(
     sees every row) — the keep verdict is identical either way because a
     gated row already failed a critical rule; only the skipped rules' flags
     and fail_rules entries differ (tested both ways).
+
+    ``fuse_scores=False`` runs the three caption scorers as separate
+    pandas UDFs (the pre-round-5 shape: three Arrow copies of the caption
+    column) instead of the fused struct UDF — identical results, kept as
+    the measurable A/B for the attribution bench.  ``with_quality_clf=
+    False`` skips the trained-classifier stage entirely (its rule passes
+    vacuously) — bench attribution only; production keeps it on.
     """
     s = settings or CFG.DEFAULT_SETTINGS
     c = F.col("caption")
@@ -165,16 +175,34 @@ def run_pipeline(
     )
     c_gated = F.when(gate, c)
 
-    # -- stage 2: model scores (Arrow-batched pandas UDFs) -----------------
-    langid = LI.langid_udf(spark)
-    ppl = PX.perplexity_udf(spark)
-    qclf = QC.quality_udf(spark)
-    df = df.withColumn("_li", langid(c_gated)).withColumn(
-        "perplexity", ppl(c_gated)
-    ).withColumn("quality_score", qclf(c_gated))
-    df = df.withColumn("lang_pred", F.col("_li.lang_pred")).withColumn(
-        "lang_conf", F.col("_li.lang_conf")
-    ).drop("_li")
+    # -- stage 2: model scores (Arrow-batched pandas UDFs).  Default path:
+    # ONE fused struct-returning UDF — the caption batch crosses the Arrow
+    # channel once for all three scorers (round-4 VERDICT finding 2) -------
+    if fuse_scores and with_quality_clf:
+        scores = CS.caption_scores_udf(spark)
+        df = df.withColumn("_cs", scores(c_gated))
+        df = df.withColumns(
+            {
+                "lang_pred": F.col("_cs.lang_pred"),
+                "lang_conf": F.col("_cs.lang_conf"),
+                "perplexity": F.col("_cs.perplexity"),
+                "quality_score": F.col("_cs.quality"),
+            }
+        ).drop("_cs")
+    else:
+        # same output column ORDER as the fused path (lang_pred, lang_conf,
+        # perplexity, quality_score) so the two are frame-identical
+        df = df.withColumn("_li", LI.langid_udf(spark)(c_gated))
+        df = df.withColumn("lang_pred", F.col("_li.lang_pred")).withColumn(
+            "lang_conf", F.col("_li.lang_conf")
+        ).drop("_li")
+        df = df.withColumn("perplexity", PX.perplexity_udf(spark)(c_gated))
+        df = df.withColumn(
+            "quality_score",
+            QC.quality_udf(spark)(c_gated)
+            if with_quality_clf
+            else F.lit(1.0),
+        )
     df = df.withColumns(
         {
             "pass_lang_confident": F.coalesce(
