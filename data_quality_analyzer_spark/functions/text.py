@@ -62,6 +62,30 @@ def n_chars(col: Column) -> Column:
     return F.coalesce(F.length(col), F.lit(0))
 
 
+# BPE-ish subword tokenizer pattern (GPT-2 family, lookahead-free so the
+# same pattern is valid in both Java regex and RE2): contraction suffixes,
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+# This is THE token unit training pipelines budget with (q42 fertility, q54
+# token-budget sampling).
+BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword token count via ``regexp_count`` — JVM-side codegen, no
+    UDF; NULL text → 0 (the pinned NULL-cost rule of the samplers)."""
+    return F.coalesce(
+        F.regexp_count(col, F.lit(BPE_PAT)).cast("long"), F.lit(0)
+    )
+
+
+def bpe_token_count_sql(c: str) -> str:
+    """DuckDB twin of :func:`bpe_token_count`."""
+    pat = BPE_PAT.replace("'", "''")
+    return (
+        f"COALESCE(CAST(len(regexp_extract_all({c}, '{pat}')) AS BIGINT), 0)"
+    )
+
+
 _ALNUM_SPACE = (
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 "
 )

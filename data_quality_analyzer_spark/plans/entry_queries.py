@@ -1426,10 +1426,9 @@ def q41(spark, sf_dir):
     )
 
 
-# BPE-ish subword tokenizer pattern (GPT-2 family, lookahead-free so the
-# same pattern is valid in both Java regex and RE2): contraction suffixes,
-# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
-_BPE_PAT = r"'(?:[sdmt]|ll|ve|re)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+# BPE-ish subword tokenizer pattern — canonical definition lives in
+# functions/text.py (shared with the q54 token-budget sampler).
+_BPE_PAT = TX.BPE_PAT
 
 
 @_register(
@@ -2102,6 +2101,93 @@ def q53(spark, sf_dir):
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.bit_xor("doc_id").alias("id_checksum"),
     )
+
+
+_Q54_BUDGET = 15_000  # BPE tokens — lands mid-corpus at every test SF
+
+
+def _q54_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import sampling as SP
+
+    key = "concat('11:', CAST(doc_id AS VARCHAR))"
+    h = f"({HH.h60_sql(key)}) % {SP.SAMPLE_DENOM}"
+    tok = TX.bpe_token_count_sql("text")
+    return f"""
+    WITH o AS (
+      SELECT doc_id, {tok} AS n_tok,
+             {h} AS hh, ({h}) % 512 AS bkt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (ORDER BY bkt, hh, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM o
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           bit_xor(doc_id) AS id_checksum
+    FROM c WHERE cum - n_tok < {_Q54_BUDGET}
+    """
+
+
+@_register("q54_token_budget_bpe", _q54_oracle())
+def q54(spark, sf_dir):
+    """TOKEN-denominated budget sampling (round-4 VERDICT task 4): "take
+    N **tokens** of web text", with tokens counted by the q42 BPE-ish
+    subword regex (``TX.bpe_token_count`` — pure ``regexp_count``, JVM
+    codegen).  The count column is derived ONCE upstream of the sampler —
+    ``sample_token_budget`` accepts any additive cost column, so the
+    budget unit is now the unit mixtures are actually specified in
+    (closing the q53 gap where the budget was chars).  Same two-phase
+    scalable plan as q53: per-bucket sums to the driver, plain filter for
+    full buckets, a window over ONLY the cutoff bucket.  The oracle is
+    the equivalent global-prefix rule over (bucket, hash, key) order with
+    the identical DuckDB token count."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_tok", TX.bpe_token_count(F.col("text"))
+    )
+    got = SP.sample_token_budget(
+        d, _Q54_BUDGET, "_tok", "doc_id", seed=11, num_buckets=512
+    )
+    return got.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").cast("long").alias("total_tokens"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
+_Q55_BLOCKED = ("src3", "src7", "src15")
+
+
+@_register(
+    "q55_domain_blocklist",
+    f"""
+    SELECT lower(trim(source)) AS domain,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN lower(trim(source)) IN {_Q55_BLOCKED}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+           CAST(SUM(CASE WHEN lower(trim(source)) IN {_Q55_BLOCKED}
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+    FROM documents GROUP BY lower(trim(source))
+    """,
+)
+def q55(spark, sf_dir):
+    """DOMAIN/SOURCE blocklist audit (operators/domains.py, round-4
+    VERDICT task 5): per-domain keep/drop counts under a curated
+    blocklist — the cheapest reject in the pipeline, run BEFORE any
+    content analysis.  The blocklist folds into the plan as an ``isin``
+    literal (pure map-side codegen, zero shuffle; DataFrame-sized lists
+    go through a broadcast anti-join instead — same operator).  One hash
+    aggregate produces the audit table a curator reviews before trusting
+    a blocklist change.  Reference ancestor: the P2 membership filter
+    (claim_analysis.py:30-35 ``$in`` over a category column)."""
+    from ..operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents")
+    return DM.domain_keep_stats(d, list(_Q55_BLOCKED), "source")
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,16 @@ def main() -> None:
     ap.add_argument("--strata-col", default="lang")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--num-shards", type=int, default=64)
+    ap.add_argument("--blocked-sources", default=None,
+                    help="comma-separated domain/source blocklist (stage 0)")
+    ap.add_argument("--source-col", default="source")
+    ap.add_argument("--line-ledger", default=None,
+                    help="cross-run line-fingerprint ledger dir (optional; "
+                         "requires --batch-id)")
+    ap.add_argument("--batch-id", default=None)
+    ap.add_argument("--funnel", action="store_true",
+                    help="print the per-stage drop funnel (one extra "
+                         "count per stage)")
     ap.add_argument("--cpus", type=int, default=None,
                     help="local[N] override; omit under spark-submit")
     args = ap.parse_args()
@@ -63,6 +73,7 @@ def main() -> None:
     from data_quality_analyzer_spark.plans.prep import prep_text_corpus
 
     docs = spark.read.parquet(args.input)
+    funnel: list | None = [] if args.funnel else None
     out = prep_text_corpus(
         spark,
         docs,
@@ -76,13 +87,23 @@ def main() -> None:
         sample_seed=args.seed,
         shards_path=args.output,
         num_shards=args.num_shards,
+        blocked_sources=(
+            args.blocked_sources.split(",") if args.blocked_sources else None
+        ),
+        source_col=args.source_col,
+        line_ledger_dir=args.line_ledger,
+        batch_id=args.batch_id,
+        funnel=funnel,
     )
     n = spark.read.parquet(args.output).count()
-    print(json.dumps({
+    result = {
         "kept_rows": n,
         "output": args.output,
         "num_shards": args.num_shards,
-    }))
+    }
+    if funnel is not None:
+        result["funnel"] = funnel
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

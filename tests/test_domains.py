@@ -1,0 +1,171 @@
+"""Domain/source blocklist operator: URL normalization, exact vs
+subdomain matching, list vs DataFrame blocklists, allow mode, NULL
+policy, audit stats, and the prep_text_corpus stage-0 wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.operators import domains as DM
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "https://WWW.Spam.com:8080/page?q=1", "x"),
+        (1, "http://user@sub.spam.com/path", "x"),
+        (2, "good.org", "x"),
+        (3, "https://news.good.org/a", "x"),
+        (4, None, "x"),
+        (5, "spam.com", "x"),
+        (6, "notspam.com", "x"),  # suffix must NOT match '.spam.com'
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_extract_domain(spark, docs):
+    got = {
+        r["doc_id"]: r["d"]
+        for r in docs.select(
+            "doc_id", DM.extract_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert got == {
+        0: "spam.com",
+        1: "sub.spam.com",
+        2: "good.org",
+        3: "news.good.org",
+        4: None,
+        5: "spam.com",
+        6: "notspam.com",
+    }
+    # DuckDB twin agrees
+    import duckdb
+    import pandas as pd
+
+    pdf = docs.toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {DM.extract_domain_sql('url')} FROM d"
+        ).fetchall()
+    )
+    assert duck == got
+
+
+def test_blocklist_exact_and_subdomains(docs):
+    # exact: only the bare spam.com rows drop
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, ["Spam.com"], "url", is_url=True
+        ).collect()
+    }
+    assert kept == {1, 2, 3, 4, 6}
+    # with subdomains: sub.spam.com drops too; notspam.com survives
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, ["spam.com"], "url", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert kept == {2, 3, 4, 6}
+
+
+def test_blocklist_dataframe_side(spark, docs):
+    bl = spark.createDataFrame([("spam.com",)], "domain string")
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(docs, bl, "url", is_url=True).collect()
+    }
+    assert kept == {1, 2, 3, 4, 6}
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, bl, "url", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert kept == {2, 3, 4, 6}
+    with pytest.raises(ValueError, match="one column"):
+        DM.apply_blocklist(docs, docs, "url")
+
+
+def test_allow_mode_null_policy(spark, docs):
+    # allowlist: NULL domain rows cannot pass
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, ["good.org"], "url", mode="allow", is_url=True,
+            with_subdomains=True,
+        ).collect()
+    }
+    assert kept == {2, 3}
+    bl = spark.createDataFrame([("good.org",)], "domain string")
+    kept_df = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, bl, "url", mode="allow", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert kept_df == {2, 3}
+    # blocklist mode keeps NULL-domain rows
+    assert 4 in {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, ["good.org"], "url", is_url=True
+        ).collect()
+    }
+    with pytest.raises(ValueError, match="mode"):
+        DM.apply_blocklist(docs, ["x"], "url", mode="drop")
+
+
+def test_keep_stats(docs):
+    stats = {
+        r["domain"]: (r["n_docs"], r["n_blocked"], r["n_kept"])
+        for r in DM.domain_keep_stats(
+            docs, ["spam.com"], "url", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert stats["spam.com"] == (2, 2, 0)
+    assert stats["sub.spam.com"] == (1, 1, 0)
+    assert stats["good.org"] == (1, 0, 1)
+    assert stats["notspam.com"] == (1, 0, 1)
+    assert stats[None] == (1, 0, 1)
+
+
+def test_blocklist_is_map_only(docs):
+    """The literal path must stay a pure filter: no shuffle, no UDF."""
+    plan = (
+        DM.apply_blocklist(docs, ["spam.com"], "url", is_url=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_prep_text_corpus_stage0(spark):
+    """Planted blocked domain: its docs never survive prep, and the stage
+    runs before content heuristics (a PERFECT doc from a blocked source
+    still drops)."""
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps by the door while the cat watches the quiet garden path"
+    )
+    rows = [
+        (1, good, "en", "goodsite"),
+        (2, good + " again and again the story continues", "en", "badsite"),
+        (3, good + " yet another fine sentence for the corpus", "en", "goodsite"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = prep_text_corpus(spark, docs, blocked_sources=["badsite"])
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 2 not in ids
+    assert ids == {1, 3}
