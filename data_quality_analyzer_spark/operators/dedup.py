@@ -460,6 +460,70 @@ def simhash_near_duplicates(
     )
 
 
+# default hot-band cap for the UNATTENDED cross-run ledger joins
+# (plans/lineage.py): incremental dedup runs across crawls with nobody
+# watching the plan, which is exactly where a degenerate band bucket
+# accretes (round-4 VERDICT task 7; the C(400,2)=79,800-pair blowup is
+# measured in tests/test_skew.py).  5k distinct keys in one bucket caps
+# the worst per-bucket join at ~2.5×10^7 comparisons while staying far
+# above any plausible true near-dup cluster of DISTINCT fingerprints.
+# Interactive/batch paths keep opt-in (None) — their plans are watched
+# and the pigeonhole recall guarantee stays unconditional there.
+LEDGER_MAX_BAND_SIZE = 5_000
+
+
+def exclude_hot_band_buckets(
+    band_rows: DataFrame,
+    key_cols: list[str],
+    max_band_size: int,
+    what: str,
+    extra_rows: DataFrame | None = None,
+) -> DataFrame:
+    """Drop rows of ``band_rows`` whose band-bucket key holds more than
+    ``max_band_size`` rows — LOUDLY (count + worst sizes logged, never a
+    silent cap).  ``extra_rows`` adds a second relation to the bucket
+    CENSUS only (the ledger case: a bucket may be small in the new batch
+    but huge in the archive, and the quadratic cost is the PRODUCT —
+    census over the union, then excluding the bucket from one equi-join
+    side kills all its pairs, so only ``band_rows`` needs filtering).
+
+    One aggregation pass: oversized buckets are few by definition
+    (≤ rows/max_band_size), so they collect to the driver and broadcast
+    back as an anti-join relation."""
+    census = band_rows.select(*key_cols)
+    if extra_rows is not None:
+        census = census.unionByName(extra_rows.select(*key_cols))
+    hot_rows = (
+        census.groupBy(*key_cols)
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_band_size)
+        .collect()
+    )
+    if not hot_rows:
+        return band_rows
+    import logging
+
+    worst = sorted(hot_rows, key=lambda r: -r["_n"])[:5]
+    logging.getLogger(__name__).warning(
+        "%s: excluding %d oversized band bucket(s) > max_band_size=%d "
+        "from candidate generation (worst: %s) — pairs whose ONLY shared "
+        "bands are these buckets will be missed; raise bits/bands for "
+        "more band entropy if this matters",
+        what,
+        len(hot_rows),
+        max_band_size,
+        [(r[key_cols[0]], r["_n"]) for r in worst],
+    )
+    spark = band_rows.sparkSession
+    schema = ", ".join(
+        f"{c} {band_rows.schema[c].dataType.simpleString()}" for c in key_cols
+    )
+    hot_df = spark.createDataFrame(
+        [tuple(r[c] for c in key_cols) for r in hot_rows], schema
+    )
+    return band_rows.join(F.broadcast(hot_df), on=key_cols, how="left_anti")
+
+
 def fingerprint_near_duplicates(
     df: DataFrame,
     fp_col: str,
@@ -503,36 +567,10 @@ def fingerprint_near_duplicates(
         int_band_explode("_fp", bands, band_bits).alias("bf"),
     ).select("_id", "_fp", F.col("bf.band").alias("band"), F.col("bf.bb").alias("bb"))
     if max_band_size is not None:
-        # ONE aggregation pass: oversized buckets are few by definition
-        # (≤ rows/max_band_size), so collect them once and derive the
-        # log, the count, and the exclusion relation from that set
-        hot_rows = (
-            band_rows.groupBy("band", "bb")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") > max_band_size)
-            .collect()
+        band_rows = exclude_hot_band_buckets(
+            band_rows, ["band", "bb"], max_band_size,
+            what="fingerprint_near_duplicates",
         )
-        if hot_rows:
-            import logging
-
-            worst = sorted(hot_rows, key=lambda r: -r["_n"])[:5]
-            logging.getLogger(__name__).warning(
-                "fingerprint_near_duplicates: excluding %d oversized "
-                "band bucket(s) > max_band_size=%d from candidate "
-                "generation (worst: %s) — pairs whose ONLY shared bands "
-                "are these buckets will be missed; raise bits/bands for "
-                "more band entropy if this matters",
-                len(hot_rows),
-                max_band_size,
-                [(r["band"], r["_n"]) for r in worst],
-            )
-            spark = df.sparkSession
-            hot_df = spark.createDataFrame(
-                [(r["band"], r["bb"]) for r in hot_rows], "band int, bb bigint"
-            )
-            band_rows = band_rows.join(
-                F.broadcast(hot_df), on=["band", "bb"], how="left_anti"
-            )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     pairs = (

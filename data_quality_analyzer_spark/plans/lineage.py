@@ -353,6 +353,7 @@ def dedup_incremental_near(
     num_hashes: int = 16,
     bands: int = 4,
     k: int = 5,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Cross-run NEAR-dup dedup with a persistent minhash-SIGNATURE ledger
     (the near-dup sibling of :func:`dedup_incremental` — an incremental
@@ -383,7 +384,15 @@ def dedup_incremental_near(
     and torn-write cleanup follow the exact ledger's rules.  At 10^12 rows
     a production deployment materializes the archive's band index as a
     table partitioned by (band, fp-prefix) instead of deriving it per run.
-    """
+
+    **Hot-band cap is ON by default here** (``max_band_size=None`` →
+    ``dedup.LEDGER_MAX_BAND_SIZE``): ledger joins run unattended across
+    crawls, exactly where a degenerate band bucket accretes.  The census
+    spans new batch + archive (a bucket small in the batch but huge in
+    the archive still joins quadratically); oversized buckets are
+    excluded LOUDLY (``dedup.exclude_hot_band_buckets``).  Pass
+    ``max_band_size=0`` to disable (restores the unconditional pigeonhole
+    recall guarantee)."""
     from ..operators import dedup as DD
 
     manifest = read_near_manifest(store_dir)
@@ -409,12 +418,19 @@ def dedup_incremental_near(
     archive = read_committed_signatures(spark, store_dir)
     drop_ids = None
     if archive is not None:
+        if max_band_size is None:
+            max_band_size = DD.LEDGER_MAX_BAND_SIZE
         new_bands = sigs.select(
             "_id", DD.band_fp_explode("_sig", bands, rows_per_band).alias("bf")
         ).select("_id", "bf.band", "bf.fp")
         old_bands = archive.select(
             "sid", DD.band_fp_explode("sig", bands, rows_per_band).alias("bf")
         ).select("sid", "bf.band", "bf.fp")
+        if max_band_size:
+            new_bands = DD.exclude_hot_band_buckets(
+                new_bands, ["band", "fp"], max_band_size,
+                what="dedup_incremental_near", extra_rows=old_bands,
+            )
         cand = (
             new_bands.join(old_bands, ["band", "fp"])
             .select("_id", "sid")
@@ -499,6 +515,7 @@ def dedup_incremental_image(
     bands: int = 4,
     max_hamming: int = 3,
     bits: int = 64,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Cross-run IMAGE near-dup dedup with a persistent phash ledger — the
     image-payload sibling of :func:`dedup_incremental_near`.  The ledger
@@ -517,6 +534,10 @@ def dedup_incremental_image(
 
     Pass rows pre-filtered to valid images (decodable, the pipeline's keep
     set) — fingerprints of undecodable rows are not meaningful.
+
+    Hot-band cap ON by default (census = new ∪ archive, loud exclusion;
+    ``max_band_size=0`` disables) — same rationale as
+    :func:`dedup_incremental_near`.
     """
     from ..operators import dedup as DD
 
@@ -528,6 +549,8 @@ def dedup_incremental_image(
     survivors = images
     archive = read_committed_phashes(spark, store_dir)
     if archive is not None:
+        if max_band_size is None:
+            max_band_size = DD.LEDGER_MAX_BAND_SIZE
         new_fps = images.select(F.col(fp_col).alias("_fp")).distinct()
         new_bands = new_fps.select(
             "_fp", DD.int_band_explode("_fp", bands, band_bits).alias("bf")
@@ -535,6 +558,11 @@ def dedup_incremental_image(
         old_bands = archive.select(F.col(fp_col).alias("_ofp")).distinct().select(
             "_ofp", DD.int_band_explode("_ofp", bands, band_bits).alias("bf")
         ).select("_ofp", "bf.band", "bf.bb")
+        if max_band_size:
+            new_bands = DD.exclude_hot_band_buckets(
+                new_bands, ["band", "bb"], max_band_size,
+                what="dedup_incremental_image", extra_rows=old_bands,
+            )
         hit = (
             new_bands.join(old_bands, ["band", "bb"])
             .filter(
@@ -619,6 +647,7 @@ def dedup_incremental_embedding(
     bands: int = 4,
     max_hamming: int = 2,
     min_cos: float = 0.995,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Cross-run EMBEDDING near-dup dedup with a persistent ledger — the
     embedding-payload sibling of :func:`dedup_incremental_image`.
@@ -653,6 +682,8 @@ def dedup_incremental_embedding(
     survivors = df
     archive = read_committed_embeddings(spark, store_dir)
     if archive is not None:
+        if max_band_size is None:
+            max_band_size = DD.LEDGER_MAX_BAND_SIZE
         new_rows = (
             df.select(id_col, vec_col)
             .withColumn("_efp", fp_expr)
@@ -669,6 +700,11 @@ def dedup_incremental_embedding(
             "efp",
             DD.int_band_explode("efp", bands, band_bits).alias("bf"),
         ).select("_ov", "efp", "bf.band", "bf.bb")
+        if max_band_size:
+            new_bands = DD.exclude_hot_band_buckets(
+                new_bands, ["band", "bb"], max_band_size,
+                what="dedup_incremental_embedding", extra_rows=old_bands,
+            )
         hit = (
             new_bands.join(old_bands, ["band", "bb"])
             .filter(
@@ -832,7 +868,7 @@ def read_committed_line_fps(
     return df.filter(F.col("batch_id").isin(manifest["batches"])).select("fp")
 
 
-def dedup_incremental_lines(
+def prepare_incremental_lines(
     spark: SparkSession,
     docs: DataFrame,
     store_dir: str,
@@ -841,22 +877,22 @@ def dedup_incremental_lines(
     id_col: str = "doc_id",
     drop_blank_docs: bool = True,
 ) -> DataFrame:
-    """Cross-run LINE-level dedup with a persistent line-fingerprint
-    ledger — the C4-boilerplate sibling of the document/image/embedding
-    ledgers.  Boilerplate (navigation text, cookie banners) recurs across
-    CRAWLS, not just within one: a line whose fingerprint any committed
-    batch already kept is dropped OUTRIGHT from the new batch (its first
-    occurrence happened in a previous run); the remaining lines then go
-    through the within-batch first-occurrence dedup and documents are
-    reassembled (``dedup.dedup_lines(archived_fps=...)``).
+    """PREPARE half of the cross-run line-level dedup: runs the dedup
+    against the committed archive and writes this batch's surviving line
+    fingerprints to the ledger's data directory — but does NOT commit the
+    manifest.  Call :func:`finalize_incremental_lines` once the batch's
+    downstream outputs (shards, verdict tables) are durable.
 
-    The ledger stores 8 bytes per distinct kept line (xxhash64), never
-    text, partitioned by batch under the atomic-manifest rule: idempotent
-    replay, torn writes invisible.  Scale shape: the archive join is an
-    equi-join on the line fingerprint (shuffle = new batch's distinct
-    lines), and the commit writes only the SURVIVING lines' distinct
-    fingerprints — the archive grows with unique content, not crawls.
-    """
+    Why the split (round-4 ADVICE): committing the ledger before the
+    corpus output exists means a crash in between loses the batch — a
+    retry with the same batch_id is refused (idempotence contract) and a
+    retry with a new batch_id drops every line as 'already seen'.  With
+    prepare/finalize, a crash before finalize leaves the batch
+    UNCOMMITTED: the torn fingerprint parquet is invisible (manifest
+    rule) and a clean retry re-prepares from scratch.
+
+    Idempotent replay of a COMMITTED batch still returns the empty
+    relation here."""
     from ..operators import dedup as DD
 
     manifest = read_line_manifest(store_dir)
@@ -884,9 +920,62 @@ def dedup_incremental_lines(
     if os.path.exists(batch_dir):  # torn previous attempt: clean re-write
         shutil.rmtree(batch_dir)
     kept_fps.write.parquet(batch_dir)
+    return survivors
+
+
+def finalize_incremental_lines(store_dir: str, batch_id: str) -> None:
+    """FINALIZE half: atomically commit ``batch_id`` to the line-ledger
+    manifest.  Refuses if the prepare phase's parquet is absent (nothing
+    to commit); replaying an already-committed batch is a no-op."""
+    manifest = read_line_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return
+    batch_dir = os.path.join(store_dir, LINE_FP_DIR, f"batch_id={batch_id}")
+    if not os.path.exists(batch_dir):
+        raise ValueError(
+            f"finalize_incremental_lines: no prepared fingerprints at "
+            f"{batch_dir!r} — run prepare_incremental_lines first"
+        )
     manifest["batches"] = sorted(manifest["batches"] + [batch_id])
     tmp = os.path.join(store_dir, LINE_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(store_dir, LINE_MANIFEST))
+
+
+def dedup_incremental_lines(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    drop_blank_docs: bool = True,
+) -> DataFrame:
+    """Cross-run LINE-level dedup with a persistent line-fingerprint
+    ledger — the C4-boilerplate sibling of the document/image/embedding
+    ledgers.  Boilerplate (navigation text, cookie banners) recurs across
+    CRAWLS, not just within one: a line whose fingerprint any committed
+    batch already kept is dropped OUTRIGHT from the new batch (its first
+    occurrence happened in a previous run); the remaining lines then go
+    through the within-batch first-occurrence dedup and documents are
+    reassembled (``dedup.dedup_lines(archived_fps=...)``).
+
+    The ledger stores 8 bytes per distinct kept line (xxhash64), never
+    text, partitioned by batch under the atomic-manifest rule: idempotent
+    replay, torn writes invisible.  Scale shape: the archive join is an
+    equi-join on the line fingerprint (shuffle = new batch's distinct
+    lines), and the commit writes only the SURVIVING lines' distinct
+    fingerprints — the archive grows with unique content, not crawls.
+
+    This convenience form commits IMMEDIATELY (prepare + finalize in one
+    call) — correct when the survivors relation itself is the output.
+    When downstream durable outputs follow (shard writes), use
+    :func:`prepare_incremental_lines` + :func:`finalize_incremental_lines`
+    around them instead (``prep_text_corpus`` does)."""
+    survivors = prepare_incremental_lines(
+        spark, docs, store_dir, batch_id,
+        text_col=text_col, id_col=id_col, drop_blank_docs=drop_blank_docs,
+    )
+    finalize_incremental_lines(store_dir, batch_id)  # no-op on replay
     return survivors

@@ -94,11 +94,17 @@ def prep_text_corpus(
     num_shards: int = 64,
     line_ledger_dir: str | None = None,
     batch_id: str | None = None,
+    blocked_sources: list[str] | None = None,
+    source_col: str = "source",
+    funnel: list | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
     producing work on the smallest surviving set):
 
+    0. **domain/source blocklist** (``domains.apply_blocklist``) when
+       ``blocked_sources`` is given — the cheapest reject of all: a
+       plan-literal membership filter, before any content is read;
     1. **heuristic quality filter** (``TX.keep_verdict``: length/token/
        symbol/stopword/repetition bounds) — map-only;
     2. **trained quality classifier** (``quality_clf`` Arrow UDF,
@@ -124,39 +130,95 @@ def prep_text_corpus(
     Each stage is individually oracle-proven (q23/q49/q50/q25/q37/q44/
     q52); this composition is the user story and is tested with planted
     rows exercising every stage (tests/test_pipeline_oracle.py).
+
+    **Funnel audit** (round-4 VERDICT task 8): pass ``funnel=[]`` and the
+    list fills with one dict per executed stage — ``{"stage", "rows",
+    "dropped"}`` plus ``lines_in``/``lines_out`` on the line-dedup stage
+    (boilerplate lines removed; docs emptied show up in its ``dropped``)
+    and the contamination stage's ``dropped`` = contamination hits — so
+    the lineage explains the whole funnel, not just the end count.  Each
+    audited stage boundary is materialized and counted (one extra action
+    per stage; the default ``funnel=None`` adds zero work).
+    ``funnel_metrics_df`` turns the list into a DataFrame for writing
+    next to the corpus.
+
+    **Ledger commit ordering** (round-4 ADVICE): in cross-run mode the
+    line ledger is PREPARED before and FINALIZED only after the shard
+    write succeeds, so a crash mid-write leaves the batch uncommitted and
+    cleanly retryable instead of permanently swallowed.
     """
     from ..functions import quality_clf as QC
     from ..functions import text as TX
     from ..operators import dedup as DD
+    from ..operators import domains as DM
     from ..operators import sampling as SP
     from . import lineage as LN
     from . import shards as SH
 
-    out = docs.filter(
+    from ..exec_utils import materialize
+
+    n_lines = F.size(
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
+            lambda ln: F.trim(ln) != "",
+        )
+    )
+
+    def audit(out, stage, prev_rows, lines=False):
+        """Stage-boundary funnel row; returns (out, rows_at_boundary)."""
+        if funnel is None:
+            return out, None
+        out = materialize(out)
+        entry = {"stage": stage, "rows": out.count()}
+        if prev_rows is not None:
+            entry["dropped"] = prev_rows - entry["rows"]
+        if lines:
+            entry["lines_out"] = out.agg(
+                F.sum(n_lines).cast("long")
+            ).collect()[0][0] or 0
+        funnel.append(entry)
+        return out, entry["rows"]
+
+    out, n = audit(docs, "input", None)
+    if blocked_sources is not None:
+        out = DM.apply_blocklist(out, blocked_sources, source_col)
+        out, n = audit(out, "blocklist", n)
+    out = out.filter(
         F.coalesce(TX.keep_verdict(F.col(text_col)), F.lit(False))
     )
+    out, n = audit(out, "heuristics", n)
     if min_quality_score is not None:
         q = QC.quality_udf(spark)
         out = out.withColumn("_qs", q(F.col(text_col))).filter(
             F.col("_qs") >= min_quality_score
         ).drop("_qs")
+        out, n = audit(out, "quality_clf", n)
     if contamination_dir is not None:
         out = LN.decontaminate_committed(
             spark, out, contamination_dir,
             text_col=text_col, id_col=id_col,
             threshold=contamination_threshold,
         )
+        # dropped here = contamination hits
+        out, n = audit(out, "decontamination", n)
     if (line_ledger_dir is None) != (batch_id is None):
         raise ValueError(
             "line_ledger_dir and batch_id must be given together"
         )
+    lines_in = (
+        None
+        if funnel is None
+        else out.agg(F.sum(n_lines).cast("long")).collect()[0][0] or 0
+    )
     if line_ledger_dir is not None:
         # cross-run mode: boilerplate committed by previous crawls is
-        # dropped outright; this batch's kept lines are committed.
-        # A replayed batch_id would return an EMPTY relation (the
-        # ledger's idempotence contract) and then OVERWRITE the shard
-        # output with nothing — refuse loudly instead: the batch's
-        # outputs already exist from the committed run.
+        # dropped outright; this batch's kept lines are PREPARED now and
+        # the ledger manifest is finalized only after the shard write
+        # succeeds (commit-ordering rule, docstring).  A replayed
+        # batch_id would return an EMPTY relation (the ledger's
+        # idempotence contract) and then OVERWRITE the shard output with
+        # nothing — refuse loudly instead: the batch's outputs already
+        # exist from the committed run.
         if batch_id in LN.read_line_manifest(line_ledger_dir)["batches"]:
             raise ValueError(
                 f"batch_id {batch_id!r} is already committed to the line "
@@ -164,22 +226,53 @@ def prep_text_corpus(
                 "emit an empty corpus over existing outputs — use a new "
                 "batch_id or read the committed outputs"
             )
-        out = LN.dedup_incremental_lines(
+        out = LN.prepare_incremental_lines(
             spark, out, line_ledger_dir, batch_id,
             text_col=text_col, id_col=id_col,
         )
     else:
         out = DD.dedup_lines(out, text_col=text_col, id_col=id_col)
+    # dropped here = docs emptied by line removal (drop_blank_docs)
+    out, n = audit(out, "line_dedup", n, lines=True)
+    if funnel is not None:
+        funnel[-1]["lines_in"] = lines_in
     out = DD.dedup_exact(out, text_col, id_col)
+    out, n = audit(out, "exact_dedup", n)
     out = DD.dedup_near(
         out, text_col, id_col, jaccard_threshold=jaccard_threshold
     )
+    out, n = audit(out, "near_dedup", n)
     if mixing is not None:
         out = SP.stratified_sample(
             out, mixing, strata_col, id_col, seed=sample_seed
         )
+        out, n = audit(out, "mixing", n)
     if shards_path is not None:
         SH.write_training_shards(
             out, shards_path, num_shards, id_col, seed=sample_seed
         )
+    if line_ledger_dir is not None:
+        # durable outputs exist (or none were requested): commit point
+        LN.finalize_incremental_lines(line_ledger_dir, batch_id)
     return out
+
+
+def funnel_metrics_df(spark: SparkSession, funnel: list) -> DataFrame:
+    """The collected funnel as a writable DataFrame (stage order kept via
+    an explicit index column)."""
+    rows = [
+        (
+            i,
+            e["stage"],
+            e["rows"],
+            e.get("dropped"),
+            e.get("lines_in"),
+            e.get("lines_out"),
+        )
+        for i, e in enumerate(funnel)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "stage_idx int, stage string, rows long, dropped long, "
+        "lines_in long, lines_out long",
+    )

@@ -397,15 +397,29 @@ def streaming_near_dup_verified(
     Why verify lives in foreachBatch, not stream state: the verify needs
     both documents' shingle sets — pulling texts into stream state would
     make state corpus-sized.  The store at ``doc_store_dir`` is the
-    ingest-side parquet of everything streamed so far (the same pattern as
-    the lineage ledgers: the stream writes docs as they arrive, so both
-    pair sides are present by the time their candidate emits).  Per batch
-    the store scan is pruned to candidate ids by the broadcast semi-join
+    ingest-side parquet of everything streamed so far.  Per batch the
+    store scan is pruned to candidate ids by the broadcast semi-join
     inside the shared verify.
+
+    **Pending-pair retry** (round-4 ADVICE): the ingest path that writes
+    the store gives NO ordering guarantee against the candidate stream —
+    a pair can emit before one of its documents is committed to the
+    store.  Dropping such a pair would be permanent recall loss (the
+    stateful candidate stage never re-emits a seen band collision).
+    Instead, pairs with either id absent from the store are DIVERTED to a
+    pending relation and retried on every subsequent batch until both
+    docs appear.  The pending set is committed per epoch under the same
+    atomic-pointer rule as the lineage ledgers (torn writes invisible;
+    idempotent epoch replay).  A missing or still-empty store no longer
+    kills the first batch — everything diverts to pending.
 
     Sink: verified (id_a, id_b, jaccard) parquet partitioned by epoch —
     idempotent replay (overwrite per epoch), exactly-once effect.
     """
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
     from ..operators import dedup as DD  # noqa: PLC0415
 
     cands = streaming_near_dup_candidates(
@@ -419,21 +433,77 @@ def streaming_near_dup_verified(
         hash_family=hash_family,
         timeout_minutes=timeout_minutes,
     )
+    pending_base = os.path.join(out_dir, "_pending_pairs")
+    pointer = os.path.join(pending_base, "_current.json")
+
+    def _read_pending() -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        with open(pointer) as f:
+            d = json.load(f)["dir"]
+        return spark.read.parquet(os.path.join(pending_base, d))
+
+    def _commit_pending(df: DataFrame, epoch_id: int) -> None:
+        d = f"v{epoch_id}"
+        target = os.path.join(pending_base, d)
+        if os.path.exists(target):  # epoch replay: clean torn attempt
+            shutil.rmtree(target)
+        df.write.parquet(target)
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"dir": d}, f)
+        os.replace(tmp, pointer)  # atomic commit point
+        for old in os.listdir(pending_base):  # best-effort GC
+            if old.startswith("v") and old != d:
+                shutil.rmtree(os.path.join(pending_base, old), ignore_errors=True)
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        os.makedirs(pending_base, exist_ok=True)
         pairs = batch_df.select(
             F.col("id_first").alias("id_a"), F.col("id_new").alias("id_b")
-        ).distinct()
-        store = spark.read.parquet(doc_store_dir)
-        verified = DD.verify_candidate_pairs(
-            store, pairs, text_col, id_col, jaccard_threshold, k
         )
-        # the directory name IS the epoch (partition discovery exposes
-        # it as a column on read); embedding it as a data column too
-        # would store it twice and shadow ambiguously
-        verified.write.mode("overwrite").parquet(
-            f"{out_dir}/epoch={epoch_id}"
-        )
+        prev = _read_pending()
+        if prev is not None:
+            pairs = pairs.unionByName(prev)
+        pairs = pairs.distinct()
+        try:
+            store = spark.read.parquet(doc_store_dir)
+        except Exception:  # store dir absent/empty: no docs committed yet
+            store = None
+        if store is not None:
+            # presence check at store scale: prune the store's id column
+            # by the SMALL candidate-id set (broadcast), then broadcast
+            # the intersection back — the store never shuffles
+            ids = (
+                pairs.select(F.col("id_a").alias("_cid"))
+                .unionByName(pairs.select(F.col("id_b").alias("_cid")))
+                .distinct()
+            )
+            present = (
+                store.select(F.col(id_col).alias("_cid"))
+                .join(F.broadcast(ids), "_cid", "left_semi")
+                .distinct()
+            )
+            ready = pairs.join(
+                F.broadcast(present.withColumnRenamed("_cid", "id_a")),
+                "id_a", "left_semi",
+            ).join(
+                F.broadcast(present.withColumnRenamed("_cid", "id_b")),
+                "id_b", "left_semi",
+            )
+            still_pending = pairs.join(ready, ["id_a", "id_b"], "left_anti")
+            verified = DD.verify_candidate_pairs(
+                store, ready, text_col, id_col, jaccard_threshold, k
+            )
+            # the directory name IS the epoch (partition discovery
+            # exposes it as a column on read); embedding it as a data
+            # column too would store it twice and shadow ambiguously
+            verified.write.mode("overwrite").parquet(
+                f"{out_dir}/epoch={epoch_id}"
+            )
+        else:
+            still_pending = pairs
+        _commit_pending(still_pending, epoch_id)
 
     return (
         cands.writeStream.foreachBatch(_sink)

@@ -813,3 +813,36 @@ def test_connected_components_driver_path_equivalence(spark):
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert DD.connected_components(empty).count() == 0
     assert DD.connected_components(empty, driver_max_edges=0).count() == 0
+
+
+def test_connected_components_distributed_path_on_q44_graph(spark):
+    """Round-4 VERDICT task 6: the union-find fast path now serves every
+    bench/test graph, so the distributed min-label loop must be pinned on
+    the REAL q44 near-dup pair graph (not just synthetic shapes) or it
+    rots.  Forces ``driver_max_edges=0`` on the exact q37/q44 pair
+    pipeline and asserts label-identical output.  Timing for both paths
+    at bench scale lives in PLANS.md (scripts/cc_path_timing.py)."""
+    from data_quality_analyzer_spark.operators import dedup as DD
+    from data_quality_analyzer_spark.plans import entry_queries as EQ
+
+    pairs = DD.near_duplicates(
+        EQ._q37_input(spark, "/root/testdata/sf0.001"), "text", "doc_id",
+        jaccard_threshold=0.8, num_hashes=EQ._NUM_HASHES_37,
+        bands=EQ._BANDS_37, k=EQ._K_37,
+    ).transform(
+        __import__(
+            "data_quality_analyzer_spark.exec_utils", fromlist=["materialize"]
+        ).materialize
+    )
+    assert pairs.count() > 0  # the fixture plants near-dup twins
+    fast = {
+        (r["node"], r["label"])
+        for r in DD.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in DD.connected_components(
+            pairs, driver_max_edges=0
+        ).collect()
+    }
+    assert fast == dist and fast

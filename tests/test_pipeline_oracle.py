@@ -85,6 +85,28 @@ def test_every_rule_has_failures(aligned):
         assert (~o[f"pass_{k}"]).sum() > 0, f"rule {k} never fails in fixture"
 
 
+def test_fused_scores_identical_and_single_arrow_node(spark, corpus_path):
+    """Round-5 UDF fusion contract: the fused struct-returning caption
+    scorer produces a frame IDENTICAL to the three separate UDFs, and the
+    verdict plan stays ONE ArrowEvalPython node with zero exchanges (the
+    caption batch crosses the Arrow channel once)."""
+    import re
+
+    images = spark.read.parquet(corpus_path)
+    fused = run_pipeline(spark, images, fuse_scores=True).drop("bytes")
+    split = run_pipeline(spark, images, fuse_scores=False).drop("bytes")
+    a = fused.toPandas().sort_values(
+        ["image_id", "caption"], na_position="first"
+    ).reset_index(drop=True)
+    b = split.toPandas().sort_values(
+        ["image_id", "caption"], na_position="first"
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 1
+    assert "Exchange" not in plan
+
+
 def test_bytes_passthrough(spark, corpus_path, spark_verdicts):
     """Byte-exact passthrough invariant (input_hint)."""
     src = (
@@ -253,7 +275,7 @@ def test_prep_text_corpus_every_stage(spark, tmp_path):
     from data_quality_analyzer_spark.plans.prep import prep_text_corpus
     from data_quality_analyzer_spark.sources import seed_corpus as SC
 
-    sents = SC.sentences("en", 12, seed=2024)
+    sents = SC.sentences("en", 16, seed=2024)
     good_a = " ".join(sents[0:4])
     good_d = " ".join(sents[4:8])
     eval_snippet = " ".join(sents[8:10])
@@ -272,6 +294,7 @@ def test_prep_text_corpus_every_stage(spark, tmp_path):
         (7, "x", "en"),                          # heuristic drop (too short)
         (8, mash, "en"),                         # classifier drop
         (9, good_d.replace("the", "die") + " completely other words", "zz"),
+        (10, " ".join(sents[12:15]) + "\n" + bp, "en"),  # loses its BP line
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     # sanity: the mash row passes heuristics but fails the classifier
@@ -291,6 +314,7 @@ def test_prep_text_corpus_every_stage(spark, tmp_path):
         batch_id="bench",
     )
     shards = str(tmp_path / "shards")
+    funnel: list = []
     out = prep_text_corpus(
         spark,
         docs,
@@ -300,15 +324,48 @@ def test_prep_text_corpus_every_stage(spark, tmp_path):
         mixing={"en": 1.0},
         shards_path=shards,
         num_shards=4,
+        funnel=funnel,
     )
     got = {r["doc_id"]: r["text"] for r in out.collect()}
-    assert set(got) == {1, 4, 6}
+    assert set(got) == {1, 4, 6, 10}
     assert got[1] == good_a and got[4] == good_d
-    assert got[6].endswith(bp)  # first (only) BP occurrence kept
+    assert got[6].endswith(bp)  # first BP occurrence (min doc id) kept
+    assert bp not in got[10]    # later occurrence removed, doc survives
     # shards written and consistent with the returned rows
     written = spark.read.parquet(shards)
-    assert {r["doc_id"] for r in written.select("doc_id").collect()} == {1, 4, 6}
+    assert {r["doc_id"] for r in written.select("doc_id").collect()} == {
+        1, 4, 6, 10,
+    }
     assert os.path.isdir(shards)
+    # funnel audit (round-4 VERDICT task 8): every stage explains its drop
+    assert [e["stage"] for e in funnel] == [
+        "input", "heuristics", "quality_clf", "decontamination",
+        "line_dedup", "exact_dedup", "near_dedup", "mixing",
+    ]
+    by = {e["stage"]: e for e in funnel}
+    assert by["input"]["rows"] == 10
+    assert by["heuristics"]["dropped"] == 1        # row 7
+    assert by["quality_clf"]["dropped"] == 1       # row 8
+    assert by["decontamination"]["dropped"] == 1   # row 5 (contam hits)
+    # row 2 (byte-identical to row 1) is EMPTIED here: every one of its
+    # lines is a repeat of row 1's — the "docs emptied" funnel metric.
+    # (Cross-doc line dedup subsumes exact doc dedup on identical docs.)
+    assert by["line_dedup"]["dropped"] == 1
+    # two repeated lines removed: row 2's only line + row 10's bp copy
+    assert by["line_dedup"]["lines_in"] - by["line_dedup"]["lines_out"] == 2
+    assert by["exact_dedup"]["dropped"] == 0       # already eaten above
+    # rows 3 AND 9: 9's "die"-substituted text is still J≈0.81 to row 4,
+    # so it falls to near-dedup before mixing's zz-weight-0 could drop it
+    assert by["near_dedup"]["dropped"] == 2
+    assert by["mixing"]["dropped"] == 0
+    assert by["mixing"]["rows"] == 4
+    from data_quality_analyzer_spark.plans.prep import funnel_metrics_df
+
+    fdf = funnel_metrics_df(spark, funnel)
+    assert fdf.count() == 8
+    assert fdf.filter(F.col("stage") == "line_dedup").collect()[0][
+        "lines_in"
+    ] == by["line_dedup"]["lines_in"]
 
 
 def test_prep_text_corpus_cross_run_lines(spark, tmp_path):
@@ -339,3 +396,54 @@ def test_prep_text_corpus_cross_run_lines(spark, tmp_path):
     assert len(out2) == 1 and bp not in out2[0]["text"]
     with _pt.raises(ValueError, match="batch_id"):
         prep_text_corpus(spark, run2, line_ledger_dir=ledger)
+
+
+def test_line_ledger_finalize_after_shard_write(spark, tmp_path, monkeypatch):
+    """Round-4 ADVICE (medium): the line ledger must commit AFTER the
+    shard write.  A crash between prepare and the shard write leaves the
+    batch UNCOMMITTED — the archive is unchanged, and a clean retry with
+    the SAME batch_id succeeds instead of silently dropping the batch's
+    content as 'already seen'."""
+    import pytest as _pt
+
+    from data_quality_analyzer_spark.plans import lineage as LN
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+
+    sents = SC.sentences("en", 6, seed=31)
+    docs = spark.createDataFrame(
+        [(1, " ".join(sents[0:3]), "en"), (2, " ".join(sents[3:6]), "en")],
+        "doc_id long, text string, lang string",
+    )
+    ledger = str(tmp_path / "lines")
+    # inject a crash in the shard write — AFTER the line stage prepared
+    from data_quality_analyzer_spark.plans import shards as SH_mod
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected shard-write failure")
+
+    monkeypatch.setattr(SH_mod, "write_training_shards", boom)
+    with _pt.raises(RuntimeError, match="injected"):
+        prep_text_corpus(
+            spark, docs, line_ledger_dir=ledger, batch_id="b1",
+            shards_path=str(tmp_path / "never_written"),
+        )
+    monkeypatch.undo()
+    # the crash left the batch UNCOMMITTED (manifest rule): torn
+    # fingerprints are invisible and the archive is empty
+    assert LN.read_line_manifest(ledger)["batches"] == []
+    assert LN.read_committed_line_fps(spark, ledger) is None
+    # clean retry with the SAME batch_id: succeeds, all content present
+    shards = str(tmp_path / "shards")
+    out = prep_text_corpus(
+        spark, docs, line_ledger_dir=ledger, batch_id="b1",
+        shards_path=shards,
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 2}
+    assert LN.read_line_manifest(ledger)["batches"] == ["b1"]
+    assert {
+        r["doc_id"] for r in spark.read.parquet(shards).collect()
+    } == {1, 2}
+    # finalize without prepare refuses loudly
+    with _pt.raises(ValueError, match="prepare"):
+        LN.finalize_incremental_lines(ledger, "never_prepared")

@@ -193,3 +193,61 @@ def test_hot_band_cap_recall_contract(spark):
         df, "fp", "vid", max_band_size=50
     ).collect()
     assert any({p["id_a"], p["id_b"]} == {0, 7000} for p in got)
+
+
+def test_ledger_hot_band_cap_default_on(spark, tmp_path, caplog, monkeypatch):
+    """Round-4 VERDICT task 7: the cross-run ledgers run unattended, so
+    their band joins carry the hot-band cap BY DEFAULT.  Plants a hot
+    band across the archive (60 distinct phashes sharing band 0; the
+    LEDGER_MAX_BAND_SIZE dial is lowered to 10 so the 60-row plant trips
+    the DEFAULT code path, not an explicit argument), then a new batch
+    where (a) a doc whose ONLY link to committed content is the hot band
+    survives with the loud log (the documented recall contract), (b) a
+    doc matching via healthy bands still drops, and (c) disabling the
+    cap (max_band_size=0) restores the pigeonhole behavior and drops the
+    hot-band-only doc too."""
+    import logging
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    monkeypatch.setattr(DD, "LEDGER_MAX_BAND_SIZE", 10)
+
+    fps = _hot_band_fps(60)
+    batch_a = spark.createDataFrame(
+        [(i, fp) for i, fp in enumerate(fps)], "image_id long, phash long"
+    )
+    # only-hot-band doc: flip one bit in each NON-hot band of fps[0] ->
+    # Hamming 3 (a true near-dup), but bands 1-3 all differ, so the only
+    # shared band bucket is the oversized one
+    q_only_hot = fps[0] ^ (1 << 20) ^ (1 << 36) ^ (1 << 52)
+    r_exact = fps[1]  # shares healthy bands 1-3 -> must drop either way
+    clean = 0x0123_4567_89AB_0001
+    batch_b = spark.createDataFrame(
+        [(1000, q_only_hot), (1001, r_exact), (1002, clean)],
+        "image_id long, phash long",
+    )
+
+    for store, cap in ((str(tmp_path / "capped"), None),
+                       (str(tmp_path / "uncapped"), 0)):
+        kw = {} if cap is None else {"max_band_size": cap}
+        LN.dedup_incremental_image(
+            spark, batch_a, store, "a", max_hamming=3, **kw
+        ).count()  # commit the archive
+        with caplog.at_level(logging.WARNING):
+            caplog.clear()
+            kept = {
+                r["image_id"]
+                for r in LN.dedup_incremental_image(
+                    spark, batch_b, store, "b", max_hamming=3, **kw
+                ).collect()
+            }
+        if cap is None:  # default-on cap
+            assert kept == {1000, 1002}  # recall loss on 1000, by contract
+            assert any(
+                "dedup_incremental_image" in r.message
+                and "oversized" in r.message
+                for r in caplog.records
+            )
+        else:  # cap disabled: pigeonhole recall, hot-band doc drops too
+            assert kept == {1002}
