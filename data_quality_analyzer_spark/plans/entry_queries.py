@@ -2190,6 +2190,66 @@ def q55(spark, sf_dir):
     return DM.domain_keep_stats(d, list(_Q55_BLOCKED), "source")
 
 
+def _q56_oracle() -> str:
+    from ..operators import repetition as RP
+
+    metrics = RP.token_ngram_metrics_duck_sql()
+    return f"""
+    WITH m AS ({metrics})
+    SELECT d.lang, m.n,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(m.top_frac), 4) AS avg_top_frac,
+           ROUND(AVG(m.dup_frac), 4) AS avg_dup_frac,
+           CAST(SUM(CASE WHEN (CASE WHEN m.n < 5 THEN m.top_frac
+                                    ELSE m.dup_frac END)
+                         > (CASE m.n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18
+                                     ELSE 0.15 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over_gopher
+    FROM m JOIN documents d USING (doc_id)
+    GROUP BY d.lang, m.n
+    """
+
+
+@_register("q56_gopher_repetition", _q56_oracle())
+def q56(spark, sf_dir):
+    """GOPHER n-gram repetition metrics (operators/repetition.py): the
+    published phrase-level repetition rules — top-n-gram character
+    fraction (n=2,3) and duplicated-n-gram character fraction (n=5),
+    Rae et al. 2021 Table A1 thresholds — aggregated per language with
+    over-threshold counts.  This is the analytics (explode + two hash
+    aggregates) form; the map-only Arrow kernel twin for filter-stage
+    use at 10^12 rows is ``repetition_metrics_udf`` (equality pinned in
+    tests/test_repetition.py).  Complements the heuristic ``repetition``
+    rule (distinct-token ratio), which phrase loops evade.  Reference
+    ancestor: the duplicate re-aggregation quirk (A12) upgraded from
+    exact rows to phrase statistics."""
+    from ..operators import repetition as RP
+
+    d = _t(spark, sf_dir, "documents")
+    # lang rides through the metric aggregations as a group key — no
+    # corpus-to-corpus join at any scale
+    m = RP.token_ngram_metrics(d, carry_cols=("lang",))
+    gate = F.when(F.col("n") < 5, F.col("top_frac")).otherwise(
+        F.col("dup_frac")
+    )
+    thr = (
+        F.when(F.col("n") == 2, F.lit(0.20))
+        .when(F.col("n") == 3, F.lit(0.18))
+        .otherwise(F.lit(0.15))
+    )
+    return (
+        m.groupBy("lang", "n")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("top_frac"), 4).alias("avg_top_frac"),
+            F.round(F.avg("dup_frac"), 4).alias("avg_dup_frac"),
+            F.sum(F.when(gate > thr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_over_gopher"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

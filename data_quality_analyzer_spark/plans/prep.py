@@ -96,6 +96,7 @@ def prep_text_corpus(
     batch_id: str | None = None,
     blocked_sources: list[str] | None = None,
     source_col: str = "source",
+    max_dup5_frac: float | None = None,
     funnel: list | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
@@ -107,6 +108,10 @@ def prep_text_corpus(
        plan-literal membership filter, before any content is read;
     1. **heuristic quality filter** (``TX.keep_verdict``: length/token/
        symbol/stopword/repetition bounds) — map-only;
+    1b. **Gopher phrase-repetition gate** (``repetition_metrics_udf``)
+       when ``max_dup5_frac`` is given — drops docs whose duplicated
+       5-gram character fraction exceeds the bound (phrase loops that
+       evade the distinct-token-ratio heuristic); map-only Arrow kernel;
     2. **trained quality classifier** (``quality_clf`` Arrow UDF,
        broadcast weights) when ``min_quality_score`` is given — map-only,
        runs after the cheap rules so junk never reaches the model;
@@ -187,6 +192,14 @@ def prep_text_corpus(
         F.coalesce(TX.keep_verdict(F.col(text_col)), F.lit(False))
     )
     out, n = audit(out, "heuristics", n)
+    if max_dup5_frac is not None:
+        from ..operators import repetition as RP
+
+        rep = RP.repetition_metrics_udf(ns=(5,))
+        out = out.withColumn("_rep", rep(F.col(text_col))).filter(
+            F.col("_rep.dup_frac_5") <= max_dup5_frac
+        ).drop("_rep")
+        out, n = audit(out, "gopher_repetition", n)
     if min_quality_score is not None:
         q = QC.quality_udf(spark)
         out = out.withColumn("_qs", q(F.col(text_col))).filter(

@@ -41,6 +41,9 @@ def main() -> None:
                     help="committed eval gram-ledger dir (optional)")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="trained-classifier gate (omit to skip the model)")
+    ap.add_argument("--max-dup5", type=float, default=None,
+                    help="Gopher duplicated-5-gram char-fraction gate "
+                         "(omit to skip the phrase-repetition stage)")
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--mixing", default=None,
                     help='JSON stratum→fraction map, e.g. \'{"en": 0.6}\'')
@@ -81,6 +84,7 @@ def main() -> None:
         id_col=args.id_col,
         contamination_dir=args.contamination,
         min_quality_score=args.min_quality,
+        max_dup5_frac=args.max_dup5,
         jaccard_threshold=args.jaccard,
         mixing=json.loads(args.mixing) if args.mixing else None,
         strata_col=args.strata_col,
