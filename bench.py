@@ -132,10 +132,16 @@ def compare_with_prior(queries: dict[str, float]) -> dict | None:
 
     # sort by the parsed round NUMBER, not lexicographically: r100 would
     # sort before r99 as a string and the guard would silently compare
-    # against the wrong prior
+    # against the wrong prior; files without an r<digits> suffix
+    # (BENCH_rerun.json etc.) are ignored, not crashed on
+    def _round_num(p: str):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        return int(m.group(1)) if m else None
+
     benches = sorted(
-        glob.glob(os.path.join(REPO, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        (p for p in glob.glob(os.path.join(REPO, "BENCH_r*.json"))
+         if _round_num(p) is not None),
+        key=_round_num,
     )
     if not benches:
         return None

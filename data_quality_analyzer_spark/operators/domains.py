@@ -23,8 +23,10 @@ URL normalization: ``extract_domain`` lowercases and strips scheme /
 userinfo / port / path via one regex so ``https://WWW.Spam.com:8080/x``
 and ``www.spam.com`` hit the same blocklist row.  Subdomain policy is
 explicit: ``with_subdomains=True`` blocks ``evil.com`` AND
-``*.evil.com`` (suffix match on the reversed-label key), else exact
-match only.
+``*.evil.com`` (a domain matches iff any of its label-suffixes is a
+blocklist entry — flat ``arrays_overlap`` for list blocklists, a
+suffix-explode semi-join for DataFrame blocklists), else exact match
+only.
 """
 
 from __future__ import annotations
@@ -57,10 +59,34 @@ def extract_domain_sql(c: str) -> str:
     return f"CASE WHEN {host} = '' THEN NULL ELSE {host} END"
 
 
-def _domain_key(domain: Column) -> Column:
-    """Reversed-label suffix key ('a.evil.com' → 'com.evil.a') so a
-    subdomain block is a PREFIX relation of the parent's key."""
-    return F.concat_ws(".", F.reverse(F.split(domain, r"\.")))
+def _suffix_candidates(dom: Column) -> Column:
+    """All label-suffixes of a domain as an array ('a.b.evil.com' →
+    ['a.b.evil.com', 'b.evil.com', 'evil.com', 'com']) — a domain is
+    blocked-with-subdomains iff any suffix is a blocklist entry.  ≤ ~6
+    elements for real domains."""
+    labels = F.split(dom, r"\.")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.concat_ws(".", F.slice(labels, i + 1, F.size(labels))),
+    )
+
+
+def _listed_literal(
+    dom: Column, entries: list[str], with_subdomains: bool
+) -> Column:
+    """Membership of ``dom`` in a python-list blocklist, as a flat plan
+    expression: plain ``isin`` for exact matching; for subdomain
+    matching, ``arrays_overlap`` between the row's suffix candidates and
+    ONE array literal — flat regardless of blocklist size (a chained
+    ``endswith`` Or-tree would nest thousands of Catalyst nodes deep and
+    overflow analysis at curated-blocklist sizes)."""
+    if not entries:
+        return F.lit(False)
+    if not with_subdomains:
+        return dom.isin(entries)
+    return F.arrays_overlap(
+        _suffix_candidates(dom), F.lit(entries)
+    )
 
 
 def apply_blocklist(
@@ -99,8 +125,7 @@ def apply_blocklist(
         if with_subdomains:
             # resolve the LISTED DOMAIN SET first, then one equi-join on
             # the corpus: distinct corpus domains (a tiny relation next to
-            # the corpus) explode into their ≤~6 suffix candidates
-            # ('a.b.evil.com' → itself, 'b.evil.com', 'evil.com', 'com'),
+            # the corpus) explode into their ≤~6 suffix candidates,
             # semi-join the broadcast blocklist, and the surviving
             # domains — bounded by corpus-distinct ∩ blocked, normally
             # ≲ blocklist-sized — broadcast back for the final row filter.
@@ -109,15 +134,7 @@ def apply_blocklist(
                 .filter(F.col("_dom").isNotNull())
                 .distinct()
             )
-            labels = F.split(F.col("_dom"), r"\.")
-            cand = F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size(labels) - 1),
-                    lambda i: F.concat_ws(
-                        ".", F.slice(labels, i + 1, F.size(labels))
-                    ),
-                )
-            )
+            cand = F.explode(_suffix_candidates(F.col("_dom")))
             hit = (
                 doms.withColumn("_cand", cand)
                 .join(
@@ -140,10 +157,7 @@ def apply_blocklist(
             f"blocklist has {len(entries)} entries; pass it as a DataFrame "
             f"(broadcast join) above {MAX_LITERAL_BLOCKLIST}"
         )
-    listed = dom.isin(entries) if entries else F.lit(False)
-    if with_subdomains and entries:
-        for e in entries:
-            listed = listed | dom.endswith("." + e)
+    listed = _listed_literal(dom, entries, with_subdomains)
     cond = (
         F.coalesce(~listed, F.lit(True))
         if mode == "block"
@@ -168,11 +182,14 @@ def domain_keep_stats(
         else F.lower(F.trim(F.col(source_col)))
     )
     entries = sorted({b.strip().lower() for b in blocked if b and b.strip()})
-    listed = dom.isin(entries) if entries else F.lit(False)
-    if with_subdomains and entries:
-        for e in entries:
-            listed = listed | dom.endswith("." + e)
-    listed = F.coalesce(listed, F.lit(False))
+    if len(entries) > MAX_LITERAL_BLOCKLIST:
+        raise ValueError(
+            f"blocklist has {len(entries)} entries; above "
+            f"{MAX_LITERAL_BLOCKLIST} join a DataFrame blocklist instead"
+        )
+    listed = F.coalesce(
+        _listed_literal(dom, entries, with_subdomains), F.lit(False)
+    )
     return (
         df.groupBy(dom.alias("domain"))
         .agg(

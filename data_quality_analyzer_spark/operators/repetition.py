@@ -44,6 +44,8 @@ exact-row duplicates to phrase-level repetition statistics.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -171,13 +173,21 @@ _SCORE_CHUNK = 2048
 # affine mixes — windows differing in any position get independent hashes.
 
 
+# Java-regex \s = [ \t\n\x0B\f\r] (ASCII only) — Python str.split()
+# splits on UNICODE whitespace (U+00A0 etc.), which would silently
+# diverge from the explode form on crawled HTML; pin the Java set.
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _metrics_chunk(
     texts: list[str], ns: tuple[int, ...]
 ) -> dict[int, np.ndarray]:
     """(top_frac, dup_frac) arrays per n for one chunk of non-null texts.
     Fully vectorized: one token-hash pass, per-n window combine, one
     lexsort per n, run-length counts, per-doc reduceat."""
-    toks_per_doc = [t.lower().strip().split() for t in texts]
+    toks_per_doc = [
+        [w for w in _JAVA_WS.split(t.lower()) if w] for t in texts
+    ]
     n_docs = len(texts)
     doc_ntok = np.array([len(t) for t in toks_per_doc], dtype=np.int64)
     flat = [tok for toks in toks_per_doc for tok in toks]

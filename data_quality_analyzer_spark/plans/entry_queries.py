@@ -2190,10 +2190,29 @@ def q55(spark, sf_dir):
     return DM.domain_keep_stats(d, list(_Q55_BLOCKED), "source")
 
 
+def _q56_thresholds() -> dict[int, float]:
+    """One gate per n from the operator's published dials (top-fraction
+    for small n, duplicated-fraction for n ≥ 5) — the SINGLE source both
+    the Spark query and the DuckDB oracle render from."""
+    from ..operators import repetition as RP
+
+    return {
+        n: (
+            RP.GOPHER_TOP_THRESHOLDS[n]
+            if n < 5
+            else RP.GOPHER_DUP_THRESHOLDS[n]
+        )
+        for n in RP.DEFAULT_NS
+    }
+
+
 def _q56_oracle() -> str:
     from ..operators import repetition as RP
 
     metrics = RP.token_ngram_metrics_duck_sql()
+    arms = " ".join(
+        f"WHEN {n} THEN {thr}" for n, thr in _q56_thresholds().items()
+    )
     return f"""
     WITH m AS ({metrics})
     SELECT d.lang, m.n,
@@ -2202,8 +2221,7 @@ def _q56_oracle() -> str:
            ROUND(AVG(m.dup_frac), 4) AS avg_dup_frac,
            CAST(SUM(CASE WHEN (CASE WHEN m.n < 5 THEN m.top_frac
                                     ELSE m.dup_frac END)
-                         > (CASE m.n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18
-                                     ELSE 0.15 END)
+                         > (CASE m.n {arms} END)
                     THEN 1 ELSE 0 END) AS BIGINT) AS n_over_gopher
     FROM m JOIN documents d USING (doc_id)
     GROUP BY d.lang, m.n
@@ -2232,11 +2250,13 @@ def q56(spark, sf_dir):
     gate = F.when(F.col("n") < 5, F.col("top_frac")).otherwise(
         F.col("dup_frac")
     )
-    thr = (
-        F.when(F.col("n") == 2, F.lit(0.20))
-        .when(F.col("n") == 3, F.lit(0.18))
-        .otherwise(F.lit(0.15))
-    )
+    thr = None
+    for n, t in _q56_thresholds().items():
+        thr = (
+            F.when(F.col("n") == n, F.lit(t))
+            if thr is None
+            else thr.when(F.col("n") == n, F.lit(t))
+        )
     return (
         m.groupBy("lang", "n")
         .agg(

@@ -98,6 +98,7 @@ def prep_text_corpus(
     source_col: str = "source",
     max_dup5_frac: float | None = None,
     funnel: list | None = None,
+    finalize_line_ledger: bool | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
@@ -150,7 +151,13 @@ def prep_text_corpus(
     **Ledger commit ordering** (round-4 ADVICE): in cross-run mode the
     line ledger is PREPARED before and FINALIZED only after the shard
     write succeeds, so a crash mid-write leaves the batch uncommitted and
-    cleanly retryable instead of permanently swallowed.
+    cleanly retryable instead of permanently swallowed.  Without a
+    ``shards_path`` there is no durable output to order the commit
+    behind — the caller must choose: pass ``finalize_line_ledger=True``
+    to commit at return (the returned survivors are materialized but
+    only process-durable), or leave it unset and call
+    ``lineage.finalize_incremental_lines(line_ledger_dir, batch_id)``
+    yourself AFTER persisting the result; the un-chosen case raises.
     """
     from ..functions import quality_clf as QC
     from ..functions import text as TX
@@ -218,6 +225,19 @@ def prep_text_corpus(
         raise ValueError(
             "line_ledger_dir and batch_id must be given together"
         )
+    if (
+        line_ledger_dir is not None
+        and shards_path is None
+        and finalize_line_ledger is None
+    ):
+        raise ValueError(
+            "line_ledger_dir without shards_path leaves no durable "
+            "output to order the ledger commit behind; pass "
+            "finalize_line_ledger=True to commit at return, or "
+            "finalize_line_ledger=False and call "
+            "lineage.finalize_incremental_lines(...) after persisting "
+            "the returned rows"
+        )
     lines_in = (
         None
         if funnel is None
@@ -264,8 +284,11 @@ def prep_text_corpus(
         SH.write_training_shards(
             out, shards_path, num_shards, id_col, seed=sample_seed
         )
-    if line_ledger_dir is not None:
-        # durable outputs exist (or none were requested): commit point
+    if line_ledger_dir is not None and (
+        shards_path is not None or finalize_line_ledger
+    ):
+        # the durable output exists (shards written) or the caller
+        # explicitly accepted commit-at-return: the ledger commit point
         LN.finalize_incremental_lines(line_ledger_dir, batch_id)
     return out
 

@@ -417,8 +417,11 @@ def streaming_near_dup_verified(
     idempotent replay (overwrite per epoch), exactly-once effect.
     """
     import json  # noqa: PLC0415
+    import logging  # noqa: PLC0415
     import os  # noqa: PLC0415
     import shutil  # noqa: PLC0415
+
+    from pyspark.errors import AnalysisException  # noqa: PLC0415
 
     from ..operators import dedup as DD  # noqa: PLC0415
 
@@ -446,7 +449,16 @@ def streaming_near_dup_verified(
     def _commit_pending(df: DataFrame, epoch_id: int) -> None:
         d = f"v{epoch_id}"
         target = os.path.join(pending_base, d)
-        if os.path.exists(target):  # epoch replay: clean torn attempt
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                if json.load(f)["dir"] == d:
+                    # epoch replay AFTER a completed commit: this epoch's
+                    # pending set is already the committed current dir.
+                    # Recomputing would rmtree the very dir the lazy
+                    # `df` plan reads from (self-destruct); the replayed
+                    # computation is idempotent by construction, so skip.
+                    return
+        if os.path.exists(target):  # torn attempt (pointer not swapped)
             shutil.rmtree(target)
         df.write.parquet(target)
         tmp = pointer + ".tmp"
@@ -468,7 +480,17 @@ def streaming_near_dup_verified(
         pairs = pairs.distinct()
         try:
             store = spark.read.parquet(doc_store_dir)
-        except Exception:  # store dir absent/empty: no docs committed yet
+        except AnalysisException:
+            # store dir absent or empty (PATH_NOT_FOUND /
+            # UNABLE_TO_INFER_SCHEMA): no docs committed yet — divert all
+            # pairs to pending.  Anything else (corrupt footer,
+            # permissions) surfaces at execution time and fails the
+            # batch LOUDLY rather than masquerading as an empty store.
+            logging.getLogger(__name__).warning(
+                "doc store %s not readable yet (epoch %d): diverting "
+                "%s candidate pairs to pending",
+                doc_store_dir, epoch_id, "all",
+            )
             store = None
         if store is not None:
             # presence check at store scale: prune the store's id column

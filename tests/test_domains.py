@@ -169,3 +169,31 @@ def test_prep_text_corpus_stage0(spark):
     ids = {r["doc_id"] for r in out.collect()}
     assert 2 not in ids
     assert ids == {1, 3}
+
+
+def test_large_subdomain_blocklist_stays_flat(spark, docs):
+    """A curated suffix blocklist with thousands of entries must not
+    build a thousands-deep Or(endswith) tree (Catalyst stack overflow);
+    the arrays_overlap form is flat and still correct (round-5 review
+    finding)."""
+    big = [f"blocked{i}.example" for i in range(5000)] + ["spam.com"]
+    kept = {
+        r["doc_id"]
+        for r in DM.apply_blocklist(
+            docs, big, "url", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert kept == {2, 3, 4, 6}  # sub.spam.com + spam.com drop
+    stats = {
+        r["domain"]: r["n_blocked"]
+        for r in DM.domain_keep_stats(
+            docs, big, "url", is_url=True, with_subdomains=True
+        ).collect()
+    }
+    assert stats["sub.spam.com"] == 1 and stats["good.org"] == 0
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="entries"):
+        DM.domain_keep_stats(
+            docs, [f"x{i}.com" for i in range(10_001)], "url"
+        )

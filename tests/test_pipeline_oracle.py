@@ -382,8 +382,13 @@ def test_prep_text_corpus_cross_run_lines(spark, tmp_path):
         [(1, " ".join(sents[0:3]) + "\n" + bp, "en")],
         "doc_id long, text string, lang string",
     )
+    # without a shards_path there is no durable output to order the
+    # ledger commit behind: the commit policy must be chosen explicitly
+    with _pt.raises(ValueError, match="finalize_line_ledger"):
+        prep_text_corpus(spark, run1, line_ledger_dir=ledger, batch_id="r1")
     out1 = prep_text_corpus(
-        spark, run1, line_ledger_dir=ledger, batch_id="r1"
+        spark, run1, line_ledger_dir=ledger, batch_id="r1",
+        finalize_line_ledger=True,
     ).collect()
     assert bp in out1[0]["text"]
     run2 = spark.createDataFrame(
@@ -391,7 +396,8 @@ def test_prep_text_corpus_cross_run_lines(spark, tmp_path):
         "doc_id long, text string, lang string",
     )
     out2 = prep_text_corpus(
-        spark, run2, line_ledger_dir=ledger, batch_id="r2"
+        spark, run2, line_ledger_dir=ledger, batch_id="r2",
+        finalize_line_ledger=True,
     ).collect()
     assert len(out2) == 1 and bp not in out2[0]["text"]
     with _pt.raises(ValueError, match="batch_id"):

@@ -141,3 +141,25 @@ def test_prep_gopher_gate(spark):
     by = {e["stage"]: e for e in funnel}
     assert by["heuristics"]["dropped"] == 0   # the adversary passes rules
     assert by["gopher_repetition"]["dropped"] == 1
+
+
+def test_udf_matches_native_on_unicode_whitespace(spark):
+    """Java \\s is ASCII-only: U+00A0 (non-breaking space, ubiquitous in
+    crawled HTML) must be part of a TOKEN, not a separator, in BOTH the
+    explode form and the numpy kernel (round-5 review finding)."""
+    doc = "buy now buy now buy now and buy now today"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    native = {
+        int(r["n"]): r for r in RP.token_ngram_metrics(df).collect()
+    }
+    got = (
+        df.select(RP.repetition_metrics_udf()(F.col("text")).alias("m"))
+        .select("m.*")
+        .collect()[0]
+    )
+    for n in (2, 3, 5):
+        assert abs(got[f"top_frac_{n}"] - native[n]["top_frac"]) < 1e-6, n
+        assert abs(got[f"dup_frac_{n}"] - native[n]["dup_frac"]) < 1e-6, n
+    # and the repeated token really is 'buy\xa0now' (one token, 4 copies
+    # of a 2-gram would differ if \xa0 split)
+    assert native[1 + 1]["dup_frac"] > 0
