@@ -313,10 +313,12 @@ def main() -> None:
                 "multi-executor cluster each executor has its own memory bus, and a\n"
                 "single-stage, shuffle-free, no-driver-collect job scales with node\n"
                 "count structurally.\n\n"
-                "(Refreshed round 4 with the trained quality classifier added\n"
-                "to the pipeline: absolute throughput and both efficiencies are\n"
-                "within the documented noise band of the round-3 numbers — the\n"
-                "extra Arrow UDF rides the same fused, shuffle-free stage.)\n\n"
+                "(Refreshed round 5 with the FUSED caption scorer: langid +\n"
+                "perplexity + quality classifier now run as ONE struct-returning\n"
+                "Arrow UDF — one caption serialization instead of three — so the\n"
+                "measured job is the round-5 production pipeline.  The plan is\n"
+                "still one shuffle-free stage; see PLANS.md round-5 attribution\n"
+                "for the interleaved fused-vs-unfused-vs-no-classifier numbers.)\n\n"
                 "**Round 3: the ceiling is measured, not asserted**\n"
                 "(`scripts/membw_triad.py` — STREAM-style triad, one pinned worker\n"
                 "process per core, barrier-synchronized so every worker sweeps the same\n"

@@ -48,6 +48,10 @@ def word_gram_hashes(text_col: str, n: int = DEFAULT_N):
     each n-token window with ``xxhash64``.  Pure Catalyst — codegen'd,
     Arrow never involved.  Rows with fewer than ``n`` words yield an empty
     array."""
+    if n < 1:
+        # n=0 would reduce EVERY doc to the single gram xxhash64('') and
+        # flag the whole corpus as contaminated — refuse loudly
+        raise ValueError(f"gram size n must be >= 1, got {n}")
     words = (
         f"filter(split(lower({text_col}), '\\\\s+'), x -> x != '')"
     )

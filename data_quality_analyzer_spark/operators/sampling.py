@@ -37,13 +37,26 @@ from ..functions import hashing as HH
 SAMPLE_DENOM = 1_000_000  # fraction resolution: 1e-6
 
 
-def _h60_key(key_col: str, seed: int):
+def seeded_key_hash(key_col: str, seed: int):
+    """h60 of ``seed || key`` — THE key-selection hash shared by every
+    sampler and the shard writer (one derivation; a drift here would
+    silently desynchronize samplers from sharders).  NULL keys hash as
+    the empty string — deterministic and never NULL, matching DuckDB's
+    NULL-ignoring ``concat`` (Spark's concat would null the hash and
+    silently drop the row from every filter)."""
     return F.expr(
-        HH.h60_spark_sql(f"concat('{seed}:', CAST({key_col} AS STRING))")
+        HH.h60_spark_sql(
+            f"concat('{seed}:', coalesce(CAST({key_col} AS STRING), ''))"
+        )
     )
 
 
+# back-compat internal alias
+_h60_key = seeded_key_hash
+
+
 def _h60_key_sql(key_col: str, seed: int) -> str:
+    # DuckDB concat ignores NULL args natively == the coalesce above
     return HH.h60_sql(f"concat('{seed}:', CAST({key_col} AS VARCHAR))")
 
 
@@ -119,24 +132,24 @@ def sample_token_budget(
     if "unknown cost" should mean "excluded"."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    h = F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM))
-    bucketed = df.withColumn("_h", h).withColumn(
-        "_bkt", F.pmod(F.col("_h"), F.lit(num_buckets))
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    bucketed = df.withColumn("_tb_h", h).withColumn(
+        "_tb_bkt", F.pmod(F.col("_tb_h"), F.lit(num_buckets))
     )
     totals = {
-        r["_bkt"]: r["_tok"]
-        for r in bucketed.groupBy("_bkt")
+        r["_tb_bkt"]: r["_tok"]
+        for r in bucketed.groupBy("_tb_bkt")
         .agg(F.sum(F.coalesce(F.col(token_col), F.lit(0))).alias("_tok"))
         .collect()
     }
     acc = 0
     cutoff = None
-    full: list[int] = []
     for b in range(num_buckets):
         t = totals.get(b, 0)
         if acc + t < budget:
             acc += t
-            full.append(b)
         else:
             cutoff = b
             break
@@ -145,25 +158,36 @@ def sample_token_budget(
     from pyspark.sql import Window
 
     remaining = budget - acc
-    full_part = bucketed.filter(F.col("_bkt").isin(full)) if full else None
-    w = Window.partitionBy("_bkt").orderBy("_h", key_col)
+    # full buckets are exactly the prefix below the cutoff
+    full_part = (
+        bucketed.filter(F.col("_tb_bkt") < cutoff) if cutoff > 0 else None
+    )
+    # ROWS frame, not the default RANGE: duplicate keys tie on
+    # (_tb_h, key) and a RANGE frame would give every tied row the
+    # COMBINED running sum, under-filling the budget and diverging from
+    # the oracle's pinned ROWS UNBOUNDED PRECEDING rule.
+    w = (
+        Window.partitionBy("_tb_bkt")
+        .orderBy("_tb_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cut_part = (
-        bucketed.filter(F.col("_bkt") == cutoff)
+        bucketed.filter(F.col("_tb_bkt") == cutoff)
         .withColumn(
-            "_cum",
+            "_tb_cum",
             F.sum(F.coalesce(F.col(token_col), F.lit(0))).over(w),
         )
         # prefix until the budget is crossed, INCLUDING the crossing row
         .filter(
-            F.col("_cum") - F.coalesce(F.col(token_col), F.lit(0))
+            F.col("_tb_cum") - F.coalesce(F.col(token_col), F.lit(0))
             < F.lit(remaining)
         )
-        .drop("_cum")
+        .drop("_tb_cum")
     )
     out = (
         full_part.unionByName(cut_part) if full_part is not None else cut_part
     )
-    return out.drop("_h", "_bkt")
+    return out.drop("_tb_h", "_tb_bkt")
 
 
 def stratified_sample_duck_sql(

@@ -31,17 +31,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import hashing as HH
+from ..operators.sampling import seeded_key_hash
 
 SHARD_COL = "shard"
 
 
 def shard_id(key_col: str, num_shards: int, seed: int = 0):
-    """Deterministic shard id column: h60(seed || key) mod num_shards."""
-    h = F.expr(
-        HH.h60_spark_sql(f"concat('{seed}:', CAST({key_col} AS STRING))")
+    """Deterministic shard id column: h60(seed || key) mod num_shards.
+    The hash is :func:`..operators.sampling.seeded_key_hash` — ONE
+    derivation shared with every sampler, and NULL keys hash as the
+    empty string, so a NULL-key row lands in a real numbered shard
+    instead of the invisible __HIVE_DEFAULT_PARTITION__ directory that
+    no ``read_shard`` call ever requests (silent loss)."""
+    return F.pmod(seeded_key_hash(key_col, seed), F.lit(num_shards)).cast(
+        "int"
     )
-    return F.pmod(h, F.lit(num_shards)).cast("int")
 
 
 def write_training_shards(
@@ -54,15 +58,15 @@ def write_training_shards(
 ) -> None:
     if num_shards <= 0:
         raise ValueError(f"num_shards must be positive, got {num_shards}")
-    h = F.expr(
-        HH.h60_spark_sql(f"concat('{seed}:', CAST({key_col} AS STRING))")
-    )
+    h = seeded_key_hash(key_col, seed)
     out = (
-        df.withColumn("_h", h)
-        .withColumn(SHARD_COL, F.pmod(F.col("_h"), F.lit(num_shards)).cast("int"))
+        df.withColumn("_sh_h", h)
+        .withColumn(
+            SHARD_COL, F.pmod(F.col("_sh_h"), F.lit(num_shards)).cast("int")
+        )
         .repartition(num_shards, F.col(SHARD_COL))
-        .sortWithinPartitions(SHARD_COL, "_h", key_col)
-        .drop("_h")
+        .sortWithinPartitions(SHARD_COL, "_sh_h", key_col)
+        .drop("_sh_h")
     )
     writer = out.write.mode("overwrite").partitionBy(SHARD_COL)
     if max_records_per_file is not None:

@@ -40,15 +40,21 @@ def read_documents_jsonl(
     are PERMISSIVE-parsed into ``_corrupt_record`` (dropped by default;
     ``keep_corrupt=True`` keeps the column for a quarantine sink — a
     web-scale ingest should count them, not crash)."""
-    df = (
-        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    if keep_corrupt:
+        return (
+            spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .json(path)
+        )
+    # clean path: DROPMALFORMED at the source — a corrupt-column filter
+    # would crash any query that prunes every data column (bare count():
+    # Spark refuses plans referencing ONLY the corrupt record column)
+    return (
+        spark.read.schema(schema)
+        .option("mode", "DROPMALFORMED")
         .json(path)
     )
-    if keep_corrupt:
-        return df
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def read_documents_csv(
@@ -61,17 +67,22 @@ def read_documents_csv(
     """CSV → documents DataFrame (explicit schema, RFC-4180 quoting with
     embedded newlines DISABLED — multiLine=false keeps the file
     splittable; corpora with newlines in text belong in JSONL/parquet)."""
-    df = (
-        spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+    if keep_corrupt:
+        return (
+            spark.read.schema(f"{schema}, {CORRUPT_COL} string")
+            .option("header", str(header).lower())
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", CORRUPT_COL)
+            .option("multiLine", "false")
+            .csv(path)
+        )
+    return (  # see read_documents_jsonl for why DROPMALFORMED, not filter
+        spark.read.schema(schema)
         .option("header", str(header).lower())
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("mode", "DROPMALFORMED")
         .option("multiLine", "false")
         .csv(path)
     )
-    if keep_corrupt:
-        return df
-    return df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
 
 
 def read_text_files(
@@ -83,6 +94,10 @@ def read_text_files(
     file — right for many medium files, wrong for one giant file."""
     from ..functions import hashing as HH
 
+    if id_from not in ("path", "path_string"):
+        raise ValueError(
+            f"id_from must be 'path' or 'path_string', got {id_from!r}"
+        )
     df = (
         spark.read.text(path, wholetext=True)
         .select(

@@ -135,3 +135,12 @@ def test_broadcast_in_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_gram_size_validation(spark):
+    import pytest as _pt
+
+    from data_quality_analyzer_spark.operators import decontam as DC
+
+    with _pt.raises(ValueError, match="gram size"):
+        DC.word_gram_hashes("text", n=0)

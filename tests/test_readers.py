@@ -87,3 +87,29 @@ def test_text_files_one_doc_per_file(spark, tmp_path):
         for r in RD.read_text_files(spark, str(d)).collect()
     }
     assert all(by_src[k]["doc_id"] == again[k] for k in again)
+
+
+def test_jsonl_count_and_aggregates_work(spark, tmp_path):
+    """Round-5 review: the clean-path reader must survive queries that
+    prune every data column (bare count()) — a corrupt-column filter
+    makes Spark refuse such plans; DROPMALFORMED does not."""
+    p = str(tmp_path / "cnt.jsonl")
+    with open(p, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok", "lang": "en", '
+                '"source": "s", "n_chars": 2}\n')
+        f.write("garbage line\n")
+        f.write('{"doc_id": 2, "text": "ok2", "lang": "en", '
+                '"source": "s", "n_chars": 3}\n')
+    df = RD.read_documents_jsonl(spark, p)
+    assert df.count() == 2
+    assert df.agg(F.sum("n_chars")).collect()[0][0] == 5
+
+
+def test_text_files_rejects_bad_id_mode(spark, tmp_path):
+    d = tmp_path / "f"
+    os.makedirs(d)
+    (d / "a.txt").write_text("x")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="id_from"):
+        RD.read_text_files(spark, str(d), id_from="pathstring")

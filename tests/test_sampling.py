@@ -183,3 +183,62 @@ def test_training_shards_reproducible(spark, tmp_path):
 
     with _pt.raises(ValueError, match="num_shards"):
         SH.write_training_shards(df, str(tmp_path / "c"), 0, "doc_id")
+
+
+def test_token_budget_duplicate_keys_rows_frame(spark):
+    """Round-5 review (empirically confirmed bug): duplicate keys tie in
+    the cutoff-bucket window; the default RANGE frame gave tied rows the
+    COMBINED running sum and under-filled the budget.  With the ROWS
+    frame the prefix contract holds even when every key collides."""
+    docs = spark.range(200).select(
+        F.lit(7).alias("doc_id"),  # every row has the SAME key
+        F.lit(100).alias("n_tok"),
+    )
+    budget = 1000
+    got = SP.sample_token_budget(
+        docs, budget, "n_tok", "doc_id", seed=1, num_buckets=8
+    )
+    total = got.agg(F.sum("n_tok")).collect()[0][0]
+    assert total >= budget            # budget reached
+    assert total - 100 < budget       # crossed by at most one row
+
+
+def test_token_budget_num_buckets_guard(spark):
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit(5).alias("n_tok")
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="num_buckets"):
+        SP.sample_token_budget(docs, 10, "n_tok", "doc_id", num_buckets=0)
+
+
+def test_null_keys_hash_deterministically(spark):
+    """NULL keys hash as the empty string (never NULL): they are
+    eligible for selection and every engine agrees on their hash."""
+    docs = spark.createDataFrame(
+        [(None,), ("a",), ("b",)], "k string"
+    )
+    h = docs.select(SP.seeded_key_hash("k", 3).alias("h")).collect()
+    assert all(r["h"] is not None for r in h)
+
+
+def test_shards_null_key_lands_in_real_shard(spark, tmp_path):
+    """Round-5 review: a NULL-key row must land in a numbered shard a
+    loader can read, not the invisible default partition."""
+    from data_quality_analyzer_spark.plans import shards as SH
+
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "doc_id long, text string"
+    )
+    p = str(tmp_path / "s")
+    SH.write_training_shards(df, p, num_shards=4, key_col="doc_id", seed=2)
+    back = spark.read.parquet(p)
+    assert back.count() == 3
+    assert back.filter(F.col("shard").isNull()).count() == 0
+    # the NULL-key row is reachable through read_shard
+    found = sum(
+        SH.read_shard(spark, p, s).filter(F.col("doc_id").isNull()).count()
+        for s in range(4)
+    )
+    assert found == 1
