@@ -177,6 +177,8 @@ def extract_audio_features(
     use_fake_decoder: bool = False,
 ) -> DataFrame:
     """RMS/sample-count features per audio clip (mapInPandas, bounded batches)."""
+    import wave  # stdlib; captured by the closure for the except clause
+
     decoder = _fake_audio if use_fake_decoder else decode_audio_stub
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -194,7 +196,10 @@ def extract_audio_features(
                     continue
                 try:
                     samples, sr = decoder(bytes(b))
-                except NotImplementedError:
+                except (NotImplementedError, wave.Error, EOFError, ValueError):
+                    # corrupt WAV headers raise wave.Error/EOFError and
+                    # truncated buffers ValueError — one bad clip must
+                    # read decode_ok=False, never kill the Arrow batch
                     continue
                 out["decode_ok"][i] = True
                 out["n_samples"][i] = len(samples)
@@ -244,15 +249,22 @@ def sample_video_frames(
         for pdf in batches:
             ids, idxs, blobs, oks = [], [], [], []
             for i, b in enumerate(pdf[bytes_col]):
-                if b is None:
-                    continue
-                try:
-                    for idx, frame in decoder(bytes(b), every_n):
-                        ids.append(pdf[id_col].iloc[i])
-                        idxs.append(idx)
-                        blobs.append(frame)
-                        oks.append(True)
-                except NotImplementedError:
+                emitted = False
+                if b is not None:
+                    try:
+                        for idx, frame in decoder(bytes(b), every_n):
+                            ids.append(pdf[id_col].iloc[i])
+                            idxs.append(idx)
+                            blobs.append(frame)
+                            oks.append(True)
+                            emitted = True
+                    except NotImplementedError:
+                        pass
+                if not emitted:
+                    # EVERY input video yields at least one marker row:
+                    # null blobs, stubbed decoders, and zero-frame/corrupt
+                    # fake-decoder blobs all read decode_ok=False instead
+                    # of silently vanishing from the output
                     ids.append(pdf[id_col].iloc[i])
                     idxs.append(-1)
                     blobs.append(None)

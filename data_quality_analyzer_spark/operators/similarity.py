@@ -218,19 +218,25 @@ def ivf_assign_udf(
         anchors if anchors is not None else ivf_anchors(k, dim),
         dtype=np.float64,
     )  # k×dim
-    k = anchors.shape[0]
+    # BOTH shape params come from the trained table when one is passed —
+    # an anchors/dim mismatch would otherwise null every assignment and
+    # silently return empty probe results
+    k, dim = anchors.shape
     a_sq = (anchors**2).sum(axis=1)  # ||A||²
+
+    def _clean(v):
+        # null/shape/element guard: null embeddings, wrong-dimension
+        # vectors, vectors containing null elements (TypeError in
+        # asarray) and NaN components (argmin would silently return
+        # list 1) all yield a null list id, never a failed Arrow batch
+        if v is None or len(v) != dim or any(x is None for x in v):
+            return None
+        arr = np.asarray(v, dtype=np.float64)
+        return None if np.isnan(arr).any() else arr
 
     @F.pandas_udf("int")
     def _assign(s: pd.Series) -> pd.Series:
-        # null/shape guard: a null embedding (or a wrong-dimension vector)
-        # yields a null list id instead of failing the whole Arrow batch
-        vals = [
-            np.asarray(v, dtype=np.float64)
-            if v is not None and len(v) == dim
-            else None
-            for v in s
-        ]
+        vals = [_clean(v) for v in s]
         out = pd.array([None] * len(vals), dtype="Int32")
         idx = [i for i, v in enumerate(vals) if v is not None]
         if idx:
@@ -299,6 +305,10 @@ def train_ivf_kmeans(
             )
             new = [list(a) for a in anchors]  # empty cells keep their anchor
             for r in rows:
+                if r["_list"] is None:
+                    # wrong-dimension / null-element vectors assign to no
+                    # list; skip their exploded rows instead of crashing
+                    continue
                 new[r["_list"] - 1][r["pos"]] = round(float(r["mean"]), 4)
             anchors = new
         return anchors
@@ -316,6 +326,7 @@ def knn_ivf(
     Pass trained centroids via ``anchors`` (train_ivf_kmeans)."""
     if anchors is not None:
         k = len(anchors)
+        dim = len(anchors[0])  # keep BOTH params consistent with the table
     q = query.withColumn(
         "_qds", F.expr(ivf_dists_spark_sql("qvec", k, dim, anchors))
     ).withColumn(
@@ -337,12 +348,29 @@ def knn_ivf(
 def pairwise_topk_within_buckets(
     df: DataFrame, k: int = 20, id_col: str = "vec_id",
     vec_col: str = "embedding", bits: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar pairs, candidates restricted to same LSH bucket
-    (embedding-cosine near-dup detection; the self-join key is the bucket)."""
-    b = with_lsh_bucket(df, vec_col, bits).select(
+    (embedding-cosine near-dup detection; the self-join key is the bucket).
+
+    NULL embeddings are excluded up front — the sign-LSH CASE would map
+    every one of them to bucket 0 and the self-join would pay quadratic
+    pairs with NULL cosines.  ``max_bucket_size`` applies the same loud
+    hot-bucket exclusion the banded-Hamming paths use
+    (``dedup.exclude_hot_band_buckets``) when a hot identical vector
+    degenerates a bucket."""
+    from . import dedup as DD
+
+    b = with_lsh_bucket(
+        df.filter(F.col(vec_col).isNotNull()), vec_col, bits
+    ).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
     )
+    if max_bucket_size is not None:
+        b = DD.exclude_hot_band_buckets(
+            b, ["bucket"], max_bucket_size,
+            what="pairwise_topk_within_buckets",
+        )
     a, c = b.alias("a"), b.alias("c")
     pairs = (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a._id") < F.col("c._id")))
@@ -416,10 +444,15 @@ def dedup_embedding_near(
     ``max_hamming`` AND whose exact cosine ≥ ``min_cos`` cluster
     transitively (connected components over the verified pair graph) and
     only the canonical (min-id) representative of each cluster survives.
-    Mirrors the reference's duplicate-resolution intent
-    (claim_analysis.py:225-247) on the embedding payload."""
+    Rows with NULL embeddings pass through UNTOUCHED (they cannot be
+    near anything; the final equi-join's NULL-never-matches semantics
+    would otherwise silently delete them).  Mirrors the reference's
+    duplicate-resolution intent (claim_analysis.py:225-247) on the
+    embedding payload."""
     from . import dedup as DD
 
+    passthrough = df.filter(F.col(vec_col).isNull())
+    df = df.filter(F.col(vec_col).isNotNull())
     reps = (
         df.groupBy(F.col(vec_col).alias("_v"))
         .agg(F.min(id_col).alias("_rep"))
@@ -440,11 +473,12 @@ def dedup_embedding_near(
         F.col("node").alias("_rep")
     )
     keep_reps = reps.join(drop, "_rep", "left_anti")
-    return df.join(
+    kept = df.join(
         keep_reps.withColumnsRenamed({"_v": vec_col, "_rep": id_col}),
         on=[vec_col, id_col],
         how="left_semi",
     )
+    return kept.unionByName(passthrough)
 
 
 # ---------------------------------------------------------------------------

@@ -188,6 +188,11 @@ def decode_ppm(data: bytes) -> np.ndarray:
         raise CodecError("bad PPM header") from exc
     if maxval != 255:
         raise CodecError("unsupported maxval")
+    if w <= 0 or h <= 0:
+        # negative dims can make need positive ((-1)·(-3)·3) and then
+        # reshape raises a PLAIN ValueError that escapes the CodecError
+        # handlers and kills the whole task — refuse here
+        raise CodecError(f"bad PPM dimensions {w}x{h}")
     need = w * h * 3
     raster = data[pos : pos + need]
     if len(raster) != need:
@@ -301,6 +306,10 @@ def encode_dqj(img: np.ndarray, quality: int = DQJ_DEFAULT_QUALITY) -> bytes:
     else:
         raise CodecError(f"unsupported array shape {img.shape}")
     h, w = img.shape[:2]
+    if h > 0xFFFF or w > 0xFFFF:
+        # the header packs dims as >HH; struct.error from oversized
+        # images must surface as the module's own exception type
+        raise CodecError(f"image {h}x{w} exceeds the 65535-pixel DQJ limit")
     q = _dqj_qtable(quality)
     # stacked matmul (BLAS batch path) over all channels at once:
     # C = DCT · B · DCTᵀ per 8×8 block.  einsum's c_einsum kernel was

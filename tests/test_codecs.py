@@ -221,3 +221,19 @@ def test_validator_psnr_gate_on_lossy_rows(spark):
     assert not out["lowq"]["psnr_ok"], "q=60 DQJ must fail the 40 dB floor"
     assert out["lossless"]["decodable"] and out["lossless"]["psnr_ok"]
     assert not out["corrupt"]["decodable"]
+
+
+def test_ppm_negative_dims_raise_codec_error():
+    """Round-5 review: crafted negative dims whose product is positive
+    must raise CodecError, not a plain numpy ValueError that escapes the
+    per-row handlers."""
+    import numpy as np
+    import pytest as _pt
+
+    from data_quality_analyzer_spark.sources import codecs as C
+
+    blob = b"P6 -1 -3 255 " + b"\x00" * 9
+    with _pt.raises(C.CodecError, match="dimensions"):
+        C.decode_ppm(blob)
+    with _pt.raises(C.CodecError, match="65535"):
+        C.encode_dqj(np.zeros((70000, 1), dtype=np.uint8))

@@ -846,3 +846,60 @@ def test_connected_components_distributed_path_on_q44_graph(spark):
         ).collect()
     }
     assert fast == dist and fast
+
+
+def test_embedding_dedup_null_vectors_pass_through(spark):
+    """Round-5 review: NULL-embedding rows must survive the dedup action
+    untouched (the final equi-join's NULL-never-matches semantics used to
+    silently delete them)."""
+    from data_quality_analyzer_spark.operators import similarity as SIM
+
+    v = [float(i) for i in range(64)]
+    rows = [(1, v), (2, v), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {
+        r["vec_id"]
+        for r in SIM.dedup_embedding_near(df).collect()
+    }
+    assert kept == {1, 3, 4}  # exact dup 2 collapsed; NULLs untouched
+
+
+def test_ivf_assign_malformed_vectors(spark):
+    """Round-5 review: wrong-dimension vectors, vectors with NULL
+    elements, and NaN components get a NULL list id (never a failed
+    Arrow batch or a silent wrong assignment), and k-means training
+    skips them instead of crashing on the driver."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.operators import similarity as SIM
+
+    good = [float(i) for i in range(64)]
+    rows = [
+        (1, good),
+        (2, good[:10]),                      # wrong dimension
+        (3, [None] + good[1:]),              # null element
+        (4, [float("nan")] + good[1:]),      # NaN component
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["ivf_list"]
+        for r in SIM.with_ivf_bucket(df).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None and got[3] is None and got[4] is None
+    assert got[5] is None
+    # training over the same rows completes and returns k centroids
+    anchors = SIM.train_ivf_kmeans(df, k=4, iters=1)
+    assert len(anchors) == 4
+    # trained anchors of a NON-default dimension: knn_ivf derives dim
+    # from the table instead of nulling every assignment
+    v32 = [float(i) for i in range(32)]
+    df32 = spark.createDataFrame(
+        [(i, [x + i for x in v32]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    q32 = spark.createDataFrame([( [x + 2.0 for x in v32],)], "qvec array<float>")
+    a32 = [[float(i + j) for j in range(32)] for i in range(4)]
+    res = SIM.knn_ivf(df32, q32, topk=3, k=4, anchors=a32, nprobe=4)
+    assert res.count() == 3

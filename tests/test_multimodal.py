@@ -122,3 +122,34 @@ def test_wav_pcm_decodes_for_real(spark):
     assert abs(out["a"]["rms"] - exp_rms) < 1e-9
     assert out["b"]["decode_ok"] and out["b"]["n_samples"] == n
     assert not out["c"]["decode_ok"] and not out["d"]["decode_ok"]
+
+
+def test_corrupt_wav_reads_decode_failed(spark):
+    """Round-5 review: a blob with valid RIFF/WAVE magic but a corrupt
+    body must read decode_ok=False, not kill the Arrow batch."""
+    from data_quality_analyzer_spark.operators import multimodal as MM
+
+    corrupt = b"RIFF" + b"\x00\x00\x00\x00" + b"WAVE" + b"\x01\x02"
+    df = spark.createDataFrame(
+        [(1, bytearray(corrupt)), (2, None)], "clip_id long, bytes binary"
+    )
+    got = {
+        r["clip_id"]: r["decode_ok"]
+        for r in MM.extract_audio_features(df).collect()
+    }
+    assert got == {"1": False, "2": False}
+
+
+def test_video_garbage_blob_emits_marker_row(spark):
+    """Round-5 review: a fake-decoder blob that yields zero frames (and a
+    NULL blob) must emit an explicit decode_ok=False row instead of
+    silently vanishing."""
+    from data_quality_analyzer_spark.operators import multimodal as MM
+
+    garbage = (99999).to_bytes(4, "big") + b"xx"  # length overruns data
+    df = spark.createDataFrame(
+        [(1, bytearray(garbage)), (2, None)], "video_id long, bytes binary"
+    )
+    rows = MM.sample_video_frames(df, use_fake_decoder=True).collect()
+    got = {(r["video_id"], r["decode_ok"]) for r in rows}
+    assert got == {("1", False), ("2", False)}
