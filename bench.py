@@ -285,7 +285,8 @@ def main() -> None:
             f.write(
                 "# BENCH/BASELINE — two-cluster-size scaling evidence\n\n"
                 "Same job (full filter+scrub pipeline: caption heuristics + PII scrub\n"
-                "+ langid + perplexity UDFs + image decode/validate + verdict-table\n"
+                "+ the fused langid/perplexity/quality-classifier Arrow UDF + image\n"
+                "decode/validate + verdict-table\n"
                 f"write), same input ({levels[8]['rows']} images, 128 splittable input\n"
                 "files), per the sandbox protocol of BASELINE.md §3.  Each level runs\n"
                 "in its own process pinned with `taskset -c` so JVM task threads AND\n"
