@@ -166,6 +166,84 @@ def apply_blocklist(
     return df.filter(cond)
 
 
+def domain_reputation(
+    df: DataFrame,
+    keep: Column,
+    source_col: str = "source",
+    is_url: bool = False,
+    prior_strength: int = 20,
+) -> DataFrame:
+    """Per-domain QUALITY PRIOR: the keep-rate of each domain's documents
+    under ``keep`` (any boolean verdict column), Bayesian-shrunk toward
+    the corpus-global rate so a 3-document domain cannot earn a 1.0 (or
+    0.0) reputation from luck:
+
+        reputation = (n_keep + K * global_rate) / (n_docs + K)
+
+    (Beta-binomial posterior mean with a prior worth ``K`` pseudo-docs.)
+    Production pipelines use this as the source-quality TIER feed for
+    :func:`apply_blocklist`'s allow mode — low-reputation domains are the
+    cheapest next-crawl reject after the literal blocklist.
+
+    Scale shape: ONE hash aggregate over the corpus (domains ≪ docs);
+    the global rate comes from re-aggregating the tiny per-domain frame
+    (single row) and riding back in via a broadcast cross-join — the
+    corpus is scanned exactly once.  Reference ancestor: A15 quality
+    bands (`payer_analysis.py` per-payer quality tiers) lifted to the
+    domain axis."""
+    dom = (
+        extract_domain(F.col(source_col))
+        if is_url
+        else F.lower(F.trim(F.col(source_col)))
+    )
+    per = df.groupBy(dom.alias("domain")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.coalesce(keep, F.lit(False)), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("_tot_docs"), F.sum("n_keep").alias("_tot_keep")
+    )
+    g = F.col("_tot_keep") / F.col("_tot_docs")
+    k = F.lit(prior_strength)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            "n_keep",
+            F.round(F.col("n_keep") / F.col("n_docs"), 4).alias("keep_rate"),
+            F.round((F.col("n_keep") + k * g) / (F.col("n_docs") + k), 4).alias(
+                "reputation"
+            ),
+        )
+    )
+
+
+def domain_reputation_sql(
+    table: str, keep_sql: str, source_col: str = "source", prior_strength: int = 20
+) -> str:
+    """DuckDB twin of :func:`domain_reputation` (non-URL source column)."""
+    return f"""
+    WITH per AS (
+      SELECT lower(trim({source_col})) AS domain,
+             COUNT(*) AS n_docs,
+             CAST(SUM(CASE WHEN COALESCE({keep_sql}, FALSE)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      FROM {table} GROUP BY 1
+    ),
+    tot AS (
+      SELECT SUM(n_docs) AS tot_docs, SUM(n_keep) AS tot_keep FROM per
+    )
+    SELECT domain, n_docs, n_keep,
+           ROUND(CAST(n_keep AS DOUBLE) / n_docs, 4) AS keep_rate,
+           ROUND((n_keep + {prior_strength} * (CAST(tot_keep AS DOUBLE) / tot_docs))
+                 / (n_docs + {prior_strength}), 4) AS reputation
+    FROM per, tot
+    """
+
+
 def domain_keep_stats(
     df: DataFrame,
     blocked: list[str],

@@ -2270,6 +2270,179 @@ def q56(spark, sf_dir):
     )
 
 
+def _q57_cand_sql() -> str:
+    """DuckDB twin of the deterministic candidate derivation in q57."""
+    digits18 = (
+        "lpad(CAST((doc_id * 7919 + 11) % 1000000000000000000 AS VARCHAR),"
+        " 18, '0')"
+    )
+    return (
+        f"substr({digits18}, 1, CAST(12 + doc_id % 7 AS INTEGER))"
+        " || CAST(doc_id % 10 AS VARCHAR)"
+    )
+
+
+def _q57_oracle() -> str:
+    valid = SC.luhn_valid_sql(_q57_cand_sql())
+    return f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN {valid} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_luhn_valid,
+           ROUND(CAST(SUM(CASE WHEN {valid} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS pct_valid,
+           bit_xor(CASE WHEN {valid} THEN doc_id ELSE 0 END) AS id_checksum
+    FROM documents GROUP BY source
+    """
+
+
+@_register("q57_luhn_card_audit", _q57_oracle)
+def q57(spark, sf_dir):
+    """LUHN credit-card validation kernel (functions/scrub.py
+    ``luhn_valid``): a bare 13-19-digit regex false-positives on order
+    numbers and timestamps, so the scrubber validates candidates with the
+    Luhn check digit before redacting (``scrub_cc``).  The checksum is
+    PURE whole-stage codegen — ``reverse`` + ``sequence`` + one
+    ``aggregate`` HOF, zero UDF/explode — i.e. O(len) per row entirely
+    JVM-side, which is the 10^12-row shape.  The synthetic corpus carries
+    no digit runs (planted-text extraction is pinned in
+    tests/test_text_rules.py), so the oracle drives the kernel over a
+    DERIVED 13-19-digit candidate per doc (varying length AND check
+    digit; both engines derive it with identical integer arithmetic) and
+    value-hashes the per-source valid/invalid split.  Reference ancestor:
+    U1 row validator (additional_charge_checks.py) as one boolean
+    column."""
+    d = _t(spark, sf_dir, "documents")
+    digits18 = F.lpad(
+        ((F.col("doc_id") * 7919 + 11) % F.lit(10**18)).cast("string"),
+        18,
+        "0",
+    )
+    cand = F.concat(
+        digits18.substr(F.lit(1), (F.lit(12) + F.col("doc_id") % 7).cast("int")),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    valid = SC.luhn_valid(cand)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(valid, 1).otherwise(0)).cast("long").alias("n_luhn_valid"),
+        F.round(
+            F.sum(F.when(valid, 1).otherwise(0)) / F.count("*"), 4
+        ).alias("pct_valid"),
+        F.bit_xor(F.when(valid, F.col("doc_id")).otherwise(0)).alias(
+            "id_checksum"
+        ),
+    )
+
+
+# 24 words incl. the stopword 'the', so the line passes the short/long and
+# stopword gates and is dropped by the BOILERPLATE rule specifically.
+_Q58_HDR = (
+    "please subscribe to the newsletter so that the site can keep sending "
+    "the latest updates and announcements about the data products we "
+    "publish here"
+)
+
+
+def _q58_oracle() -> str:
+    from ..operators import lines as LN
+
+    def n_where(reason: str) -> str:
+        return (
+            f"CAST(len([x FOR x IN l IF {LN.line_flag_sql('x', reason)}]) "
+            f"AS BIGINT) AS lines_{reason}"
+        )
+
+    kept = f"list_filter(l, x -> {LN.line_flag_sql('x', 'keep')})"
+    return f"""
+    WITH synth AS (
+      SELECT CAST(FLOOR(doc_id / 5) AS BIGINT) AS g,
+             string_agg(text, chr(10) ORDER BY doc_id) AS body
+      FROM documents WHERE text IS NOT NULL GROUP BY 1
+    ),
+    pages AS (
+      SELECT g AS page_id,
+             string_split('{_Q58_HDR}' || chr(10) || body, chr(10)) AS l
+      FROM synth
+    )
+    SELECT page_id,
+           CAST(len(l) AS BIGINT) AS lines_in,
+           CAST(len({kept}) AS BIGINT) AS lines_kept,
+           {n_where('short')},
+           {n_where('long')},
+           {n_where('no_stopword')},
+           {n_where('boilerplate')},
+           CASE WHEN len({kept}) > 0
+                THEN md5(array_to_string({kept}, chr(10))) END AS text_md5
+    FROM pages
+    """
+
+
+@_register("q58_line_quality_filter", _q58_oracle)
+def q58(spark, sf_dir):
+    """C4-style LINE-QUALITY filter (operators/lines.py): drop
+    boilerplate/junk lines inside a document — word-count bounds,
+    stopword evidence, blacklist regex — and rebuild the document from
+    survivors, attributing every dropped line to its first-failing rule.
+    Unlike line DEDUP (q50: global groupBy state), line QUALITY is a
+    per-document decision, so the operator is MAP-ONLY: split + HOF
+    filter + array_join, zero explode, zero shuffle — the only exchange
+    in this query is the page-synthesis groupBy both engines share
+    (the fixture corpus is single-line, so pages are synthesized exactly
+    as in q50, with a 24-word subscribe header that the BOILERPLATE rule
+    — not the short rule — must catch).  Reference ancestor: F14
+    validity conjunction per line; C4 §2.2 Raffel et al. 2020."""
+    from ..operators import lines as LN
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    body = F.transform(
+        F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s["text"],
+    )
+    pages = d.groupBy(F.floor(F.col("doc_id") / 5).alias("page_id")).agg(
+        F.concat_ws("\n", F.concat(F.array(F.lit(_Q58_HDR)), body)).alias(
+            "text"
+        )
+    )
+    out = LN.filter_lines(pages, "text", out_col="clean")
+    return out.select(
+        "page_id",
+        "lines_in",
+        "lines_kept",
+        "lines_short",
+        "lines_long",
+        "lines_no_stopword",
+        "lines_boilerplate",
+        F.md5("clean").alias("text_md5"),
+    )
+
+
+def _q59_oracle() -> str:
+    from ..operators import domains as DM
+
+    return DM.domain_reputation_sql(
+        "documents", TX.keep_verdict_sql("text"), "source"
+    )
+
+
+@_register("q59_domain_reputation", _q59_oracle)
+def q59(spark, sf_dir):
+    """DOMAIN REPUTATION prior (operators/domains.py:domain_reputation):
+    per-domain keep-rate under the heuristic verdict, Bayesian-shrunk
+    toward the corpus-global rate (Beta-binomial posterior mean, K=20
+    pseudo-docs) so tiny domains cannot earn extreme reputations from
+    luck.  This is the source-quality TIER feed for the q55 blocklist's
+    allow mode — the cheapest next-crawl reject after the literal list.
+    Plan: ONE corpus scan + hash aggregate; the global rate re-aggregates
+    the tiny per-domain frame and broadcast-cross-joins back (single
+    row — no second corpus pass, no window over the corpus).  Reference
+    ancestor: A15 quality bands (payer_analysis.py) on the domain axis."""
+    from ..operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents")
+    return DM.domain_reputation(d, TX.keep_verdict(F.col("text")), "source")
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -197,3 +197,32 @@ def test_large_subdomain_blocklist_stays_flat(spark, docs):
         DM.domain_keep_stats(
             docs, [f"x{i}.com" for i in range(10_001)], "url"
         )
+
+
+def test_domain_reputation_shrinkage(spark):
+    """Small domains shrink hard toward the global rate; large domains
+    keep (approximately) their raw rate. Expected values computed by the
+    Beta-binomial formula directly."""
+    rows = (
+        # big.com: 40 docs, 30 kept (raw 0.75)
+        [(i, "big.com", i < 30) for i in range(40)]
+        # tiny.com: 2 docs, 2 kept (raw 1.0 -- luck)
+        + [(100 + i, "tiny.com", True) for i in range(2)]
+        # null source bucket: 3 docs, 0 kept
+        + [(200 + i, None, False) for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, keep boolean")
+    got = {
+        r["domain"]: r
+        for r in DM.domain_reputation(
+            df, F.col("keep"), "source", prior_strength=20
+        ).collect()
+    }
+    g = 32 / 45  # global keep rate
+    assert got["big.com"]["n_docs"] == 40
+    assert abs(got["big.com"]["reputation"] - round((30 + 20 * g) / 60, 4)) < 1e-9
+    assert abs(got["tiny.com"]["reputation"] - round((2 + 20 * g) / 22, 4)) < 1e-9
+    # tiny.com's raw 1.0 must be pulled well below big.com's shrunk 0.75-ish
+    assert got["tiny.com"]["reputation"] < got["big.com"]["reputation"] + 0.1
+    # NULL sources aggregate under a NULL domain and never crash
+    assert None in got and got[None]["n_keep"] == 0

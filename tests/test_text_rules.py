@@ -99,3 +99,64 @@ def test_pii_patterns_precise():
     }
     for raw, want in cases.items():
         assert SC.scrub_python(raw) == want, raw
+
+
+# ---------------------------------------------------------------------------
+# Luhn credit-card kernel (round 5): three-engine agreement + planted text
+# ---------------------------------------------------------------------------
+
+LUHN_CASES = [
+    ("4532015112830366", True),   # valid Visa test number
+    ("4532015112830367", False),  # off-by-one check digit
+    ("4111111111111111", True),
+    ("79927398713", False),       # valid Luhn but only 11 digits
+    ("799273987131", False),      # 12 digits, below the card minimum
+    ("1234567890123452", True),   # 16-digit synthetic, checksum 0
+    ("0000000000000", True),      # 13 zeros: sum 0 -> valid shape
+    ("123456789012345678X", False),
+    ("", False),
+    (None, False),
+]
+
+
+def test_luhn_three_engine_agreement(spark):
+    pdf = pd.DataFrame({"s": [c for c, _ in LUHN_CASES]})
+    sdf = spark.createDataFrame(pdf)
+    got_spark = sdf.select(
+        SC.luhn_valid(F.col("s")).alias("v")
+    ).toPandas()["v"].tolist()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.sql(
+        f"SELECT {SC.luhn_valid_sql('s')} v FROM t"
+    ).df()["v"].tolist()
+    for (raw, want), a, b in zip(LUHN_CASES, got_spark, got_duck):
+        assert bool(a) is want, (raw, "spark", a)
+        assert bool(b) is want, (raw, "duck", b)
+        assert SC.luhn_valid_python(raw) is want, (raw, "python")
+
+
+CC_TEXTS = [
+    # valid card, space-separated -> redacted
+    ("pay 4532 0151 1283 0366 now", "pay [CC] now"),
+    # same digits dashed -> redacted; trailing order id fails Luhn -> kept
+    ("card 4532-0151-1283-0366 order 1234567890123", "card [CC] order 1234567890123"),
+    # invalid checksum -> untouched
+    ("num 4532015112830367 stays", "num 4532015112830367 stays"),
+    # two occurrences of one valid card both redacted
+    ("4111111111111111 and again 4111111111111111", "[CC] and again [CC]"),
+    # phone-shaped run is too short for a card and stays for the phone rule
+    ("call 555-123-4567 plz", "call 555-123-4567 plz"),
+    ("no digits at all", "no digits at all"),
+    (None, None),
+]
+
+
+def test_scrub_cc_spark_matches_python(spark):
+    pdf = pd.DataFrame({"text": [t for t, _ in CC_TEXTS]})
+    sdf = spark.createDataFrame(pdf)
+    got = sdf.select(SC.scrub_cc(F.col("text")).alias("s")).toPandas()["s"]
+    for (raw, want), g in zip(CC_TEXTS, got):
+        gv = None if pd.isna(g) else g
+        assert gv == want, (raw, gv)
+        assert SC.scrub_cc_python(raw) == want, raw
