@@ -21,6 +21,121 @@ from ..sources import codecs as C
 
 MIN_DIM, MAX_DIM = 2, 16384
 
+# ---------------------------------------------------------------------------
+# Metadata gate: the CHEAPEST image reject — decided from catalog columns
+# (w, h, fmt, len(bytes)) alone, before any byte ever crosses to the
+# decoder.  DataComp/LAION pipelines run exactly this class of filter
+# (min side, extreme aspect ratio, implausible compression ratio) ahead
+# of download/decode; at 10^12 images the decode UDF is the dominant cost
+# and every row rejected here never pays it.  Pure whole-stage codegen —
+# a handful of comparisons — with a DuckDB twin for the q60 oracle.
+# ---------------------------------------------------------------------------
+
+META_MIN_SIDE = 64        # keep-side floor (stricter than decode MIN_DIM)
+META_MAX_SIDE = MAX_DIM
+META_MAX_ASPECT = 3.0
+# bytes-per-pixel plausibility: below → almost certainly a thumbnail
+# stub/truncation; above → not a compressed raster at all.
+META_MIN_BPP, META_MAX_BPP = 0.05, 20.0
+
+#: first-fail order, shared by every engine twin
+META_REASONS = (
+    "bad_metadata",
+    "too_small",
+    "too_large",
+    "extreme_aspect",
+    "implausible_bytes",
+)
+
+
+def metadata_flags(w, h, n_bytes) -> dict:
+    """First-fail drop-reason booleans from metadata Columns (mutually
+    exclusive; ``keep`` = none fired).  NULL/non-positive metadata is its
+    own reason — an unjudgeable row must surface in the funnel, not
+    silently pass."""
+    from pyspark.sql import functions as F
+
+    bad = (
+        w.isNull() | h.isNull() | n_bytes.isNull()
+        | (w <= 0) | (h <= 0) | (n_bytes <= 0)
+    )
+    small = ~bad & (F.least(w, h) < META_MIN_SIDE)
+    large = ~bad & ~small & (F.greatest(w, h) > META_MAX_SIDE)
+    aspect = (
+        ~bad & ~small & ~large
+        & (F.greatest(w, h) > F.lit(META_MAX_ASPECT) * F.least(w, h))
+    )
+    bpp = n_bytes / (w * h)
+    implaus = (
+        ~bad & ~small & ~large & ~aspect
+        & ((bpp < META_MIN_BPP) | (bpp > META_MAX_BPP))
+    )
+    keep = ~bad & ~small & ~large & ~aspect & ~implaus
+    return {
+        "keep": keep,
+        "bad_metadata": bad,
+        "too_small": small,
+        "too_large": large,
+        "extreme_aspect": aspect,
+        "implausible_bytes": implaus,
+    }
+
+
+def metadata_flag_sql(w: str, h: str, n_bytes: str, reason: str) -> str:
+    """DuckDB twin of :func:`metadata_flags` (same constants, same
+    first-fail order)."""
+    bad = (
+        f"({w} IS NULL OR {h} IS NULL OR {n_bytes} IS NULL "
+        f"OR {w} <= 0 OR {h} <= 0 OR {n_bytes} <= 0)"
+    )
+    small = f"(NOT {bad} AND least({w}, {h}) < {META_MIN_SIDE})"
+    large = f"(NOT {bad} AND NOT {small} AND greatest({w}, {h}) > {META_MAX_SIDE})"
+    aspect = (
+        f"(NOT {bad} AND NOT {small} AND NOT {large} "
+        f"AND greatest({w}, {h}) > {META_MAX_ASPECT} * least({w}, {h}))"
+    )
+    bpp = f"(CAST({n_bytes} AS DOUBLE) / ({w} * {h}))"
+    implaus = (
+        f"(NOT {bad} AND NOT {small} AND NOT {large} AND NOT {aspect} "
+        f"AND ({bpp} < {META_MIN_BPP} OR {bpp} > {META_MAX_BPP}))"
+    )
+    keep = (
+        f"(NOT {bad} AND NOT {small} AND NOT {large} "
+        f"AND NOT {aspect} AND NOT {implaus})"
+    )
+    return {
+        "keep": keep,
+        "bad_metadata": bad,
+        "too_small": small,
+        "too_large": large,
+        "extreme_aspect": aspect,
+        "implausible_bytes": implaus,
+    }[reason]
+
+
+def metadata_gate(
+    df,
+    w_col: str = "w",
+    h_col: str = "h",
+    bytes_col: str = "bytes",
+    reason_col: str | None = None,
+):
+    """Filter rows passing the metadata gate (map-only, codegen, runs
+    BEFORE the decode UDF).  With ``reason_col``, instead returns ALL
+    rows annotated with the first-failing reason ('keep' when none) so
+    the funnel metrics can count rejects per reason."""
+    from pyspark.sql import functions as F
+
+    flags = metadata_flags(
+        F.col(w_col), F.col(h_col), F.length(F.col(bytes_col)).cast("long")
+    )
+    if reason_col is None:
+        return df.filter(flags["keep"])
+    reason = F.lit("keep")
+    for r in reversed(META_REASONS):
+        reason = F.when(flags[r], F.lit(r)).otherwise(reason)
+    return df.withColumn(reason_col, reason)
+
 _FLAG_SCHEMA = (
     "magic_ok boolean, decodable boolean, dims_match boolean, "
     "dims_bounds boolean, psnr_ok boolean"

@@ -2443,6 +2443,81 @@ def q59(spark, sf_dir):
     return DM.domain_reputation(d, TX.keep_verdict(F.col("text")), "source")
 
 
+def _q60_oracle() -> str:
+    from ..operators import images as IM
+
+    w, h, nb = (
+        "(16 + (doc_id * 37) % 1200)",
+        "(16 + (doc_id * 61) % 1200)",
+        "(n_chars * 211 + doc_id % 7919)",
+    )
+    fmt = (
+        "CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' "
+        "WHEN 2 THEN 'ppm' ELSE 'gif' END"
+    )
+
+    def n_where(reason: str) -> str:
+        return (
+            f"CAST(SUM(CASE WHEN {IM.metadata_flag_sql(w, h, nb, reason)} "
+            f"THEN 1 ELSE 0 END) AS BIGINT) AS n_{reason}"
+        )
+
+    keep = IM.metadata_flag_sql(w, h, nb, "keep")
+    reasons = ",\n           ".join(n_where(r) for r in IM.META_REASONS)
+    return f"""
+    SELECT {fmt} AS fmt,
+           COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN {keep} THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           {reasons},
+           bit_xor(CASE WHEN {keep} THEN doc_id ELSE 0 END) AS id_checksum
+    FROM documents GROUP BY 1
+    """
+
+
+@_register("q60_image_metadata_gate", _q60_oracle)
+def q60(spark, sf_dir):
+    """IMAGE METADATA gate (operators/images.py:metadata_gate): the
+    cheapest image reject — min-side / max-side / extreme-aspect /
+    bytes-per-pixel plausibility decided from catalog columns (w, h,
+    fmt, len(bytes)) BEFORE any byte reaches the decode UDF, exactly the
+    pre-download filter class DataComp/LAION run.  Pure codegen
+    comparisons, first-fail reason attribution for the funnel.  The
+    oracle views have no image table (the real gate runs on the seed
+    corpus in tests/test_multimodal.py and prep_corpus), so both engines
+    derive (w, h, fmt, n_bytes) from doc_id/n_chars with identical
+    integer arithmetic — per the BASELINE.json input-table hint — and
+    value-hash per-format keep/reason counts.  Reference ancestor: the
+    S7 sampled stats validator (additional_charge_checks.py:758) as a
+    full-corpus metadata rule."""
+    from ..operators import images as IM
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.lit(16) + (F.col("doc_id") * 37) % 1200
+    h = F.lit(16) + (F.col("doc_id") * 61) % 1200
+    nb = F.col("n_chars") * 211 + F.col("doc_id") % 7919
+    fmt = (
+        F.when(F.col("doc_id") % 4 == 0, "jpeg")
+        .when(F.col("doc_id") % 4 == 1, "png")
+        .when(F.col("doc_id") % 4 == 2, "ppm")
+        .otherwise("gif")
+    )
+    flags = IM.metadata_flags(w, h, nb)
+    aggs = [
+        F.count("*").alias("n_images"),
+        F.sum(F.when(flags["keep"], 1).otherwise(0)).cast("long").alias("n_keep"),
+    ]
+    aggs += [
+        F.sum(F.when(flags[r], 1).otherwise(0)).cast("long").alias(f"n_{r}")
+        for r in IM.META_REASONS
+    ]
+    aggs.append(
+        F.bit_xor(F.when(flags["keep"], F.col("doc_id")).otherwise(0)).alias(
+            "id_checksum"
+        )
+    )
+    return d.groupBy(fmt.alias("fmt")).agg(*aggs)
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -46,8 +46,16 @@ def prep_corpus(
     max_hamming: int = 3,
     contamination_dir: str | None = None,
     contamination_threshold: float = 0.8,
+    metadata_gate: bool = False,
 ) -> DataFrame:
     """images(input_hint schema) → deduplicated keep-verdict rows.
+
+    ``metadata_gate=True`` prepends the stage-0 catalog-column reject
+    (``images.metadata_gate``: min-side/aspect/bytes-per-pixel bounds,
+    pure codegen) so implausible rows never pay the decode UDF.  Off by
+    default: the gate's keep dials (``META_MIN_SIDE`` etc.) are corpus
+    policy, not correctness, and the F1-vs-reference invariant is defined
+    on the ungated corpus.
 
     Returns the verdict-table columns of ``run_pipeline`` restricted to
     kept, deduplicated rows (bytes untouched, caption_scrubbed present).
@@ -61,8 +69,11 @@ def prep_corpus(
     if (store_dir is None) != (batch_id is None):
         raise ValueError("store_dir and batch_id must be given together")
     from ..operators import dedup as DD
+    from ..operators import images as IM
     from . import lineage as LN
 
+    if metadata_gate:
+        images = IM.metadata_gate(images)
     verdicts = run_pipeline(spark, images, settings=settings)
     keeps = verdicts.filter(F.col("keep"))
     if contamination_dir is not None:

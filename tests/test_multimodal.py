@@ -153,3 +153,62 @@ def test_video_garbage_blob_emits_marker_row(spark):
     rows = MM.sample_video_frames(df, use_fake_decoder=True).collect()
     got = {(r["video_id"], r["decode_ok"]) for r in rows}
     assert got == {("1", False), ("2", False)}
+
+
+# ---------------------------------------------------------------------------
+# Metadata gate (round 5): catalog-column reject before any decode
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_gate_reasons(spark):
+    from data_quality_analyzer_spark.operators import images as IM
+
+    rows = [
+        # (id, w, h, nbytes-proxy, expected reason)
+        (0, 512, 512, b"x" * 40_000, "keep"),
+        (1, None, 512, b"x" * 40_000, "bad_metadata"),
+        (2, 0, 512, b"x" * 40_000, "bad_metadata"),
+        (3, 32, 512, b"x" * 40_000, "too_small"),
+        (4, 32768, 512, b"x" * 40_000, "too_large"),
+        (5, 2048, 512, b"x" * 200_000, "extreme_aspect"),
+        (6, 512, 512, b"x" * 100, "implausible_bytes"),  # bpp ~0.0004
+        (7, 128, 128, b"x" * 1_000_000, "implausible_bytes"),  # bpp ~61
+        (8, 512, 512, b"", "bad_metadata"),
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h, b) for i, w, h, b, _ in rows],
+        "image_id long, w int, h int, bytes binary",
+    )
+    got = {
+        r["image_id"]: r["why"]
+        for r in IM.metadata_gate(df, reason_col="why").collect()
+    }
+    for i, _w, _h, _b, want in rows:
+        assert got[i] == want, (i, got[i], want)
+    kept = IM.metadata_gate(df).select("image_id").collect()
+    assert [r["image_id"] for r in kept] == [0]
+    # map-only: the gate adds no exchange
+    plan = (
+        IM.metadata_gate(df.coalesce(1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_metadata_gate_in_prep_corpus(spark, tmp_path):
+    """prep_corpus(metadata_gate=True) drops the implausible row before
+    the decode UDF and keeps the valid corpus flowing."""
+    from data_quality_analyzer_spark.plans.prep import prep_corpus
+    from data_quality_analyzer_spark.sources.fixtures import generate_corpus
+
+    pdf = generate_corpus(60, seed=7)
+    # plant one row whose metadata alone disqualifies it (1x5000 banner)
+    bad = pdf.iloc[[0]].copy()
+    bad["image_id"] = "planted-banner"
+    bad["w"], bad["h"] = 5000, 1
+    pdf = pd.concat([pdf, bad], ignore_index=True)
+    sdf = spark.createDataFrame(pdf)
+    out = prep_corpus(spark, sdf, metadata_gate=True).select("image_id")
+    ids = {r["image_id"] for r in out.collect()}
+    assert "planted-banner" not in ids
+    assert len(ids) > 0
