@@ -166,6 +166,99 @@ def apply_blocklist(
     return df.filter(cond)
 
 
+# ---------------------------------------------------------------------------
+# URL canonicalization — the FIRST dedup key of a crawl pipeline.  Long
+# before any content fingerprint, production crawlers collapse refetches of
+# the same resource whose URLs differ only in scheme, case of the host,
+# default port, www., trailing slash, tracking parameters, parameter order,
+# or fragment.  Pure string/array codegen (regex decompose + HOF filter +
+# array_sort + concat), zero UDF; DuckDB + Python twins for the q61 oracle
+# and the unit tests.
+# ---------------------------------------------------------------------------
+
+#: dropped query parameters: utm_* by prefix, these by exact key
+TRACKING_PARAM_KEYS = ("gclid", "fbclid", "ref", "mc_cid", "mc_eid")
+
+_PATH_RE = (
+    r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?[^:/?#]+(?::[0-9]+)?"
+    r"([^?#]*)"
+)
+_QUERY_RE = r"\?([^#]*)"
+
+
+def canonicalize_url(url_col: Column) -> Column:
+    """scheme-less canonical form ``host[path][?sorted-kept-params]``:
+    host lowercased / www- and port-stripped (:func:`extract_domain`),
+    path case-PRESERVED with trailing slashes trimmed, tracking params
+    dropped, surviving params sorted, fragment discarded.  NULL/blank
+    or host-less input → NULL."""
+    u = F.trim(url_col)
+    host = extract_domain(u)
+    path = F.regexp_replace(F.regexp_extract(u, _PATH_RE, 1), r"/+$", "")
+    q = F.regexp_extract(u, _QUERY_RE, 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(q, "&", -1),
+            lambda p: (p != "")
+            & ~F.split(p, "=", 2).getItem(0).startswith("utm_")
+            & ~F.split(p, "=", 2).getItem(0).isin(*TRACKING_PARAM_KEYS),
+        )
+    )
+    qs = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.when(
+        host.isNotNull(), F.concat(host, path, qs)
+    )
+
+
+def canonicalize_url_sql(c: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` (same regexes/keys)."""
+    u = f"trim({c})"
+    host = extract_domain_sql(u)
+    path = f"regexp_replace(regexp_extract({u}, '{_PATH_RE}', 1), '/+$', '')"
+    q = f"regexp_extract({u}, '{_QUERY_RE}', 1)"
+    keys = ", ".join(f"'{k}'" for k in TRACKING_PARAM_KEYS)
+    kept = (
+        f"list_sort(list_filter(string_split({q}, '&'), "
+        f"p -> p <> '' AND NOT starts_with(string_split(p, '=')[1], 'utm_') "
+        f"AND string_split(p, '=')[1] NOT IN ({keys})))"
+    )
+    qs = (
+        f"CASE WHEN len({kept}) > 0 "
+        f"THEN '?' || array_to_string({kept}, '&') ELSE '' END"
+    )
+    return (
+        f"CASE WHEN {host} IS NOT NULL THEN {host} || {path} || {qs} END"
+    )
+
+
+def canonicalize_url_python(url: str | None) -> str | None:
+    """Pure-Python twin (unit tests)."""
+    import re as _re
+
+    if url is None:
+        return None
+    u = url.strip()
+    m = _re.match(_HOST_RE, u.lower())
+    host = m.group(1) if m else ""
+    host = _re.sub(r"^www\.", "", host)
+    if not host:
+        return None
+    pm = _re.match(_PATH_RE, u)
+    path = _re.sub(r"/+$", "", pm.group(1) if pm else "")
+    qm = _re.search(_QUERY_RE, u)
+    params = [
+        p
+        for p in (qm.group(1) if qm else "").split("&")
+        if p != ""
+        and not p.split("=")[0].startswith("utm_")
+        and p.split("=")[0] not in TRACKING_PARAM_KEYS
+    ]
+    qs = "?" + "&".join(sorted(params)) if params else ""
+    return host + path + qs
+
+
 def domain_reputation(
     df: DataFrame,
     keep: Column,

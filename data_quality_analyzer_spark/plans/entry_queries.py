@@ -2518,6 +2518,99 @@ def q60(spark, sf_dir):
     return d.groupBy(fmt.alias("fmt")).agg(*aggs)
 
 
+def _q61_oracle() -> str:
+    from ..operators import domains as DM
+
+    page = "CAST(FLOOR(doc_id / 4) AS VARCHAR)"
+    url = f"""
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://' || source || '.example.com/Page/' || {page}
+      WHEN 1 THEN 'HTTP://WWW.' || source || '.EXAMPLE.COM/Page/' || {page} || '/'
+      WHEN 2 THEN 'https://' || source || '.example.com:443/Page/' || {page}
+                  || '?utm_source=feed&utm_campaign=x#frag'
+      ELSE 'https://' || source || '.example.com/Page/' || {page}
+                  || '?ref=tw&id=7&b=1'
+    END
+    """
+    canon = DM.canonicalize_url_sql(f"({url})")
+    return f"""
+    WITH c AS (
+      SELECT source, doc_id, {canon} AS canonical FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_urls,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           bit_xor(CASE WHEN rn = 1 THEN doc_id ELSE 0 END) AS id_checksum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY canonical
+                                   ORDER BY doc_id) AS rn
+      FROM c
+    ) GROUP BY source
+    """
+
+
+@_register("q61_url_canonical_dedup", _q61_oracle)
+def q61(spark, sf_dir):
+    """URL CANONICALIZATION + canonical-URL dedup (operators/domains.py:
+    canonicalize_url): the FIRST dedup key of a crawl pipeline — collapse
+    refetches whose URLs differ only in scheme, host case, default port,
+    www., trailing slash, tracking params (utm_*/gclid/fbclid/ref/...),
+    parameter order, or fragment — long before any content fingerprint.
+    Canonicalization is pure string/array codegen (regex decompose + HOF
+    filter + array_sort + concat, zero UDF); the winner-per-canonical is
+    the A10 ``min(struct)`` hash agg (map-side combining — a hot URL
+    costs one combiner row per partition, never a window pile-up; the
+    oracle states the same rule as ROW_NUMBER, fine at DuckDB scale).
+    The corpus has no URL column, so both engines derive four planted
+    variants per page from (source, doc_id) with identical string
+    arithmetic: variants 0-2 canonicalize identically (scheme/case/port/
+    slash/utm differences only), variant 3 keeps real params — 2
+    canonical URLs per page group of 4.  Reference ancestor: A4 distinct
+    + A10 first-per-group (claim_analysis.py) on the canonical-URL axis."""
+    from ..operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.floor(F.col("doc_id") / 4).cast("string")
+    m = F.col("doc_id") % 4
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://"), F.col("source"),
+                                F.lit(".example.com/Page/"), page))
+        .when(m == 1, F.concat(F.lit("HTTP://WWW."), F.col("source"),
+                               F.lit(".EXAMPLE.COM/Page/"), page, F.lit("/")))
+        .when(m == 2, F.concat(F.lit("https://"), F.col("source"),
+                               F.lit(".example.com:443/Page/"), page,
+                               F.lit("?utm_source=feed&utm_campaign=x#frag")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"),
+                            F.lit(".example.com/Page/"), page,
+                            F.lit("?ref=tw&id=7&b=1")))
+    )
+    c = d.select("source", "doc_id", DM.canonicalize_url(url).alias("canonical"))
+    # the min(struct) winners ARE the kept rows — no join back to the
+    # corpus (a kept-set join would broadcast a corpus-sized relation)
+    winners = (
+        c.groupBy("canonical")
+        .agg(F.min(F.struct("doc_id", "source")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.source").alias("source"))
+    )
+    per_all = c.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("canonical").alias("n_canonical"),
+    )
+    per_kept = winners.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+    # both sides are domain-cardinality relations (tiny); broadcast
+    return per_all.join(F.broadcast(per_kept), "source", "left").select(
+        "source",
+        "n_urls",
+        "n_canonical",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("id_checksum", F.lit(0)).alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -226,3 +226,48 @@ def test_domain_reputation_shrinkage(spark):
     assert got["tiny.com"]["reputation"] < got["big.com"]["reputation"] + 0.1
     # NULL sources aggregate under a NULL domain and never crash
     assert None in got and got[None]["n_keep"] == 0
+
+
+CANON_CASES = [
+    ("https://WWW.Example.com:443/Page/3/", "example.com/Page/3"),
+    ("HTTP://example.com/Page/3", "example.com/Page/3"),
+    (
+        "https://example.com/a?utm_source=x&b=2&a=1&fbclid=zz#frag",
+        "example.com/a?a=1&b=2",
+    ),
+    ("example.com/a?ref=tw", "example.com/a"),
+    ("https://user@sub.example.com:8080/x//", "sub.example.com/x"),
+    ("https://example.com", "example.com"),
+    ("https://example.com/?", "example.com"),
+    ("", None),
+    ("   ", None),
+    (None, None),
+    # param ORDER must not matter
+    ("https://e.com/p?b=2&a=1", "e.com/p?a=1&b=2"),
+    ("https://e.com/p?a=1&b=2", "e.com/p?a=1&b=2"),
+    # utm_ prefix match but not a tracked exact key
+    ("https://e.com/p?utm=keepme", "e.com/p?utm=keepme"),
+]
+
+
+def test_canonicalize_url_three_engines(spark):
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame({"u": [c for c, _ in CANON_CASES]})
+    got_spark = (
+        spark.createDataFrame(pdf)
+        .select(DM.canonicalize_url(F.col("u")).alias("c"))
+        .toPandas()["c"]
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    got_duck = con.sql(
+        f"SELECT {DM.canonicalize_url_sql('u')} c FROM t"
+    ).df()["c"]
+    for (raw, want), a, b in zip(CANON_CASES, got_spark, got_duck):
+        av = None if pd.isna(a) else a
+        bv = None if pd.isna(b) else b
+        assert av == want, (raw, "spark", av)
+        assert bv == want, (raw, "duck", bv)
+        assert DM.canonicalize_url_python(raw) == want, (raw, "python")
