@@ -202,3 +202,164 @@ def stratified_sample_duck_sql(
         f"({_h60_key_sql(key_col, seed)}) % {SAMPLE_DENOM} < "
         f"(CASE {arms} ELSE 0 END)"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling") — score every raw document
+# by how target-like its hashed-n-gram distribution is:
+#
+#     weight(doc) = mean over tokens t of
+#                   [ log p_target(bucket(t)) - log p_raw(bucket(t)) ]
+#
+# with Laplace-smoothed bucket probabilities over ``num_buckets`` hashed
+# unigram buckets.  Mixture builders then select/resample by weight.
+#
+# Scale shape (the reason this is two explicit passes):
+#   pass 1 — bucket counts: one explode + ONE hash aggregate whose key
+#            space is ``num_buckets`` (bounded, partial-agg friendly);
+#            only ``num_buckets`` rows ever reach the driver — a dial,
+#            not data-sized.
+#   pass 2 — scoring is MAP-ONLY: the bucket→log-ratio table rides into
+#            the plan as a literal map and each doc folds its token
+#            array through it with HOF transform+aggregate — zero
+#            shuffle, zero join, zero UDF on the 10^12-row side.
+# The bucket hash is the portable h60 (md5), so the DuckDB oracle
+# reproduces the exact buckets; per-bucket ratios are rounded to 6 dp on
+# both sides (identical libm on one host; far below the 4 dp the oracle
+# compares at).
+#
+# Float portability: the per-doc mean is NOT a double fold (summation
+# order differs between Spark's array fold and DuckDB's group SUM, and
+# the 6 dp ratio grid can park the true mean exactly on a 4 dp rounding
+# boundary, where a 1-ulp association difference flips the rounded
+# value).  Instead both engines sum the 6 dp ratios as DECIMAL(28,6) —
+# exact and order-independent — cast the one exact sum to double, and
+# divide by the same integer token count: bit-identical input to the
+# final ROUND on both sides.  (4 dp ties of a *shared* double are safe:
+# (2k+1)/20000 is never dyadic, so no double sits exactly on a tie.)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 512
+
+
+def _dsir_tokens(text):
+    # same tri-engine tokenizer discipline as operators/lines.py: full
+    # regex edge-trim first, then \s+ split
+    return F.split(
+        F.regexp_replace(F.lower(text), r"^\s+|\s+$", ""), r"\s+"
+    )
+
+
+def _dsir_tokens_sql(c: str) -> str:
+    return (
+        f"string_split_regex(regexp_replace(lower({c}), "
+        f"'^\\s+|\\s+$', '', 'g'), '\\s+')"
+    )
+
+
+def _dsir_bucket(tok, num_buckets: int):
+    h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(num_buckets))
+
+
+def _dsir_bucket_sql(tok: str, num_buckets: int) -> str:
+    return f"({HH.h60_sql(tok)}) % {num_buckets}"
+
+
+def dsir_weights(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    weight_col: str = "dsir_weight",
+    num_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """Annotate every row with its DSIR importance weight (rounded to
+    4 dp; NULL text → NULL weight).  ``target`` is a boolean Column
+    marking the in-domain exemplar rows *within* ``df`` (e.g. "kept
+    English docs"); the raw distribution is all of ``df``."""
+    import math
+
+    toks = _dsir_tokens(F.col(text_col))
+    counts = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.coalesce(target, F.lit(False)).alias("_t"),
+            F.explode(_dsir_tokens(F.col(text_col))).alias("_tok"),
+        )
+        .groupBy(_dsir_bucket(F.col("_tok"), num_buckets).alias("_b"))
+        .agg(
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
+            F.count("*").alias("rc"),
+        )
+        .collect()  # bounded: ≤ num_buckets rows
+    )
+    t_tot = sum(r["tc"] for r in counts)
+    r_tot = sum(r["rc"] for r in counts)
+    ratio = {
+        r["_b"]: round(
+            math.log((r["tc"] + 1) / (t_tot + num_buckets))
+            - math.log((r["rc"] + 1) / (r_tot + num_buckets)),
+            6,
+        )
+        for r in counts
+    }
+    pairs = []
+    for b in sorted(ratio):
+        pairs += [F.lit(int(b)), F.lit(float(ratio[b]))]
+    m = F.create_map(*pairs) if pairs else F.create_map()
+    dec = "decimal(28,6)"
+    w_sum = F.aggregate(
+        F.transform(
+            toks,
+            lambda t: F.coalesce(
+                F.element_at(m, _dsir_bucket(t, num_buckets)), F.lit(0.0)
+            ).cast(dec),
+        ),
+        F.lit(0).cast(dec),
+        lambda acc, x: (acc + x).cast(dec),
+    )
+    w = w_sum.cast("double") / F.size(toks)
+    return df.withColumn(
+        weight_col,
+        F.when(F.col(text_col).isNotNull(), F.round(w, 4)),
+    )
+
+
+def dsir_weights_duck_sql(
+    table: str,
+    target_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = DSIR_BUCKETS,
+) -> str:
+    """DuckDB twin: per-doc (id, weight) relation equivalent to
+    :func:`dsir_weights` (unnest+join instead of the literal map; the
+    mean is over the same per-token 6 dp ratios)."""
+    toks = _dsir_tokens_sql(text_col)
+    b = _dsir_bucket_sql("tk", num_buckets)
+    return f"""
+    WITH _dsir_docs AS (
+      SELECT {id_col} AS _id, COALESCE({target_sql}, FALSE) AS _t,
+             {toks} AS _toks
+      FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    tok AS (SELECT _id, _t, unnest(_toks) AS tk FROM _dsir_docs),
+    bt AS (SELECT _id, _t, {b} AS _b FROM tok),
+    counts AS (
+      SELECT _b, SUM(CASE WHEN _t THEN 1 ELSE 0 END) AS tc,
+             COUNT(*) AS rc
+      FROM bt GROUP BY _b
+    ),
+    tots AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM counts),
+    ratios AS (
+      SELECT _b,
+             ROUND(ln((tc + 1.0) / (tt + {num_buckets}))
+                   - ln((rc + 1.0) / (rt + {num_buckets})), 6) AS r
+      FROM counts, tots
+    )
+    SELECT bt._id AS _id,
+           ROUND(CAST(SUM(CAST(r AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*), 4) AS w
+    FROM bt JOIN ratios USING (_b) GROUP BY bt._id
+    """

@@ -2611,6 +2611,67 @@ def q61(spark, sf_dir):
     )
 
 
+def _q62_oracle() -> str:
+    from ..operators import sampling as SP
+
+    w = SP.dsir_weights_duck_sql(
+        "documents", TX.keep_verdict_sql("text"), "text", "doc_id"
+    )
+    return f"""
+    WITH w AS ({w})
+    SELECT d.source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(w.w) AS BIGINT) AS n_scored,
+           COALESCE(CAST(SUM(CAST(w.w AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+             AS sum_w,
+           CAST(SUM(CASE WHEN w.w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_target_like,
+           bit_xor(CASE WHEN w.w > 0 THEN d.doc_id ELSE 0 END) AS id_checksum
+    FROM documents d LEFT JOIN w ON d.doc_id = w._id
+    GROUP BY d.source
+    """
+
+
+@_register("q62_dsir_importance", _q62_oracle)
+def q62(spark, sf_dir):
+    """DSIR IMPORTANCE WEIGHTING (operators/sampling.py:dsir_weights —
+    Xie et al. 2023): score every raw document by how target-like its
+    hashed-unigram distribution is (mean log p_target/p_raw over 512 h60
+    buckets, Laplace-smoothed), the standard upgrade from binary
+    keep/drop filtering to *importance-resampled* mixture building.  The
+    target exemplar set here is "docs the q36 heuristic keeps" — i.e.
+    the learned re-weighting is bootstrapped from the rule verdict, the
+    same self-distillation loop as the q51 classifier.  Plan: pass 1 is
+    one explode + ONE hash aggregate over a key space of 512 buckets
+    (partial-agg friendly; 512 rows to the driver — a dial, not
+    data-sized); pass 2 is MAP-ONLY — the bucket→ratio table rides in as
+    a literal map and each doc folds its token array through HOF
+    transform+aggregate (zero join, zero UDF, zero shuffle on the
+    corpus-sized side), then one per-source hash agg for the report.
+    Both engines sum the 6 dp ratios as DECIMAL(28,6) (exact,
+    order-independent) before the one double division, so the 4 dp
+    weights are bit-portable.  Reference ancestor: S7 sampling scan
+    (additional_charge_checks.py:741) upgraded from uniform to
+    importance-weighted selection."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    w = SP.dsir_weights(d, TX.keep_verdict(F.col("text")), text_col="text")
+    pos = F.col("dsir_weight") > 0
+    return w.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("dsir_weight").alias("n_scored"),
+        F.coalesce(
+            F.sum(F.col("dsir_weight").cast("decimal(18,4)")).cast("double"),
+            F.lit(0.0),
+        ).alias("sum_w"),
+        F.sum(F.when(pos, 1).otherwise(0)).cast("long").alias("n_target_like"),
+        F.bit_xor(F.when(pos, F.col("doc_id")).otherwise(0)).alias(
+            "id_checksum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -242,3 +242,81 @@ def test_shards_null_key_lands_in_real_shard(spark, tmp_path):
         for s in range(4)
     )
     assert found == 1
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dsir_docs(spark):
+    """Two vocabularies: target-ish rows speak 'clean', off-target rows
+    speak 'spam'; a few mixed rows sit in between, one NULL text."""
+    rows = []
+    clean = "the quiet library holds careful essays about science history"
+    spam = "click free offer buy now winner prize cash deal claim"
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, clean + f" volume {i}", True))
+        elif i % 3 == 1:
+            rows.append((i, spam + f" code {i}", False))
+        else:
+            rows.append((i, clean.split()[i % 5] + " " + spam, False))
+    rows.append((60, None, False))
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+
+
+def test_dsir_weights_match_duckdb(dsir_docs):
+    got = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in SP.dsir_weights(
+            dsir_docs, F.col("is_target"), text_col="text"
+        ).collect()
+    }
+    import duckdb
+
+    pdf = dsir_docs.toPandas()
+    con = duckdb.connect()
+    con.register("docs", pdf)
+    sql = SP.dsir_weights_duck_sql("docs", "is_target", "text", "doc_id")
+    duck = dict(con.execute(sql).fetchall())
+    # NULL text never reaches the twin; Spark carries it as NULL weight
+    assert got.pop(60) is None
+    assert set(duck) == set(got)
+    for k in got:
+        assert duck[k] == pytest.approx(got[k], abs=0), (k, duck[k], got[k])
+
+
+def test_dsir_separates_target_like_text(dsir_docs):
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in SP.dsir_weights(
+            dsir_docs, F.col("is_target"), text_col="text"
+        ).collect()
+    }
+    clean_ids = [i for i in range(60) if i % 3 == 0]
+    spam_ids = [i for i in range(60) if i % 3 == 1]
+    mixed_ids = [i for i in range(60) if i % 3 == 2]
+    avg = lambda ids: sum(w[i] for i in ids) / len(ids)  # noqa: E731
+    # target-vocabulary docs score strictly above mixed, mixed above spam
+    assert avg(clean_ids) > avg(mixed_ids) > avg(spam_ids)
+    assert min(w[i] for i in clean_ids) > max(w[i] for i in spam_ids)
+
+
+def test_dsir_weight_is_partitioning_invariant(dsir_docs):
+    a = {
+        (r["doc_id"], r["dsir_weight"])
+        for r in SP.dsir_weights(
+            dsir_docs.repartition(1), F.col("is_target")
+        ).collect()
+    }
+    b = {
+        (r["doc_id"], r["dsir_weight"])
+        for r in SP.dsir_weights(
+            dsir_docs.repartition(7, "text"), F.col("is_target")
+        ).collect()
+    }
+    assert a == b
