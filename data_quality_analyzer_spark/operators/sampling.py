@@ -281,12 +281,17 @@ def dsir_weights(
     import math
 
     toks = _dsir_tokens(F.col(text_col))
+    # _t is projected BELOW the explode: an expression sharing a SELECT
+    # with a generator lands in the post-Generate projection and gets
+    # re-evaluated once per TOKEN row — measured 34 s vs 1 s on sf0.1
+    # when the target is the full keep_verdict conjunction
     counts = (
         df.filter(F.col(text_col).isNotNull())
         .select(
             F.coalesce(target, F.lit(False)).alias("_t"),
-            F.explode(_dsir_tokens(F.col(text_col))).alias("_tok"),
+            toks.alias("_toks"),
         )
+        .select("_t", F.explode(F.col("_toks")).alias("_tok"))
         .groupBy(_dsir_bucket(F.col("_tok"), num_buckets).alias("_b"))
         .agg(
             F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),

@@ -163,3 +163,23 @@ def test_udf_matches_native_on_unicode_whitespace(spark):
     # and the repeated token really is 'buy\xa0now' (one token, 4 copies
     # of a 2-gram would differ if \xa0 split)
     assert native[1 + 1]["dup_frac"] > 0
+
+
+def test_rle_form_matches_explode_form(docs):
+    """The map-only sorted-RLE default must equal the explode+groupBy
+    form exactly (same rows, bit-equal fractions) — the fourth engine
+    in the agreement web."""
+    key = ["doc_id", "n"]
+    a = (
+        RP.token_ngram_metrics(docs)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        RP.token_ngram_metrics_explode(docs)
+        .toPandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
