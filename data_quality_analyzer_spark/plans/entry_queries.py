@@ -2672,6 +2672,106 @@ def q62(spark, sf_dir):
     )
 
 
+def _q63_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import html as HT
+
+    frag = (
+        "CASE doc_id % 3 WHEN 0 THEN '<script>var x = 1 < 2;</script>' "
+        "WHEN 1 THEN '<!-- hidden -->' ELSE '<style>p {margin: 0}</style>' END"
+    )
+    html = (
+        "CASE WHEN text IS NULL THEN NULL ELSE "
+        "'<html><head><title>' || COALESCE(source, '') || ' #' || "
+        "(doc_id % 50) || ' &amp; notes</title></head><body>' || "
+        f"{frag} || '<p>' || replace(text, chr(10), '</p><p>') || "
+        "'</p><div>See <a href=\"/a\">' || COALESCE(source, '') || "
+        "' &nbsp;index</a> &lt;here&gt;</div></body></html>' END"
+    )
+    ext, ttl = HT.strip_html_sql("html"), HT.extract_title_sql("html")
+    ld = HT.link_density_sql("html", "extracted")
+    return f"""
+    WITH pages AS (
+      SELECT source, doc_id, {html} AS html FROM documents
+    ),
+    x AS (
+      SELECT source, doc_id, html, {ext} AS extracted, {ttl} AS title
+      FROM pages
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(html) AS BIGINT) AS n_pages,
+           COALESCE(CAST(SUM(length(extracted)) AS BIGINT), 0) AS sum_chars,
+           COALESCE(bit_xor({HH.h60_sql('extracted')}), 0) AS text_checksum,
+           COALESCE(bit_xor({HH.h60_sql('title')}), 0) AS title_checksum,
+           COALESCE(CAST(SUM(CAST({ld} AS DECIMAL(18,4))) AS DOUBLE), 0.0)
+             AS sum_link_density
+    FROM x GROUP BY source
+    """
+
+
+@_register("q63_html_extract", _q63_oracle)
+def q63(spark, sf_dir):
+    """HTML → TEXT extraction (operators/html.py): the stage between the
+    raw crawl and every text operator here — script/style/comment
+    removal, block tags → line breaks, tag strip, entity decode,
+    whitespace normalization, plus <title> and link density (the jusText
+    boilerplate-page signal).  Entirely MAP-ONLY regexp_replace chains in
+    whole-stage codegen (zero UDF; the patterns are pinned to the
+    Java∩RE2∩Python regex dialect, see the module docstring) followed by
+    one per-source hash agg.  The corpus has no HTML column, so both
+    engines synthesize the same page around each document's text
+    (title/script/comment/style variants by doc_id, real newlines →
+    <p> breaks, planted anchors and entities) with identical string
+    arithmetic, and value-hash the EXTRACTED text and title via h60
+    checksums — a byte-exact extraction proof, not a length heuristic.
+    Reference ancestor: P12 computed column (claim_analysis.py) as a
+    derived-text stage."""
+    from ..functions import hashing as HH
+    from ..operators import html as HT
+
+    d = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 3
+    frag = (
+        F.when(m == 0, "<script>var x = 1 < 2;</script>")
+        .when(m == 1, "<!-- hidden -->")
+        .otherwise("<style>p {margin: 0}</style>")
+    )
+    src = F.coalesce(F.col("source"), F.lit(""))
+    html = F.when(
+        F.col("text").isNotNull(),
+        F.concat(
+            F.lit("<html><head><title>"), src, F.lit(" #"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(" &amp; notes</title></head><body>"), frag, F.lit("<p>"),
+            F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+            F.lit('</p><div>See <a href="/a">'), src,
+            F.lit(" &nbsp;index</a> &lt;here&gt;</div></body></html>"),
+        ),
+    )
+    x = d.select("source", "doc_id", html.alias("html")).select(
+        "source",
+        "html",
+        HT.strip_html(F.col("html")).alias("extracted"),
+        HT.extract_title(F.col("html")).alias("title"),
+    )
+    x = x.withColumn("ld", HT.link_density(F.col("html"), F.col("extracted")))
+    h60 = lambda c: F.expr(HH.h60_spark_sql(c))  # noqa: E731
+    return x.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("html").alias("n_pages"),
+        F.coalesce(F.sum(F.length("extracted")), F.lit(0)).alias("sum_chars"),
+        F.coalesce(F.bit_xor(h60("extracted")), F.lit(0)).alias(
+            "text_checksum"
+        ),
+        F.coalesce(F.bit_xor(h60("title")), F.lit(0)).alias("title_checksum"),
+        F.coalesce(
+            F.sum(F.col("ld").cast("decimal(18,4)")).cast("double"),
+            F.lit(0.0),
+        ).alias("sum_link_density"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
