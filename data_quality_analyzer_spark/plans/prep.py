@@ -110,6 +110,8 @@ def prep_text_corpus(
     max_dup5_frac: float | None = None,
     funnel: list | None = None,
     finalize_line_ledger: bool | None = None,
+    html_col: str | None = None,
+    max_link_density: float | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
@@ -118,6 +120,13 @@ def prep_text_corpus(
     0. **domain/source blocklist** (``domains.apply_blocklist``) when
        ``blocked_sources`` is given — the cheapest reject of all: a
        plan-literal membership filter, before any content is read;
+    0b. **HTML → text extraction** (``html.extract_pages``) when
+       ``html_col`` is given — the raw-crawl entry point: derives
+       ``text_col`` (plus ``title`` and ``link_density`` annotations)
+       from the page markup, map-only regexp chains in codegen; when
+       ``max_link_density`` is also given, pages whose anchor-text
+       fraction exceeds it are rejected here (the jusText
+       boilerplate-page gate) before any text stage runs;
     1. **heuristic quality filter** (``TX.keep_verdict``: length/token/
        symbol/stopword/repetition bounds) — map-only;
     1b. **Gopher phrase-repetition gate** (``repetition_metrics_udf``)
@@ -206,6 +215,21 @@ def prep_text_corpus(
     if blocked_sources is not None:
         out = DM.apply_blocklist(out, blocked_sources, source_col)
         out, n = audit(out, "blocklist", n)
+    if html_col is not None:
+        from ..operators import html as HT
+
+        out = HT.extract_pages(out, html_col=html_col, text_col=text_col)
+        if max_link_density is not None:
+            # NULL density (NULL page) falls through to the heuristics
+            # stage, which drops blank text anyway
+            out = out.filter(
+                F.coalesce(
+                    F.col("link_density") <= max_link_density, F.lit(True)
+                )
+            )
+        out, n = audit(out, "html_extract", n)
+    elif max_link_density is not None:
+        raise ValueError("max_link_density requires html_col")
     out = out.filter(
         F.coalesce(TX.keep_verdict(F.col(text_col)), F.lit(False))
     )

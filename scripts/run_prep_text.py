@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """spark-submit entry point for the END-TO-END document-corpus pipeline
-(`plans.prep.prep_text_corpus`): heuristic filter → trained quality
-classifier → eval-set decontamination → line dedup → exact dedup →
-near dedup → corpus mixing → reproducible shards.
+(`plans.prep.prep_text_corpus`): [blocklist → HTML extraction →]
+heuristic filter → trained quality classifier → eval-set
+decontamination → line dedup → exact dedup → near dedup → corpus
+mixing → reproducible shards.
 
 Cluster deployment:
 
@@ -57,6 +58,12 @@ def main() -> None:
                     help="cross-run line-fingerprint ledger dir (optional; "
                          "requires --batch-id)")
     ap.add_argument("--batch-id", default=None)
+    ap.add_argument("--html-col", default=None,
+                    help="raw-crawl HTML column; derives --text-col via "
+                         "map-only extraction (stage 0b)")
+    ap.add_argument("--max-link-density", type=float, default=None,
+                    help="boilerplate-page gate on anchor-text fraction "
+                         "(requires --html-col)")
     ap.add_argument("--funnel", action="store_true",
                     help="print the per-stage drop funnel (one extra "
                          "count per stage)")
@@ -98,6 +105,8 @@ def main() -> None:
         line_ledger_dir=args.line_ledger,
         batch_id=args.batch_id,
         funnel=funnel,
+        html_col=args.html_col,
+        max_link_density=args.max_link_density,
     )
     n = spark.read.parquet(args.output).count()
     result = {

@@ -113,6 +113,51 @@ def test_link_density_math(spark_extracted):
     assert spark_extracted[6]["ld"] is None
 
 
+def test_prep_text_corpus_html_stage(spark):
+    """Raw-crawl entry to prep_text_corpus: html_col extraction + the
+    link-density boilerplate gate run as stage 0b, before any text
+    stage."""
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+
+    sents = SC.sentences("en", 8, seed=11)
+    good = " ".join(sents[0:4])
+    good2 = " ".join(sents[4:8])
+    wrap = lambda t: f"<html><body><p>{t}</p></body></html>"  # noqa: E731
+    farm_links = "".join(
+        f'<a href="/{i}">section link {i}</a> ' for i in range(30)
+    )
+    rows = [
+        (1, wrap(good), "web"),                       # survives
+        (2, wrap(good2) + f"<div>{farm_links}</div>", "web"),  # link farm
+        (3, wrap(good2), "spam.example"),             # blocked source
+        (4, None, "web"),                             # null page
+    ]
+    crawl = spark.createDataFrame(rows, "doc_id long, html string, source string")
+    funnel: list = []
+    out = prep_text_corpus(
+        spark,
+        crawl,
+        html_col="html",
+        max_link_density=0.3,
+        blocked_sources=["spam.example"],
+        funnel=funnel,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1]["text"] == HT.strip_html_py(wrap(good))
+    assert "link_density" in out.columns and "title" in out.columns
+    stages = [e["stage"] for e in funnel]
+    assert stages[:3] == ["input", "blocklist", "html_extract"]
+    by = {e["stage"]: e for e in funnel}
+    assert by["blocklist"]["dropped"] == 1     # row 3
+    assert by["html_extract"]["dropped"] == 1  # row 2 (farm), row 4 kept NULL
+    assert by["heuristics"]["dropped"] == 1    # row 4 (NULL text)
+
+    with pytest.raises(ValueError, match="requires html_col"):
+        prep_text_corpus(spark, crawl, max_link_density=0.3)
+
+
 def test_extract_pages_wiring(pages):
     out = HT.extract_pages(pages.filter(F.col("html").isNotNull()))
     assert {"doc_id", "html", "text", "title", "link_density"} <= set(
