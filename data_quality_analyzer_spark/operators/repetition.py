@@ -379,3 +379,94 @@ def repetition_metrics_udf(ns: tuple[int, ...] = DEFAULT_NS):
         return pd.DataFrame(cols)
 
     return _rep
+
+
+# ---------------------------------------------------------------------------
+# CROSS-document duplicated n-grams (RefinedWeb-style corpus-level signal)
+# ---------------------------------------------------------------------------
+
+
+def crossdoc_dup_metrics(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document CROSS-document duplicated n-gram fraction: of a doc's
+    DISTINCT word-``n``-grams, the fraction that also appear in at least
+    one OTHER document (RefinedWeb/MassiveText's corpus-level repetition
+    signal — template spam, mirrored articles and licence boilerplate
+    score high while staying invisible to every within-doc metric in this
+    module and sub-threshold for MinHash near-dup).
+
+    Returns ``(id_col, n_grams, n_dup_grams, dup_frac)`` — one row per
+    document with at least one gram (< ``n`` words ⇒ no row, same
+    convention as :func:`token_ngram_metrics`).  ``dup_frac`` rounded to
+    4 dp.
+
+    Scale shape (the deliberate one, not the first one that works):
+
+    * gram derivation reuses ``decontam.word_gram_hashes`` — pure
+      codegen, ``array_distinct`` BEFORE the explode;
+    * per-doc gram counts come from ``size()`` of the un-exploded array
+      (map-only), NOT from re-aggregating the exploded relation;
+    * the gram document-frequency table is filtered to ``count ≥ 2``
+      BEFORE joining back, so the big gram⋈gram join's build side holds
+      only *duplicated* grams — at production dup rates a small fraction
+      of the distinct-gram space;
+    * total: one shuffle to count grams, one to join hits, one slim
+      id-keyed join to attach counts.  No window, no collect.
+
+    Reference ancestor: A12 re-aggregation duplicate detection
+    (additional_charge_checks.py), lifted from exact rows to cross-doc
+    phrases.
+    """
+    from . import decontam as DC
+
+    grams = docs.select(
+        F.col(id_col), DC.word_gram_hashes(text_col, n).alias("_grams")
+    )
+    sizes = grams.select(
+        id_col, F.size("_grams").alias("n_grams")
+    ).filter(F.col("n_grams") > 0)
+    exploded = grams.select(id_col, F.explode("_grams").alias("gram"))
+    dup_grams = (
+        exploded.groupBy("gram")
+        .agg(F.count("*").alias("_docs"))
+        .filter(F.col("_docs") >= 2)
+        .select("gram")
+    )
+    dup_per_doc = (
+        exploded.join(dup_grams, "gram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_grams"))
+    )
+    return (
+        sizes.join(dup_per_doc, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def crossdoc_dup_filter(
+    docs: DataFrame,
+    max_dup_frac: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Drop documents whose cross-doc duplicated n-gram fraction exceeds
+    ``max_dup_frac``; docs too short to produce grams pass through (they
+    carry no cross-doc evidence either way)."""
+    flagged = (
+        crossdoc_dup_metrics(docs, text_col, id_col, n)
+        .filter(F.col("dup_frac") > max_dup_frac)
+        .select(id_col)
+    )
+    return docs.join(flagged, id_col, "left_anti")

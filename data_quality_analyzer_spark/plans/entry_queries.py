@@ -2772,6 +2772,61 @@ def q63(spark, sf_dir):
     )
 
 
+@_register(
+    "q64_crossdoc_dup_ngrams",
+    """
+    WITH dw AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                         x -> x <> '') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    doc_grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w) - 3),
+                                     i -> array_to_string(w[i:i+4], ' '))) AS g
+        FROM dw WHERE len(w) >= 5)
+    ),
+    dup_grams AS (
+      SELECT g FROM doc_grams GROUP BY g HAVING COUNT(*) >= 2
+    ),
+    sizes AS (
+      SELECT doc_id, COUNT(*) AS n_grams FROM doc_grams GROUP BY doc_id
+    ),
+    dups AS (
+      SELECT doc_id, COUNT(*) AS n_dup
+      FROM doc_grams JOIN dup_grams USING (g) GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.n_grams AS INT) AS n_grams,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+           ROUND(COALESCE(d.n_dup, 0) * 1.0 / s.n_grams, 4) AS dup_frac
+    FROM sizes s LEFT JOIN dups d USING (doc_id)
+    """,
+)
+def q64(spark, sf_dir):
+    """CROSS-document duplicated 5-gram fraction
+    (operators/repetition.py:crossdoc_dup_metrics): of each doc's
+    distinct word-5-grams, the share appearing in ≥ 1 other document —
+    the RefinedWeb corpus-level repetition signal that catches template
+    spam and mirrored boilerplate invisible to within-doc metrics (q56)
+    and sub-threshold for MinHash near-dup (q37).  Scale shape: grams
+    are codegen-derived and distinct'd BEFORE the explode, per-doc
+    totals come map-only from size(), and the join-back's build side is
+    pre-filtered to duplicated grams only.  Spark joins on xxhash64 gram
+    ids, the oracle on raw gram strings — identical counts barring a
+    ~1e-18 collision.  Reference ancestor: A12 re-aggregation duplicate
+    detection (additional_charge_checks.py), lifted to cross-doc
+    phrases."""
+    from ..operators import repetition as RP
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return RP.crossdoc_dup_metrics(d, "text", "doc_id", n=5)
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

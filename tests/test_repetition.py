@@ -183,3 +183,38 @@ def test_rle_form_matches_explode_form(docs):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b[a.columns], check_exact=True)
+
+
+def test_crossdoc_dup_metrics(spark):
+    """Planted cross-doc template spam: shared licence boilerplate is
+    flagged, unique docs score 0, short docs emit no row."""
+    boiler = "this content is licensed under the creative commons license"
+    rows = [
+        (1, boiler + " alpha beta gamma delta epsilon unique tail one"),
+        (2, boiler + " zeta eta theta iota kappa different tail two"),
+        (3, "completely original sentence with no shared phrases at all"),
+        (4, "too short"),          # < 5 words -> no row
+        (5, None),                 # null -> no row
+        (6, boiler),               # the boilerplate alone
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in RP.crossdoc_dup_metrics(docs).collect()
+    }
+    assert set(got) == {1, 2, 3, 6}
+    # boiler = 9 words -> 5 distinct 5-grams, shared by docs 1, 2 and 6
+    assert got[6]["n_grams"] == 5 and got[6]["n_dup_grams"] == 5
+    assert got[6]["dup_frac"] == 1.0
+    assert got[3]["n_dup_grams"] == 0 and got[3]["dup_frac"] == 0.0
+    # docs 1/2: 17 words -> 13 grams each; the 5 boiler grams are
+    # shared, the 8 grams crossing into the unique tails are not
+    for d in (1, 2):
+        assert got[d]["n_grams"] == 13
+        assert got[d]["n_dup_grams"] == 5
+        assert got[d]["dup_frac"] == round(5 / 13, 4)
+
+    kept = RP.crossdoc_dup_filter(docs, max_dup_frac=0.3)
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
+        3, 4, 5,
+    }
