@@ -1,0 +1,211 @@
+"""Deterministic Lloyd's k-means over an embedding column — corpus
+clustering for diversity analysis and cluster-balanced sampling
+(SemDeDup / DataComp-style: cluster the corpus, then dedup or quota
+WITHIN clusters).
+
+Design for the 1000-executor case, mirroring what Spark MLlib's KMeans
+does under the hood but kept oracle-twinnable:
+
+* **Assignment is MAP-ONLY**: the k×dim centroid matrix rides into the
+  plan as literal arrays (k·dim ≤ a few thousand doubles — plan-size
+  noise), each row folds ``zip_with`` squared differences per centroid
+  and takes ``array_min`` over (dist, cluster) structs.  Zero shuffle,
+  zero UDF, whole-stage codegen.
+* **Update is ONE hash aggregate per iteration**: ``posexplode`` the
+  vector, ``groupBy(cluster, pos)`` with map-side partial aggregation
+  (k·dim grouping keys — tiny), and the k·dim (sum, count) rows come
+  back to the driver to form the next centroid literals.  This
+  driver-synchronization point is inherent to Lloyd's algorithm (MLlib
+  ``collectAsMap``s the same reduction); the collected relation is
+  k·dim rows regardless of corpus size.
+* **Cross-engine float discipline** (the repo rule): element sums are
+  accumulated as ``DECIMAL(38,12)`` — exact, ORDER-INDEPENDENT decimal
+  addition — so Spark's unordered partial aggs and DuckDB's sequential
+  sum produce the same centroid to the last bit; only then one
+  double division per element.  Distances fold left-to-right in list
+  order in both engines (``aggregate``/``list_sum`` precedent from the
+  q29 cosine oracle), so argmin ties cannot diverge; ties on equal
+  distance break by cluster index in both engines.
+* **Deterministic, portable init** (no RNG): ``init="farthest"``
+  (default) is farthest-point traversal — seed 0 is the row with the
+  smallest ``(vec_id * 2654435761) % 2147483647`` (Knuth multiplicative
+  hash — plain bigint arithmetic both engines can run), each next seed
+  maximizes its distance to the chosen set (ties → smallest vec_id).
+  That is the deterministic sibling of k-means++ (Gonzalez 1985
+  farthest-first traversal): well-separated groups each receive exactly
+  one seed, which plain hash sampling cannot promise.  Costs k-1 extra
+  map-only top-1 passes (k-means|| is the big-k upgrade).
+  ``init="hash"`` skips those passes and seeds with the k smallest
+  hashes.  Either way: same seed set on any cluster size, any retry —
+  the reproducibility contract of the mixing/sampling stages
+  (operators/sampling.py) applied to init.
+
+NULL / ragged vectors are excluded up front (same guard as the
+embedding dedup path, operators/similarity.py).
+
+Reference ancestor: the grouped-aggregation shapes of A6
+(base_standalone.py) — k-means' update step IS a grouped mean; the
+reference has no iterative operator, this is part of the beyond-SURVEY
+LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+KNUTH = 2654435761
+MOD31 = 2147483647
+
+
+def _init_order(id_col: str):
+    return (
+        F.pmod(F.col(id_col) * F.lit(KNUTH), F.lit(MOD31)).asc(),
+        F.col(id_col).asc(),
+    )
+
+
+def _valid(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    return df.filter(
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) == dim)
+        & ~F.exists(vec_col, lambda x: x.isNull())
+    )
+
+
+def _centroid_lits(centroids: list[list[float]]):
+    return [
+        F.array(*[F.lit(float(x)).cast("double") for x in c])
+        for c in centroids
+    ]
+
+
+def _assign_expr(vec, centroids: list[list[float]]):
+    """Cluster index of the nearest centroid (squared L2, left-to-right
+    fold; ties -> lowest cluster index)."""
+    dists = []
+    for j, lit in enumerate(_centroid_lits(centroids)):
+        d = F.aggregate(
+            # explicit product, NOT pow(x, 2): JVM Math.pow is not
+            # bit-guaranteed to equal x*x, DuckDB's twin multiplies
+            F.zip_with(
+                vec,
+                lit,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(j).alias("c")))
+    return F.array_min(F.array(*dists)).getField("c")
+
+
+def _min_dist_expr(vec, centroids: list[list[float]]):
+    """Distance to the NEAREST of ``centroids`` (squared L2)."""
+    dists = []
+    for lit in _centroid_lits(centroids):
+        dists.append(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    lit,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0).cast("double"),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.least(*dists) if len(dists) > 1 else dists[0]
+
+
+def kmeans_fit_assign(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    init: str = "farthest",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Run ``iters`` Lloyd iterations from the deterministic init and
+    return ``(assignments, centroids)`` where assignments is
+    ``(id_col, cluster)`` and centroids the final k×dim list.  The
+    returned assignment plan is map-only (centroids are literals) —
+    write it, sample against it, or join it without re-clustering."""
+    if k < 1 or iters < 0:
+        raise ValueError(f"need k >= 1 and iters >= 0, got {k=} {iters=}")
+    if init not in ("farthest", "hash"):
+        raise ValueError(f"init must be 'farthest' or 'hash', got {init!r}")
+    v = _valid(vectors, vec_col, dim).select(id_col, vec_col)
+    n_seeds = k if init == "hash" else 1
+    seed_rows = v.orderBy(*_init_order(id_col)).limit(n_seeds).collect()
+    if len(seed_rows) < n_seeds:
+        raise ValueError(
+            f"k={k} but only {len(seed_rows)} valid vectors"
+        )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+    while len(centroids) < k:  # farthest-point traversal
+        nxt = (
+            v.orderBy(
+                _min_dist_expr(F.col(vec_col), centroids).desc(),
+                F.col(id_col).asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        cand = [float(x) for x in nxt[0][vec_col]]
+        if cand in centroids:
+            raise ValueError(
+                f"k={k} but only {len(centroids)} distinct vectors"
+            )
+        centroids.append(cand)
+    for _ in range(iters):
+        assigned = v.select(
+            id_col,
+            vec_col,
+            _assign_expr(F.col(vec_col), centroids).alias("cluster"),
+        )
+        stats = (
+            assigned.select(
+                "cluster",
+                F.posexplode(vec_col).alias("pos", "x"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(
+                F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+                .alias("s"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new = {
+            (r["cluster"], r["pos"]): float(r["s"]) / r["n"] for r in stats
+        }
+        # a cluster that lost every member keeps its previous centroid
+        centroids = [
+            [new.get((j, p), centroids[j][p]) for p in range(dim)]
+            for j in range(k)
+        ]
+    out = v.select(
+        id_col, _assign_expr(F.col(vec_col), centroids).alias("cluster")
+    )
+    return out, centroids
+
+
+def cluster_profile(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """(cluster, n_vecs, id_checksum) summary of the final assignment —
+    the audit table a cluster-balanced sampler reads."""
+    assigned, _ = kmeans_fit_assign(vectors, k, iters, id_col, vec_col, dim)
+    return assigned.groupBy("cluster").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(id_col).cast("long").alias("id_checksum"),
+    )

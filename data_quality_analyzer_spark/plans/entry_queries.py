@@ -2827,6 +2827,144 @@ def q64(spark, sf_dir):
     return RP.crossdoc_dup_metrics(d, "text", "doc_id", n=5)
 
 
+@_register(
+    "q65_length_percentiles",
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           ROUND(quantile_cont(length(text), 0.25), 4) AS p25_chars,
+           ROUND(quantile_cont(length(text), 0.50), 4) AS p50_chars,
+           ROUND(quantile_cont(length(text), 0.75), 4) AS p75_chars,
+           ROUND(quantile_cont(length(text), 0.90), 4) AS p90_chars
+    FROM documents WHERE text IS NOT NULL
+    GROUP BY source
+    """,
+)
+def q65(spark, sf_dir):
+    """Per-source EXACT length-percentile profile — the corpus report
+    behind every length-bound decision (MIN/MAX_CHARS in the heuristic
+    rules are picked off exactly this table).  Exact interpolated
+    percentiles (`percentile`, the sort-based agg) match DuckDB's
+    `quantile_cont` bit-for-bit under 4 dp rounding, giving the
+    percentile OPERATOR a value-hash oracle — unlike the bucketed
+    histogram (q10/A16), which trades exactness for one pass.  Scale
+    note: per-group exact percentiles sort within each group; at
+    100 TB swap `percentile` → `approx_percentile(c, p, accuracy)`
+    (t-digest, map-side-combining, bounded error) — same plan shape,
+    no oracle equality.  Reference ancestor: A8 global stats
+    (base_standalone.py) extended to order statistics."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    nc = F.length("text")
+    pct = lambda p, a: F.round(  # noqa: E731
+        F.percentile(nc, F.lit(p)), 4
+    ).alias(a)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        pct(0.25, "p25_chars"),
+        pct(0.50, "p50_chars"),
+        pct(0.75, "p75_chars"),
+        pct(0.90, "p90_chars"),
+    )
+
+
+def _q66_oracle() -> str:
+    from ..operators import clustering as CL
+
+    k, iters, dim = 4, 2, 64
+    dist = (
+        "list_sum(list_transform(v.e, (x, i) -> "
+        "(x - c.e[i]) * (x - c.e[i])))"
+    )
+    sdist = dist.replace("c.e[i]", "s.e[i]")
+    # farthest-point init chain: seed 0 = smallest Knuth hash, each next
+    # seed maximizes min-distance to the chosen set (ties -> vec_id)
+    parts = [
+        f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+        AND len(list_filter(embedding, x -> x IS NULL)) = 0
+    ),
+    seeds1 AS (
+      SELECT e, 0 AS seq FROM (
+        SELECT e, row_number() OVER (
+          ORDER BY (vec_id * {CL.KNUTH}) % {CL.MOD31}, vec_id) AS rn
+        FROM v) WHERE rn = 1
+    )"""
+    ]
+    for j in range(1, k):
+        parts.append(f""",
+    n{j} AS (
+      SELECT e, {j} AS seq FROM (
+        SELECT vec_id, e,
+               row_number() OVER (ORDER BY mind DESC, vec_id) AS rn
+        FROM (
+          SELECT v.vec_id, ANY_VALUE(v.e) AS e, MIN({sdist}) AS mind
+          FROM v, seeds{j} s GROUP BY v.vec_id
+        ) v
+      ) WHERE rn = 1
+    ),
+    seeds{j + 1} AS (
+      SELECT * FROM seeds{j} UNION ALL SELECT * FROM n{j}
+    )""")
+    parts.append(f""",
+    c0 AS (SELECT seq AS cluster, e FROM seeds{k})""")
+    for it in range(iters):
+        parts.append(f""",
+    a{it} AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT v.vec_id, v.e, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+        FROM v, c{it} c) WHERE rn = 1
+    ),
+    u{it} AS (
+      SELECT cluster, pos,
+             CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+               AS val
+      FROM (SELECT cluster, unnest(e) AS x,
+                   unnest(range(1, {dim} + 1)) AS pos FROM a{it})
+      GROUP BY cluster, pos
+    ),
+    c{it + 1} AS (
+      SELECT cluster, list(val ORDER BY pos) AS e
+      FROM u{it} GROUP BY cluster
+      UNION ALL
+      SELECT c.cluster, c.e FROM c{it} c
+      WHERE c.cluster NOT IN (SELECT cluster FROM u{it})
+    )""")
+    parts.append(f"""
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
+      SELECT v.vec_id, c.cluster,
+             row_number() OVER (
+               PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+      FROM v, c{iters} c) WHERE rn = 1
+    """)
+    return "".join(parts)
+
+
+@_register("q66_kmeans_clusters", _q66_oracle)
+def q66(spark, sf_dir):
+    """Deterministic Lloyd's k-means over the embedding corpus
+    (operators/clustering.py) — SemDeDup/DataComp-style clustering for
+    diversity audits and cluster-balanced sampling.  The oracle unrolls
+    the SAME algorithm in SQL: the deterministic farthest-point init
+    chain (Knuth-hash seed 0, then argmax-min-distance), identical
+    left-to-right distance folds, and ORDER-INDEPENDENT decimal(38,12)
+    centroid sums, so the per-vector assignment — the output of an
+    ITERATIVE algorithm — is value-hash comparable.  Scale shape:
+    init is k-1 map-only top-1 passes, assignment is map-only (centroid
+    literals), each update is one k·dim-key hash agg; the driver sees
+    k·dim rows per iteration (Lloyd's inherent sync point, same as
+    MLlib's collectAsMap)."""
+    from ..operators import clustering as CL
+
+    v = _t(spark, sf_dir, "embeddings")
+    assigned, _ = CL.kmeans_fit_assign(v, k=4, iters=2, dim=64)
+    return assigned
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

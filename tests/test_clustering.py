@@ -1,0 +1,106 @@
+"""Deterministic k-means: planted separable clusters recovered, invalid
+vectors excluded, empty-cluster fallback, determinism across runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_analyzer_spark.operators import clustering as CL
+
+DIM = 8
+
+
+def _vec(center: float, jitter: float) -> list[float]:
+    return [center + jitter] + [center] * (DIM - 1)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = []
+    # three tight planted clusters far apart
+    for i in range(10):
+        rows.append((100 + i, _vec(0.0, 0.01 * i)))
+        rows.append((200 + i, _vec(10.0, 0.01 * i)))
+        rows.append((300 + i, _vec(-10.0, 0.01 * i)))
+    rows.append((900, None))                    # null vector
+    rows.append((901, [1.0] * (DIM - 1)))       # wrong dim
+    rows.append((902, [None] + [1.0] * (DIM - 1)))  # null element
+    return spark.createDataFrame(
+        rows, f"vec_id long, embedding array<float>"
+    )
+
+
+def test_planted_clusters_recovered(vectors):
+    assigned, centroids = CL.kmeans_fit_assign(
+        vectors, k=3, iters=3, dim=DIM
+    )
+    rows = assigned.collect()
+    # invalid vectors never assigned
+    ids = {r["vec_id"] for r in rows}
+    assert ids == {100 + i for i in range(10)} | {
+        200 + i for i in range(10)
+    } | {300 + i for i in range(10)}
+    # each planted group lands in exactly one cluster, groups disjoint
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["vec_id"] // 100, set()).add(r["cluster"])
+    assert all(len(cs) == 1 for cs in by_group.values())
+    assert len(set().union(*by_group.values())) == 3
+    # centroids converge to the planted centers (first coord carries
+    # the mean jitter 0.045)
+    firsts = sorted(round(c[0], 3) for c in centroids)
+    assert firsts == [-9.955, 0.045, 10.045]
+
+
+def test_deterministic_across_runs(vectors):
+    a1, c1 = CL.kmeans_fit_assign(vectors, k=3, iters=2, dim=DIM)
+    a2, c2 = CL.kmeans_fit_assign(
+        vectors.repartition(7), k=3, iters=2, dim=DIM
+    )
+    assert c1 == c2  # decimal-sum update: bit-equal on any partitioning
+    assert sorted(map(tuple, a1.collect())) == sorted(
+        map(tuple, a2.collect())
+    )
+
+
+def test_k_exceeds_corpus(vectors, spark):
+    with pytest.raises(ValueError, match="only"):
+        CL.kmeans_fit_assign(vectors, k=50, iters=1, dim=DIM)
+    with pytest.raises(ValueError, match="k >= 1"):
+        CL.kmeans_fit_assign(vectors, k=0, iters=1, dim=DIM)
+
+
+def test_cluster_profile(vectors):
+    prof = {
+        r["cluster"]: r
+        for r in CL.cluster_profile(vectors, k=3, iters=2, dim=DIM).collect()
+    }
+    assert sum(p["n_vecs"] for p in prof.values()) == 30
+    assert sum(p["id_checksum"] for p in prof.values()) == sum(
+        g + i for g in (100, 200, 300) for i in range(10)
+    )
+
+
+def test_empty_cluster_keeps_centroid(spark):
+    # hash init can seed two near-identical vectors + k=3: a seed that
+    # never wins a member must keep its centroid (no NaN, no crash)
+    rows = [(i, [0.0] * DIM) for i in range(5)] + [
+        (10 + i, [100.0] * DIM) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, centroids = CL.kmeans_fit_assign(
+        df, k=3, iters=2, dim=DIM, init="hash"
+    )
+    assert len(centroids) == 3
+    assert all(all(x == x for x in c) for c in centroids)  # no NaN
+    assert assigned.count() == 10
+
+
+def test_farthest_refuses_degenerate_k(spark):
+    # farthest-point init cannot place 3 seeds on 2 distinct positions
+    rows = [(i, [0.0] * DIM) for i in range(5)] + [
+        (10 + i, [100.0] * DIM) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="distinct"):
+        CL.kmeans_fit_assign(df, k=3, iters=1, dim=DIM)
