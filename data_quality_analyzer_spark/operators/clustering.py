@@ -209,3 +209,79 @@ def cluster_profile(
         F.count("*").alias("n_vecs"),
         F.sum(id_col).cast("long").alias("id_checksum"),
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    cos_threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    init: str = "farthest",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the corpus, then
+    drop rows whose EXACT cosine similarity to a lower-id member of the
+    same cluster reaches ``cos_threshold``.  Clustering makes the
+    quadratic step tractable: pairs are only formed WITHIN a cluster, so
+    the self-join's key is the cluster id and its cost is
+    Σ|cluster|² — the paper's trick, with k as the knob (production:
+    k ≈ corpus/⟨a few thousand⟩; the LSH-banded path in
+    operators/similarity.py is the alternative when no clustering is
+    wanted).  Keep rule: lowest ``id_col`` in any qualifying pair wins —
+    the ledger min-winner convention, deterministic on any partitioning.
+
+    Returns the KEPT rows of ``vectors`` (original schema) — invalid
+    vectors (NULL / ragged / null-element) pass through unexamined,
+    the similarity.py convention.
+
+    Scale notes: the cluster self-join shuffles on the cluster id; a
+    degenerate mega-cluster (all-identical corpus) degrades to the
+    quadratic worst case — the same failure mode as a hot LSH band, and
+    the same remedy (raise k, or pre-collapse exact duplicates with
+    dedup_embedding_exact).  Cosine is computed in double with
+    left-to-right folds and IEEE sqrt — bit-identical across engines,
+    so the threshold verdict itself is oracle-checkable."""
+    assigned, _ = kmeans_fit_assign(
+        vectors, k, iters, id_col, vec_col, dim, init
+    )
+    v = _valid(vectors, vec_col, dim)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x: x.cast("double") * x.cast("double"),
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+    )
+    members = v.join(assigned, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.col("cluster"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_e"),
+        norm.alias("_n"),
+    )
+    b = members.select(
+        F.col("_id").alias("_id2"),
+        F.col("cluster"),
+        F.col("_e").alias("_e2"),
+        F.col("_n").alias("_n2"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_e"), F.col("_e2"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    dropped = (
+        members.join(b, "cluster")
+        .filter(F.col("_id") < F.col("_id2"))
+        .filter((F.col("_n") > 0) & (F.col("_n2") > 0))
+        .filter(
+            dot / (F.col("_n") * F.col("_n2")) >= F.lit(cos_threshold)
+        )
+        .select(F.col("_id2").alias(id_col))
+        .distinct()
+    )
+    return vectors.join(dropped, id_col, "left_anti")

@@ -2867,10 +2867,13 @@ def q65(spark, sf_dir):
     )
 
 
-def _q66_oracle() -> str:
+def _kmeans_oracle_cte(
+    k: int, iters: int, dim: int, src: str = "embeddings"
+) -> str:
+    """The unrolled k-means WITH-chain shared by q66/q67: valid vectors
+    ``v``, farthest-point seeds, ``iters`` Lloyd rounds, final
+    assignment CTE ``af(vec_id, e, cluster)``."""
     from ..operators import clustering as CL
-
-    k, iters, dim = 4, 2, 64
     dist = (
         "list_sum(list_transform(v.e, (x, i) -> "
         "(x - c.e[i]) * (x - c.e[i])))"
@@ -2882,7 +2885,7 @@ def _q66_oracle() -> str:
         f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM {src}
       WHERE embedding IS NOT NULL AND len(embedding) = {dim}
         AND len(list_filter(embedding, x -> x IS NULL)) = 0
     ),
@@ -2934,14 +2937,25 @@ def _q66_oracle() -> str:
       SELECT c.cluster, c.e FROM c{it} c
       WHERE c.cluster NOT IN (SELECT cluster FROM u{it})
     )""")
-    parts.append(f"""
-    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM (
-      SELECT v.vec_id, c.cluster,
-             row_number() OVER (
-               PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
-      FROM v, c{iters} c) WHERE rn = 1
-    """)
+    # final assignment against c{iters}, exposed for reuse by q67
+    parts.append(f""",
+    af AS (
+      SELECT vec_id, e, cluster FROM (
+        SELECT v.vec_id, v.e, c.cluster,
+               row_number() OVER (
+                 PARTITION BY v.vec_id ORDER BY {dist}, c.cluster) AS rn
+        FROM v, c{iters} c) WHERE rn = 1
+    )""")
     return "".join(parts)
+
+
+def _q66_oracle() -> str:
+    return (
+        _kmeans_oracle_cte(k=4, iters=2, dim=64)
+        + """
+    SELECT vec_id, CAST(cluster AS INT) AS cluster FROM af
+    """
+    )
 
 
 @_register("q66_kmeans_clusters", _q66_oracle)
@@ -2963,6 +2977,62 @@ def q66(spark, sf_dir):
     v = _t(spark, sf_dir, "embeddings")
     assigned, _ = CL.kmeans_fit_assign(v, k=4, iters=2, dim=64)
     return assigned
+
+
+_Q67_SRC = (
+    "(SELECT vec_id, embedding FROM embeddings "
+    "UNION ALL SELECT vec_id + 10000, embedding "
+    "FROM embeddings WHERE vec_id < 50)"
+)
+
+
+def _q67_oracle() -> str:
+    return (
+        _kmeans_oracle_cte(k=4, iters=2, dim=64, src=_Q67_SRC)
+        + f""",
+    m AS (
+      SELECT vec_id, cluster, e,
+             sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      FROM af
+    ),
+    drp AS (
+      SELECT DISTINCT b.vec_id
+      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE a.nrm > 0 AND b.nrm > 0
+        AND list_sum(list_transform(a.e, (x, i) -> x * b.e[i]))
+            / (a.nrm * b.nrm) >= 0.995
+    )
+    SELECT e0.vec_id FROM {_Q67_SRC} e0
+    WHERE e0.vec_id NOT IN (SELECT vec_id FROM drp)
+    """
+    )
+
+
+@_register("q67_semantic_dedup", _q67_oracle)
+def q67(spark, sf_dir):
+    """SemDeDup (operators/clustering.py:semantic_dedup, Abbas et al.
+    2023): k-means-cluster the embeddings, then drop rows whose exact
+    cosine to a lower-id member of the SAME cluster is ≥ 0.995 — the
+    clustering bounds the quadratic step to Σ|cluster|² (the paper's
+    tractability trick; k is the knob).  Contrast with q47/q48, which
+    bound candidates by RP-fingerprint LSH instead of semantics.  The
+    oracle replays the full unrolled k-means chain plus the in-cluster
+    pair join; cosine folds left-to-right in double with IEEE sqrt on
+    both engines, so the threshold verdict is bit-portable.  Keep rule:
+    lowest vec_id in any qualifying pair (ledger min-winner
+    convention); invalid vectors pass through unexamined.  Both engines
+    plant identical exact copies (vec_id+10000 for vec_id < 50) so the
+    drop path is exercised, not just vacuously green — the q48
+    planted-copy pattern."""
+    from ..operators import clustering as CL
+
+    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    v = base.unionByName(copies)
+    kept = CL.semantic_dedup(v, k=4, iters=2, cos_threshold=0.995, dim=64)
+    return kept.select("vec_id")
 
 
 # ---------------------------------------------------------------------------

@@ -104,3 +104,25 @@ def test_farthest_refuses_degenerate_k(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="distinct"):
         CL.kmeans_fit_assign(df, k=3, iters=1, dim=DIM)
+
+
+def test_semantic_dedup(spark):
+    eps = 1e-4
+    rows = [
+        (1, [1.0] + [0.0] * (DIM - 1)),
+        (2, [1.0 + eps] + [eps] * (DIM - 1)),   # near-dup of 1 -> dropped
+        (3, [2.0] + [0.0] * (DIM - 1)),         # same DIRECTION as 1 ->
+                                                # cosine ~1 -> dropped too
+        (4, [0.0] * (DIM - 1) + [5.0]),         # orthogonal -> kept
+        (5, [-3.0] + [0.0] * (DIM - 1)),        # opposite -> kept
+        (6, None),                              # invalid -> passes through
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = CL.semantic_dedup(
+        df, k=2, iters=2, cos_threshold=0.99, dim=DIM
+    )
+    assert {r["vec_id"] for r in kept.select("vec_id").collect()} == {
+        1, 4, 5, 6,
+    }
+    # original schema preserved
+    assert kept.columns == df.columns
