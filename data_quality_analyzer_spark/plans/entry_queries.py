@@ -1780,7 +1780,11 @@ def q48(spark, sf_dir):
     converges in O(log diameter) rounds over the tiny verified graph."""
     from ..operators import similarity as SIM
 
-    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     copies = base.filter(F.col("vec_id") % 20 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
     )
@@ -2974,7 +2978,9 @@ def q66(spark, sf_dir):
     MLlib's collectAsMap)."""
     from ..operators import clustering as CL
 
-    v = _t(spark, sf_dir, "embeddings")
+    v = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     assigned, _ = CL.kmeans_fit_assign(v, k=4, iters=2, dim=64)
     return assigned
 
@@ -2988,7 +2994,7 @@ _Q67_SRC = (
 
 def _q67_oracle() -> str:
     return (
-        _kmeans_oracle_cte(k=4, iters=2, dim=64, src=_Q67_SRC)
+        _kmeans_oracle_cte(k=4, iters=1, dim=64, src=_Q67_SRC)
         + f""",
     m AS (
       SELECT vec_id, cluster, e,
@@ -3026,12 +3032,18 @@ def q67(spark, sf_dir):
     planted-copy pattern."""
     from ..operators import clustering as CL
 
-    base = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     copies = base.filter(F.col("vec_id") < 50).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )
     v = base.unionByName(copies)
-    kept = CL.semantic_dedup(v, k=4, iters=2, cos_threshold=0.995, dim=64)
+    # ONE Lloyd round: the clustering only bounds the candidate pairs
+    # (recall knob), it never decides a drop — exact cosine does
+    kept = CL.semantic_dedup(v, k=4, iters=1, cos_threshold=0.995, dim=64)
     return kept.select("vec_id")
 
 

@@ -126,3 +126,36 @@ def test_semantic_dedup(spark):
     }
     # original schema preserved
     assert kept.columns == df.columns
+
+
+def test_arrow_and_hof_paths_bit_identical(spark):
+    """The numpy kernels accumulate dim-sequentially, so the Arrow path
+    must reproduce the interpreted HOF fold BIT-exactly — assignments,
+    centroids and SemDeDup drops all equal."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=DIM).astype("float32")])
+        for i in range(80)
+    ]
+    # a couple of planted near-pairs so semantic_dedup drops something
+    rows.append((900, [x * 1.0001 for x in rows[3][1]]))
+    rows.append((901, [x for x in rows[10][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a_fast, c_fast = CL.kmeans_fit_assign(df, k=4, iters=2, dim=DIM)
+    a_slow, c_slow = CL.kmeans_fit_assign(
+        df, k=4, iters=2, dim=DIM, use_arrow=False
+    )
+    assert c_fast == c_slow  # bit-equal centroids
+    assert sorted(map(tuple, a_fast.collect())) == sorted(
+        map(tuple, a_slow.collect())
+    )
+    k_fast = CL.semantic_dedup(df, k=4, iters=2, cos_threshold=0.99, dim=DIM)
+    k_slow = CL.semantic_dedup(
+        df, k=4, iters=2, cos_threshold=0.99, dim=DIM, use_arrow=False
+    )
+    ids_fast = {r["vec_id"] for r in k_fast.select("vec_id").collect()}
+    ids_slow = {r["vec_id"] for r in k_slow.select("vec_id").collect()}
+    assert ids_fast == ids_slow
+    assert 900 not in ids_fast and 901 not in ids_fast  # drops happened
