@@ -368,3 +368,68 @@ def dsir_weights_duck_sql(
                  / COUNT(*), 4) AS w
     FROM bt JOIN ratios USING (_b) GROUP BY bt._id
     """
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    fraction: float,
+    key_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic IMPORTANCE sampling (the selection half of DSIR,
+    Xie et al. 2023): accept each row with probability
+    ``min(1, fraction · exp(w) / mean(exp(w)))`` — rows a log-weight
+    above average are kept proportionally more often, the expected kept
+    fraction stays ≈ ``fraction`` — decided by the same deterministic
+    key hash as every other sampler here (same set on any partitioning
+    / retry / engine).
+
+    NULL-weight rows are EXCLUDED (an importance sampler cannot price
+    an unscored row; coalesce upstream to include them at weight 0).
+
+    Portability of the acceptance threshold (no RNG, no rounding at the
+    compare): ``h/DENOM < fraction·exp(w)/m`` compares two doubles built
+    from identical inputs — ``w`` is the 4 dp weight column, ``m`` is
+    the mean of 6 dp-rounded ``exp(w)`` accumulated as DECIMAL(28,6)
+    (exact, order-independent — the DSIR float discipline above) and
+    folded in as one literal.  One bounded driver scalar; the selection
+    itself is MAP-ONLY."""
+    if not (0.0 <= fraction <= 1.0):
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    eligible = df.filter(F.col(weight_col).isNotNull())
+    dec = "decimal(28,6)"
+    row = eligible.agg(
+        F.sum(F.round(F.exp(weight_col), 6).cast(dec)).alias("s"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    if not row["n"]:
+        return eligible  # empty in, empty out
+    m = round(float(row["s"]) / row["n"], 6)
+    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    return eligible.filter(
+        h.cast("double") / F.lit(float(SAMPLE_DENOM))
+        < F.lit(float(fraction)) * F.exp(weight_col) / F.lit(m)
+    )
+
+
+def weighted_sample_duck_sql(
+    rel: str,
+    weight_col: str,
+    fraction: float,
+    key_col: str,
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`weighted_sample`: SELECT over ``rel``
+    (a relation/CTE name with ``weight_col`` and ``key_col``)."""
+    m = (
+        f"(SELECT ROUND(CAST(SUM(CAST(ROUND(exp({weight_col}), 6) "
+        f"AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) "
+        f"FROM {rel} WHERE {weight_col} IS NOT NULL)"
+    )
+    h = f"({_h60_key_sql(key_col, seed)}) % {SAMPLE_DENOM}"
+    return (
+        f"SELECT * FROM {rel} WHERE {weight_col} IS NOT NULL AND "
+        f"CAST({h} AS DOUBLE) / {SAMPLE_DENOM}.0 "
+        f"< {fraction} * exp({weight_col}) / {m}"
+    )

@@ -3047,6 +3047,62 @@ def q67(spark, sf_dir):
     return kept.select("vec_id")
 
 
+def _q68_oracle() -> str:
+    from ..operators import sampling as SP
+
+    w = SP.dsir_weights_duck_sql(
+        "documents", TX.keep_verdict_sql("text"), "text", "doc_id"
+    )
+    sel = SP.weighted_sample_duck_sql("d", "dsir_weight", 0.3, "doc_id", 5)
+    return f"""
+    WITH w AS ({w}),
+    d AS (
+      SELECT doc.doc_id, doc.source, w.w AS dsir_weight
+      FROM documents doc JOIN w ON doc.doc_id = w._id
+    ),
+    s AS ({sel})
+    SELECT source,
+           COUNT(*) AS n_kept,
+           bit_xor(doc_id) AS id_checksum,
+           COALESCE(CAST(SUM(CAST(dsir_weight AS DECIMAL(18,4)))
+                         AS DOUBLE), 0.0) AS sum_w
+    FROM s GROUP BY source
+    """
+
+
+@_register("q68_dsir_weighted_sample", _q68_oracle)
+def q68(spark, sf_dir):
+    """DSIR importance RESAMPLING (operators/sampling.py:
+    weighted_sample) — the selection half that q62's weights exist for:
+    accept each doc with probability min(1, f·exp(w)/mean(exp(w))),
+    decided by the deterministic key hash shared with every sampler and
+    the shard writer — same kept SET on any partitioning, retry, or
+    engine, auditable row by row.  The acceptance compare is two
+    doubles built from identical inputs on both engines (4 dp weight
+    column, 6 dp decimal-summed mean literal, no rounding at the
+    compare).  Plan: the weighting is q62's two passes; the selection
+    adds ONE bounded driver scalar + a map-only filter.  Reference
+    ancestor: S7 sampling scan upgraded from uniform to
+    importance-proportional."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    w = SP.dsir_weights(
+        d, TX.keep_verdict(F.col("text")), text_col="text"
+    )
+    kept = SP.weighted_sample(w, "dsir_weight", 0.3, "doc_id", seed=5)
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+        F.coalesce(
+            F.sum(F.col("dsir_weight").cast("decimal(18,4)")).cast(
+                "double"
+            ),
+            F.lit(0.0),
+        ).alias("sum_w"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -320,3 +320,70 @@ def test_dsir_weight_is_partitioning_invariant(dsir_docs):
         ).collect()
     }
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample (DSIR importance resampling)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def weighted_rows(spark):
+    rows = [(i, 1.5 if i % 2 == 0 else -1.5) for i in range(400)]
+    rows += [(1000, None), (1001, None)]
+    return spark.createDataFrame(rows, "doc_id long, w double")
+
+
+def test_weighted_sample_prefers_heavy_rows(weighted_rows):
+    kept = {
+        r["doc_id"]
+        for r in SP.weighted_sample(
+            weighted_rows, "w", 0.4, "doc_id", seed=3
+        ).collect()
+    }
+    heavy = sum(1 for i in kept if i < 1000 and i % 2 == 0)
+    light = sum(1 for i in kept if i < 1000 and i % 2 == 1)
+    # exp(1.5)/exp(-1.5) = e^3 ~ 20x acceptance ratio
+    assert heavy > 5 * max(light, 1)
+    # NULL-weight rows are excluded, never sampled
+    assert 1000 not in kept and 1001 not in kept
+
+
+def test_weighted_sample_deterministic(weighted_rows):
+    a = {
+        r["doc_id"]
+        for r in SP.weighted_sample(
+            weighted_rows, "w", 0.4, "doc_id", seed=3
+        ).collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in SP.weighted_sample(
+            weighted_rows.repartition(13), "w", 0.4, "doc_id", seed=3
+        ).collect()
+    }
+    assert a == b
+    # a different seed selects a genuinely different set
+    c = {
+        r["doc_id"]
+        for r in SP.weighted_sample(
+            weighted_rows, "w", 0.4, "doc_id", seed=4
+        ).collect()
+    }
+    assert a != c
+
+
+def test_weighted_sample_uniform_weights_match_rate(weighted_rows):
+    flat = weighted_rows.filter(F.col("w").isNotNull()).withColumn(
+        "w", F.lit(0.0)
+    )
+    kept = SP.weighted_sample(flat, "w", 0.5, "doc_id", seed=1).count()
+    # exp(0)/mean(exp(0)) = 1 -> plain deterministic_sample at 0.5
+    assert abs(kept / 400 - 0.5) < 0.1
+
+
+def test_weighted_sample_validation(weighted_rows, spark):
+    with pytest.raises(ValueError, match="fraction"):
+        SP.weighted_sample(weighted_rows, "w", 1.5, "doc_id")
+    empty = spark.createDataFrame([], "doc_id long, w double")
+    assert SP.weighted_sample(empty, "w", 0.5, "doc_id").count() == 0
