@@ -3103,6 +3103,67 @@ def q68(spark, sf_dir):
     )
 
 
+def _q69_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import sampling as SP
+
+    tok = TX.bpe_token_count_sql("text")
+    h = (
+        "(" + HH.h60_sql("concat('9:', CAST(doc_id AS VARCHAR))") + ")"
+        f" % {SP.SAMPLE_DENOM}"
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, COALESCE({tok}, 0) AS tok, {h} AS h
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, source, tok,
+             COALESCE(SUM(tok) OVER (
+               ORDER BY h % 64, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM d
+    )
+    SELECT CAST(before // 20000 AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+           bit_xor(doc_id) AS id_checksum
+    FROM pos GROUP BY shard
+    """
+
+
+@_register("q69_token_balanced_shards", _q69_oracle)
+def q69(spark, sf_dir):
+    """Token-BALANCED shard assignment (plans/shards.py:
+    assign_token_shards): order the corpus by the deterministic
+    (bucket, hash, key) permutation and give each row
+    ``shard = tokens_before div target`` — every shard except the last
+    carries ≥ target tokens regardless of document-length skew, and
+    membership is a pure function of content.  The Spark side runs the
+    scalable two-phase plan (bucket token sums → driver prefix offsets
+    as a literal map → per-bucket window); the oracle runs the
+    GLOBAL-window definition — their equality IS the proof the
+    two-phase decomposition implements the global rule (the q53 proof
+    shape).  Integer `div` arithmetic end-to-end: no float boundary.
+    Reference ancestor: S3 batched-insert sink, upgraded to
+    size-balanced deterministic layout."""
+    from ..plans import shards as SH
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "_tok", F.coalesce(TX.bpe_token_count(F.col("text")), F.lit(0))
+    )
+    out = SH.assign_token_shards(
+        d, target_tokens=20000, token_col="_tok", key_col="doc_id",
+        seed=9, num_buckets=64,
+    )
+    return out.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("sum_tokens"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

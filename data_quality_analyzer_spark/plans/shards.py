@@ -77,3 +77,82 @@ def write_training_shards(
 def read_shard(spark, path: str, shard: int) -> DataFrame:
     """One shard, partition-pruned at the source (the loader's view)."""
     return spark.read.parquet(path).filter(F.col(SHARD_COL) == shard)
+
+
+def assign_token_shards(
+    df: DataFrame,
+    target_tokens: int,
+    token_col: str,
+    key_col: str,
+    seed: int = 0,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """Token-BALANCED shard assignment: hash-mod sharding equalizes row
+    COUNTS, but training loaders want ≈equal-token shards when document
+    lengths skew.  Rule (pinned, engine-portable): order the corpus by
+    the deterministic pseudo-random permutation (bucket, h60, key) —
+    the same order the samplers and writer use — and assign
+    ``shard = tokens_before(row) div target_tokens``: every shard except
+    the last holds ≥ target_tokens, and membership is a pure function of
+    corpus content, never of partitioning.
+
+    Two-phase plan (the q53 sample_token_budget shape, applied to ALL
+    buckets instead of one): (1) ONE hash aggregate of token sums per
+    hash bucket — ``num_buckets`` rows to the driver, prefix-summed into
+    per-bucket base offsets that ride back as a literal map; (2) one
+    shuffle on the bucket id + a per-bucket cumulative-sum window
+    (~corpus/num_buckets rows each — the dial that bounds the sort), so
+    no global sort and no corpus-sized window partition ever exists.
+    NOTE: ``num_buckets`` is part of the permutation DEFINITION (the
+    order is (bucket, h, key)), not a free performance dial — pin it
+    alongside ``seed`` in any reproducibility contract.
+    Shard arithmetic is pure integer (``div``), so there is no float
+    boundary to diverge on.
+
+    NULL ``token_col`` counts as 0 and stays eligible (the q53
+    convention).  Returns ``df`` + ``shard`` (int) — feed to
+    ``write_training_shards``-style partitioned writes or downstream
+    accounting."""
+    if target_tokens <= 0:
+        raise ValueError(
+            f"target_tokens must be positive, got {target_tokens}"
+        )
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    from ..operators.sampling import SAMPLE_DENOM
+
+    cost = F.coalesce(F.col(token_col), F.lit(0)).cast("long")
+    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    bucketed = df.withColumn("_ts_h", h).withColumn(
+        "_ts_bkt", F.pmod(F.col("_ts_h"), F.lit(num_buckets))
+    )
+    totals = {
+        r["_ts_bkt"]: r["_tok"]
+        for r in bucketed.groupBy("_ts_bkt")
+        .agg(F.sum(cost).alias("_tok"))
+        .collect()
+    }
+    bases, acc = [], 0
+    for b in range(num_buckets):
+        bases += [F.lit(b), F.lit(acc)]
+        acc += int(totals.get(b, 0))
+    base = F.element_at(F.create_map(*bases), F.col("_ts_bkt"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_ts_bkt")
+        .orderBy("_ts_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.sum(cost).over(w) - cost
+    # integer `div`, not `/`: long/long in Spark is DOUBLE division —
+    # exact only below 2^53 and a float boundary the oracle's `//`
+    # never has
+    return (
+        bucketed.withColumn("_ts_pos", base + before)
+        .withColumn(
+            SHARD_COL,
+            F.expr(f"CAST(_ts_pos div {int(target_tokens)} AS INT)"),
+        )
+        .drop("_ts_h", "_ts_bkt", "_ts_pos")
+    )

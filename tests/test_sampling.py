@@ -387,3 +387,60 @@ def test_weighted_sample_validation(weighted_rows, spark):
         SP.weighted_sample(weighted_rows, "w", 1.5, "doc_id")
     empty = spark.createDataFrame([], "doc_id long, w double")
     assert SP.weighted_sample(empty, "w", 0.5, "doc_id").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# assign_token_shards (token-balanced layout)
+# ---------------------------------------------------------------------------
+
+
+def test_token_shards_balanced_and_deterministic(spark):
+    from data_quality_analyzer_spark.plans import shards as SH
+
+    # heavily skewed doc sizes: 10 giants + 400 small + NULL costs
+    rows = (
+        [(i, 5000) for i in range(10)]
+        + [(100 + i, 50) for i in range(400)]
+        + [(900, None), (901, None)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, tok int")
+    out = SH.assign_token_shards(
+        df, target_tokens=10000, token_col="tok", key_col="doc_id",
+        seed=2, num_buckets=16,
+    )
+    rows1 = out.collect()
+    # every input row got a shard; NULL cost rows included at cost 0
+    assert len(rows1) == 412
+    sums = {}
+    for r in rows1:
+        sums[r["shard"]] = sums.get(r["shard"], 0) + (r["tok"] or 0)
+    # total = 10*5000 + 400*50 = 70000 -> shards 0..6
+    assert set(sums) == set(range(7))
+    # every shard but the last reaches the target despite skew: a giant
+    # can overshoot the boundary it lands on, but the NEXT shard starts
+    # at the running position, so per-shard sums stay within one giant
+    # of the target
+    for sh, s in sums.items():
+        if sh != max(sums):
+            assert s >= 10000 - 5000 and s <= 10000 + 5000
+    # determinism across partitionings
+    out2 = SH.assign_token_shards(
+        df.repartition(17), target_tokens=10000, token_col="tok",
+        key_col="doc_id", seed=2, num_buckets=16,
+    )
+    assert sorted((r["doc_id"], r["shard"]) for r in out2.collect()) == \
+        sorted((r["doc_id"], r["shard"]) for r in rows1)
+    # num_buckets is PART of the permutation definition (order is
+    # (bucket, h, key)) — changing it legitimately reshapes shards, so
+    # reproducibility contracts must pin it alongside the seed
+    out3 = SH.assign_token_shards(
+        df, target_tokens=10000, token_col="tok", key_col="doc_id",
+        seed=2, num_buckets=4,
+    )
+    assert {r["doc_id"] for r in out3.collect()} == {
+        r["doc_id"] for r in rows1
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="target_tokens"):
+        SH.assign_token_shards(df, 0, "tok", "doc_id")
