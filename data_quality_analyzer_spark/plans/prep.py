@@ -112,6 +112,7 @@ def prep_text_corpus(
     finalize_line_ledger: bool | None = None,
     html_col: str | None = None,
     max_link_density: float | None = None,
+    max_crossdoc_dup_frac: float | None = None,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
@@ -147,6 +148,12 @@ def prep_text_corpus(
        groupBy;
     6. **document near-dedup** (``dedup_near``: MinHash-LSH → exact
        Jaccard verify → connected components → keep one per cluster);
+    6b. **cross-doc repetition gate** (``repetition.
+       crossdoc_dup_filter``) when ``max_crossdoc_dup_frac`` is given —
+       drops docs whose distinct-5-gram overlap with OTHER documents
+       exceeds the bound (mirrors/templates below the Jaccard
+       threshold); deliberately after near-dedup: the heaviest text
+       shuffle runs on the smallest surviving set;
     7. **corpus mixing** (``stratified_sample``) when ``mixing`` weights
        are given — deterministic hash selection;
     8. **shard write** (``shards.write_training_shards``) when
@@ -310,6 +317,17 @@ def prep_text_corpus(
         out, text_col, id_col, jaccard_threshold=jaccard_threshold
     )
     out, n = audit(out, "near_dedup", n)
+    if max_crossdoc_dup_frac is not None:
+        # 6b. RefinedWeb cross-doc repetition gate — AFTER near-dedup so
+        # surviving mirrors/templates (sub-Jaccard-threshold overlap)
+        # are caught; runs on the smallest surviving set because it is
+        # the shuffle-heaviest text stage (gram doc-frequency join)
+        from ..operators import repetition as RP
+
+        out = RP.crossdoc_dup_filter(
+            out, max_crossdoc_dup_frac, text_col, id_col
+        )
+        out, n = audit(out, "crossdoc_dup", n)
     if mixing is not None:
         out = SP.stratified_sample(
             out, mixing, strata_col, id_col, seed=sample_seed

@@ -58,6 +58,9 @@ def main() -> None:
                     help="cross-run line-fingerprint ledger dir (optional; "
                          "requires --batch-id)")
     ap.add_argument("--batch-id", default=None)
+    ap.add_argument("--max-crossdoc-dup", type=float, default=None,
+                    help="RefinedWeb cross-doc duplicated-5-gram "
+                         "fraction gate (runs after near-dedup)")
     ap.add_argument("--html-col", default=None,
                     help="raw-crawl HTML column; derives --text-col via "
                          "map-only extraction (stage 0b)")
@@ -107,6 +110,7 @@ def main() -> None:
         funnel=funnel,
         html_col=args.html_col,
         max_link_density=args.max_link_density,
+        max_crossdoc_dup_frac=args.max_crossdoc_dup,
     )
     n = spark.read.parquet(args.output).count()
     result = {

@@ -218,3 +218,30 @@ def test_crossdoc_dup_metrics(spark):
     assert {r["doc_id"] for r in kept.select("doc_id").collect()} == {
         3, 4, 5,
     }
+
+
+def test_prep_crossdoc_stage(spark):
+    """max_crossdoc_dup_frac as a prep stage: planted mirrors with
+    sub-Jaccard overlap are dropped after near-dedup, with a funnel
+    row."""
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+
+    sents = SC.sentences("en", 16, seed=23)
+    boiler = " ".join(sents[0:3])
+    a = boiler + " " + " ".join(sents[3:8])
+    b = boiler + " " + " ".join(sents[8:13])   # shares only the boiler
+    c = " ".join(sents[13:16]) + " entirely distinct closing words here"
+    docs = spark.createDataFrame(
+        [(1, a, "en"), (2, b, "en"), (3, c, "en")],
+        "doc_id long, text string, lang string",
+    )
+    funnel: list = []
+    out = prep_text_corpus(
+        spark, docs, max_crossdoc_dup_frac=0.25, funnel=funnel
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert kept == {3}
+    by = {e["stage"]: e for e in funnel}
+    assert by["near_dedup"]["dropped"] == 0   # overlap below Jaccard 0.8
+    assert by["crossdoc_dup"]["dropped"] == 2  # both mirrors gated
