@@ -1,0 +1,117 @@
+"""KMV (k-minimum-values) distinct-cardinality sketch — the classic
+bottom-k estimator (Bar-Yossef et al. 2002; the theta/KMV family behind
+Apache DataSketches): keep the k smallest hash values of a set; if the
+k-th smallest is ``h_k`` over a hash space of size ``D``, the set's
+cardinality ≈ ``(k-1) · D / h_k``.
+
+Why this exists next to ``approx_count_distinct``: Spark's HLL sketch is
+excellent but NOT reproducible across engines — its estimate cannot be
+oracle-checked, only tolerance-tested.  KMV over the repo's portable
+60-bit md5 hash is fully deterministic: both engines see the same hash
+values, the same k-th minimum, and therefore the same estimate to the
+last bit — a SKETCH with a value-hash oracle.  (It is also mergeable:
+the union's bottom-k is the bottom-k of the merged bottom-k sets —
+the property every cross-crawl ledger here relies on.)
+
+Exactness contract: groups with fewer than k distinct values report the
+EXACT count (the sketch holds every element); the estimator only engages
+beyond k.  NULL values are ignored, the COUNT(DISTINCT ...) convention.
+
+Scale shape: one ``groupBy(group, h)`` distinct (the only corpus-sized
+shuffle), then a per-group rank filter over DISTINCT values only, then a
+k-bounded aggregate.  Production note (docstring honesty): a dedicated
+bottom-k accumulator (DataSketches-style partial aggregation) beats the
+rank window when single groups hold billions of DISTINCT values; the
+DataFrame form here keeps the exact cross-engine determinism that a
+native sketch buffer cannot give, and the window input is already
+distinct-reduced.
+
+Reference ancestor: A4/A5 distinct counts (base_standalone.py), upgraded
+from exact-only to a mergeable bounded-memory estimator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as HH
+
+H_SPACE = 1 << 60  # h60 range: [0, 2^60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV cardinality: ``(group..., n_exact, est_distinct)``
+    where ``n_exact`` is the true distinct count (cheap here because the
+    distinct relation is materialized anyway — production would drop it)
+    and ``est_distinct`` the bottom-k estimate (= exact below k)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.expr(HH.h60_spark_sql(f"CAST({value_col} AS STRING)"))
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("_h"))
+        .distinct()
+    )
+    exact = distinct.groupBy(*group_cols).agg(
+        F.count("*").alias("n_exact")
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    sk = (
+        distinct.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("_cnt"), F.max("_h").alias("_hk"))
+    )
+    est = F.when(F.col("_cnt") < k, F.col("_cnt").cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(H_SPACE)) / F.col("_hk")
+    )
+    return (
+        sk.join(exact, group_cols)
+        .select(
+            *group_cols,
+            "n_exact",
+            F.round(est, 2).alias("est_distinct"),
+        )
+    )
+
+
+def kmv_distinct_sql(
+    rel: str,
+    value_sql: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` over relation ``rel`` —
+    ``value_sql`` is the value expression (hashed with the same h60)."""
+    g = ", ".join(group_cols)
+    h = HH.h60_sql(f"CAST({value_sql} AS VARCHAR)")
+    return f"""
+    WITH _kmv_d AS (
+      SELECT DISTINCT {g}, {h} AS _h
+      FROM {rel} WHERE {value_sql} IS NOT NULL
+    ),
+    _kmv_r AS (
+      SELECT {g}, _h,
+             row_number() OVER (PARTITION BY {g} ORDER BY _h) AS _rn
+      FROM _kmv_d
+    ),
+    _kmv_s AS (
+      SELECT {g}, COUNT(*) AS _cnt, MAX(_h) AS _hk
+      FROM _kmv_r WHERE _rn <= {k} GROUP BY {g}
+    ),
+    _kmv_e AS (
+      SELECT {g}, COUNT(*) AS n_exact FROM _kmv_d GROUP BY {g}
+    )
+    SELECT {g},
+           e.n_exact,
+           ROUND(CASE WHEN s._cnt < {k} THEN CAST(s._cnt AS DOUBLE)
+                 ELSE {float(k - 1)} * {float(H_SPACE)} / s._hk END, 2)
+             AS est_distinct
+    FROM _kmv_s s JOIN _kmv_e e USING ({g})
+    """

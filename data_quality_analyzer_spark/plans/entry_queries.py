@@ -3164,6 +3164,44 @@ def q69(spark, sf_dir):
     )
 
 
+def _q70_oracle() -> str:
+    from ..operators import sampling as SP
+    from ..operators import sketches as SK
+
+    toks = SP._dsir_tokens_sql("text")
+    rel = (
+        f"(SELECT source, tok FROM (SELECT source, unnest({toks}) AS tok "
+        f"FROM documents WHERE text IS NOT NULL) WHERE tok <> '')"
+    )
+    return SK.kmv_distinct_sql(rel, "tok", ["source"], k=64)
+
+
+@_register("q70_kmv_vocabulary", _q70_oracle)
+def q70(spark, sf_dir):
+    """KMV bottom-k cardinality sketch (operators/sketches.py) over the
+    per-source token vocabulary — the DISTINCT-count estimator that,
+    unlike HLL ``approx_count_distinct``, is deterministic across
+    engines: both sides see the same portable h60 values, the same k-th
+    minimum, the same estimate to the bit — a SKETCH with a value-hash
+    oracle, and mergeable across crawls (union's bottom-k = bottom-k of
+    merged sketches).  Groups under k report exact counts by contract.
+    The query also carries the true distinct count so the estimate
+    error is visible in the result, not asserted blindly.  Reference
+    ancestor: A4/A5 distinct counts upgraded to bounded memory."""
+    from ..operators import sampling as SP
+    from ..operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = (
+        d.select(
+            "source",
+            F.explode(SP._dsir_tokens(F.col("text"))).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    return SK.kmv_distinct(toks, "tok", ["source"], k=64)
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -1,0 +1,86 @@
+"""KMV bottom-k cardinality sketch: exact below k, bounded error above,
+deterministic across partitionings, NULL convention, merge property."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.operators import sketches as SK
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    rows = [("small", f"v{i}") for i in range(30)]            # 30 < k
+    rows += [("big", f"x{i}") for i in range(5000)]           # 5000 >> k
+    rows += [("big", f"x{i}") for i in range(100)]            # duplicates
+    rows += [("nulls", None)] * 5 + [("nulls", "only")]
+    return spark.createDataFrame(rows, "grp string, v string")
+
+
+def test_exact_below_k_and_bounded_above(values):
+    got = {
+        r["grp"]: r
+        for r in SK.kmv_distinct(values, "v", ["grp"], k=256).collect()
+    }
+    assert got["small"]["n_exact"] == 30
+    assert got["small"]["est_distinct"] == 30.0  # exact-path contract
+    assert got["nulls"]["n_exact"] == 1          # NULLs ignored
+    # KMV relative error ~ 1/sqrt(k) = 6.25%; allow 4 sigma
+    est = got["big"]["est_distinct"]
+    assert got["big"]["n_exact"] == 5000
+    assert abs(est - 5000) / 5000 < 0.25
+    assert est != 5000  # the estimator, not a hidden exact count
+
+
+def test_deterministic_across_partitionings(values):
+    a = sorted(
+        map(tuple, SK.kmv_distinct(values, "v", ["grp"], k=64).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            SK.kmv_distinct(
+                values.repartition(17), "v", ["grp"], k=64
+            ).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_merge_property(spark):
+    """Union-then-sketch equals sketching the union of halves — the
+    bottom-k of a union is the bottom-k of merged bottom-k sets, which
+    is why cross-crawl sketch ledgers can merge without rescanning."""
+    h1 = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(2000)], "grp string, v string"
+    )
+    h2 = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(1000, 3000)], "grp string, v string"
+    )
+    whole = SK.kmv_distinct(h1.union(h2), "v", ["grp"], k=128).collect()[0]
+    assert whole["n_exact"] == 3000
+    # simulate the merge: take each half's bottom-k hash sets and
+    # re-estimate from the merged bottom-k
+    import numpy as np
+    from data_quality_analyzer_spark.functions import hashing as HH
+
+    hs = set()
+    for half in (h1, h2):
+        hset = sorted(
+            r["_h"]
+            for r in half.select(
+                F.expr(HH.h60_spark_sql("CAST(v AS STRING)")).alias("_h")
+            )
+            .distinct()
+            .collect()
+        )[:128]
+        hs |= set(hset)
+    merged = sorted(hs)[:128]
+    est_merged = 127 * float(SK.H_SPACE) / merged[-1]
+    assert round(est_merged, 2) == whole["est_distinct"]
+
+
+def test_k_validation(values):
+    with pytest.raises(ValueError, match="k must be"):
+        SK.kmv_distinct(values, "v", ["grp"], k=1)
