@@ -365,3 +365,93 @@ def funnel_metrics_df(spark: SparkSession, funnel: list) -> DataFrame:
         "stage_idx int, stage string, rows long, dropped long, "
         "lines_in long, lines_out long",
     )
+
+
+def prep_embedding_corpus(
+    spark: SparkSession,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    method: str = "semantic",
+    k: int = 8,
+    iters: int = 1,
+    cos_threshold: float = 0.99,
+    lsh_bits: int = 16,
+    lsh_bands: int = 4,
+    lsh_max_hamming: int = 2,
+    lsh_min_cos: float = 0.995,
+    cluster_quota: dict[int, float] | None = None,
+    sample_seed: int = 0,
+    funnel: list | None = None,
+) -> DataFrame:
+    """The EMBEDDING-corpus pipeline — the third composition next to
+    ``prep_corpus`` (images) and ``prep_text_corpus`` (documents):
+
+    1. **validity gate** — NULL / ragged / null-element vectors are
+       DROPPED (and counted): a training corpus cannot carry them, so
+       the prep pins drop-semantics where the underlying operators pin
+       pass-through;
+    2. **near-duplicate removal** — ``method="semantic"`` runs SemDeDup
+       (``clustering.semantic_dedup``: k-means bounds the candidates,
+       exact cosine decides); ``method="lsh"`` runs the RP-fingerprint
+       banded path (``similarity.dedup_embedding_near``) — the
+       semantics-free alternative when no clustering is wanted;
+    3. **cluster-balanced quota sampling** (optional) — k-means
+       assignment + per-cluster deterministic fractions
+       (``sampling.stratified_sample`` over the cluster id): the
+       DataComp diversity move, downweighting over-dense regions.
+       Output keeps the ``cluster`` column for audit.
+
+    Funnel contract identical to ``prep_text_corpus`` (pass
+    ``funnel=[]``)."""
+    from ..operators import clustering as CL
+    from ..operators import sampling as SP
+    from ..operators import similarity as SIM
+
+    from ..exec_utils import materialize
+
+    if method not in ("semantic", "lsh"):
+        raise ValueError(f"method must be 'semantic' or 'lsh', got {method!r}")
+
+    def audit(out, stage, prev_rows):
+        if funnel is None:
+            return out, None
+        out = materialize(out)
+        entry = {"stage": stage, "rows": out.count()}
+        if prev_rows is not None:
+            entry["dropped"] = prev_rows - entry["rows"]
+        funnel.append(entry)
+        return out, entry["rows"]
+
+    out, n = audit(vectors, "input", None)
+    out = CL._valid(out, vec_col, dim)
+    out, n = audit(out, "valid", n)
+    if method == "semantic":
+        out = CL.semantic_dedup(
+            out, k=k, iters=iters, cos_threshold=cos_threshold,
+            id_col=id_col, vec_col=vec_col, dim=dim,
+        )
+    else:
+        out = SIM.dedup_embedding_near(
+            out, id_col=id_col, vec_col=vec_col, bits=lsh_bits, dim=dim,
+            bands=lsh_bands, max_hamming=lsh_max_hamming,
+            min_cos=lsh_min_cos,
+        )
+    out, n = audit(out, "near_dedup", n)
+    if cluster_quota is not None:
+        assigned, _ = CL.kmeans_fit_assign(
+            out, k=k, iters=iters, id_col=id_col, vec_col=vec_col, dim=dim
+        )
+        out = out.join(assigned, id_col).withColumn(
+            "cluster", F.col("cluster").cast("string")
+        )
+        out = SP.stratified_sample(
+            out,
+            {str(c): f for c, f in cluster_quota.items()},
+            "cluster",
+            id_col,
+            seed=sample_seed,
+        )
+        out, n = audit(out, "cluster_quota", n)
+    return out

@@ -159,3 +159,60 @@ def test_arrow_and_hof_paths_bit_identical(spark):
     ids_slow = {r["vec_id"] for r in k_slow.select("vec_id").collect()}
     assert ids_fast == ids_slow
     assert 900 not in ids_fast and 901 not in ids_fast  # drops happened
+
+
+def test_prep_embedding_corpus(spark):
+    """The composed embedding pipeline: invalid vectors dropped and
+    counted, planted near-dups removed by either method, cluster quota
+    applied deterministically."""
+    from data_quality_analyzer_spark.plans.prep import prep_embedding_corpus
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    # distinct random DIRECTIONS (colinear vectors would all be cosine-1
+    # duplicates of each other — correct SemDeDup behavior, wrong test)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=DIM).astype("float32")])
+        for i in range(20)
+    ]
+    rows += [(100 + i, [100.0 + 0.00001 * i] + [0.0] * (DIM - 1))
+             for i in range(5)]               # 5 colinear -> 1 kept
+    rows += [(900, None), (901, [1.0] * (DIM - 1))]  # invalid -> dropped
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    funnel: list = []
+    out = prep_embedding_corpus(
+        spark, df, dim=DIM, method="semantic", k=2, iters=1,
+        cos_threshold=0.9999, funnel=funnel,
+    )
+    kept = {r["vec_id"] for r in out.select("vec_id").collect()}
+    assert 100 in kept and not ({101, 102, 103, 104} & kept)
+    assert 900 not in kept and 901 not in kept
+    by = {e["stage"]: e for e in funnel}
+    assert by["valid"]["dropped"] == 2
+    assert by["near_dedup"]["dropped"] == 4
+
+    # LSH method agrees on the planted cohort
+    out2 = prep_embedding_corpus(
+        spark, df, dim=DIM, method="lsh", lsh_min_cos=0.9999,
+    )
+    kept2 = {r["vec_id"] for r in out2.select("vec_id").collect()}
+    assert not ({101, 102, 103, 104} & kept2) and 100 in kept2
+
+    # cluster quota: keep all of one cluster, none of the other
+    funnel2: list = []
+    out3 = prep_embedding_corpus(
+        spark, df, dim=DIM, method="semantic", k=2, iters=1,
+        cos_threshold=0.9999,
+        cluster_quota={0: 1.0, 1: 0.0}, funnel=funnel2,
+    )
+    rows3 = out3.collect()
+    assert "cluster" in out3.columns
+    assert {r["cluster"] for r in rows3} == {"0"}
+    assert {e["stage"] for e in funnel2} >= {"cluster_quota"}
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="method"):
+        prep_embedding_corpus(spark, df, dim=DIM, method="ann")
