@@ -164,3 +164,19 @@ def test_extract_pages_wiring(pages):
         out.columns
     )
     assert out.filter(F.col("text").isNull()).count() == 0
+
+
+def test_map_only_plan(spark):
+    """Extraction adds no exchange and no UDF: single-partition input ->
+    pure codegen projection."""
+    sdf = spark.createDataFrame(
+        [(1, "<p>body</p>")], "doc_id long, html string"
+    ).coalesce(1)
+    plan = (
+        HT.extract_pages(sdf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan  # no Arrow/UDF node anywhere

@@ -245,3 +245,20 @@ def test_prep_crossdoc_stage(spark):
     by = {e["stage"]: e for e in funnel}
     assert by["near_dedup"]["dropped"] == 0   # overlap below Jaccard 0.8
     assert by["crossdoc_dup"]["dropped"] == 2  # both mirrors gated
+
+
+def test_crossdoc_plan_broadcasts_dup_grams(spark):
+    """The join-back's build side (duplicated grams only) must broadcast
+    at test scale, and the plan must never sort-merge the corpus side."""
+    docs = spark.createDataFrame(
+        [(i, "one two three four five six seven") for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = RP.crossdoc_dup_metrics(docs)
+    out.collect()  # AQE decides the join strategy at RUNTIME
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # AQE's toString prints final AND initial plans; judge the final one
+    final = plan.split("Initial Plan")[0]
+    assert "isFinalPlan=true" in final, plan
+    assert "BroadcastHashJoin" in final, plan
+    assert "SortMergeJoin" not in final, plan
