@@ -979,3 +979,118 @@ def dedup_incremental_lines(
     )
     finalize_incremental_lines(store_dir, batch_id)  # no-op on replay
     return survivors
+
+
+# ---------------------------------------------------------------------------
+# Cross-run KMV sketch ledger: distinct-cardinality tracking across crawls
+# WITHOUT rescanning history.  The mergeability of bottom-k sketches
+# (operators/sketches.py) is exactly what a ledger needs: each crawl
+# commits only its per-group bottom-k hash sets (k · |groups| rows — KB,
+# not corpus-sized), and the union's estimate is recomputed from the
+# merged bottom-k sets alone.  Same atomic-manifest commit rule as every
+# other ledger here; k is pinned in the manifest (sketches of different
+# k do not merge at full precision — refuse loudly rather than silently
+# degrade).
+# ---------------------------------------------------------------------------
+
+KMV_MANIFEST = "_kmv_manifest.json"
+KMV_DIR = "kmv_sketches"
+
+
+def read_kmv_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, KMV_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "k": None, "group_cols": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_kmv_sketch(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    value_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> None:
+    """Commit one crawl's per-group bottom-k hash sketch to the ledger.
+    Replaying a committed ``batch_id`` is a no-op (set union with itself
+    — the sketch algebra makes replay naturally idempotent); committing
+    with a different ``k`` or group columns than the ledger was created
+    with raises."""
+    from ..operators import sketches as SK
+    from ..functions import hashing as HH
+    from pyspark.sql import Window
+
+    manifest = read_kmv_manifest(store_dir)
+    if manifest["k"] is not None and (
+        manifest["k"] != k or manifest["group_cols"] != group_cols
+    ):
+        raise ValueError(
+            f"ledger at {store_dir!r} is pinned to k={manifest['k']} "
+            f"group_cols={manifest['group_cols']}; got k={k} "
+            f"group_cols={group_cols}"
+        )
+    if batch_id in manifest["batches"]:
+        return  # sketch union is idempotent; nothing to add
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    os.makedirs(store_dir, exist_ok=True)
+    h = F.expr(HH.h60_spark_sql(f"CAST({value_col} AS STRING)"))
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    bottom = distinct.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    ).drop("_rn")
+    batch_dir = os.path.join(store_dir, KMV_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt
+        shutil.rmtree(batch_dir)
+    bottom.write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    manifest["k"] = k
+    manifest["group_cols"] = list(group_cols)
+    tmp = os.path.join(store_dir, KMV_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, KMV_MANIFEST))
+
+
+def kmv_ledger_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Per-group distinct-cardinality estimate over the UNION of every
+    committed crawl — computed from the merged bottom-k sketches alone
+    (k · |groups| · |batches| rows read; the corpora themselves are
+    never rescanned).  Groups whose merged sketch holds fewer than k
+    hashes report the exact union count."""
+    from ..operators import sketches as SK
+    from pyspark.sql import Window
+
+    manifest = read_kmv_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed sketches at {store_dir!r}")
+    k, group_cols = manifest["k"], manifest["group_cols"]
+    rel = (
+        spark.read.parquet(os.path.join(store_dir, KMV_DIR))
+        .filter(F.col("batch_id").isin(manifest["batches"]))
+        .select(*group_cols, "h")
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    sk = (
+        rel.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("_cnt"), F.max("h").alias("_hk"))
+    )
+    est = F.when(
+        F.col("_cnt") < k, F.col("_cnt").cast("double")
+    ).otherwise(
+        F.lit(float(k - 1)) * F.lit(float(SK.H_SPACE)) / F.col("_hk")
+    )
+    return sk.select(
+        *group_cols, F.round(est, 2).alias("est_distinct")
+    )

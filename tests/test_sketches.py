@@ -84,3 +84,51 @@ def test_merge_property(spark):
 def test_k_validation(values):
     with pytest.raises(ValueError, match="k must be"):
         SK.kmv_distinct(values, "v", ["grp"], k=1)
+
+
+# ---------------------------------------------------------------------------
+# Cross-run KMV sketch ledger (plans/lineage.py)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_ledger_merges_crawls(spark, tmp_path):
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "kmv")
+    crawl1 = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(2000)], "grp string, v string"
+    )
+    crawl2 = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(1000, 3000)]  # 1000 overlap
+        + [("h", f"b{i}") for i in range(40)],       # new small group
+        "grp string, v string",
+    )
+    LN.commit_kmv_sketch(spark, crawl1, store, "c1", "v", ["grp"], k=128)
+    LN.commit_kmv_sketch(spark, crawl2, store, "c2", "v", ["grp"], k=128)
+    got = {
+        r["grp"]: r["est_distinct"]
+        for r in LN.kmv_ledger_estimate(spark, store).collect()
+    }
+    # union is 3000 distinct; ledger estimate must equal the DIRECT
+    # sketch of the union (merge-exactness), and be within KMV error
+    direct = SK.kmv_distinct(
+        crawl1.union(crawl2), "v", ["grp"], k=128
+    ).collect()
+    direct_g = {r["grp"]: r["est_distinct"] for r in direct}
+    assert got["g"] == direct_g["g"]
+    assert abs(got["g"] - 3000) / 3000 < 0.3
+    assert got["h"] == 40.0  # below k -> exact union count
+
+    # replaying a committed batch is a no-op (idempotent union)
+    LN.commit_kmv_sketch(spark, crawl1, store, "c1", "v", ["grp"], k=128)
+    again = {
+        r["grp"]: r["est_distinct"]
+        for r in LN.kmv_ledger_estimate(spark, store).collect()
+    }
+    assert again == got
+
+    # k / group pinning
+    with pytest.raises(ValueError, match="pinned"):
+        LN.commit_kmv_sketch(spark, crawl1, store, "c3", "v", ["grp"], k=64)
+    with pytest.raises(ValueError, match="no committed"):
+        LN.kmv_ledger_estimate(spark, str(tmp_path / "empty"))
