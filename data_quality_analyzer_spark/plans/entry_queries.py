@@ -3202,6 +3202,59 @@ def q70(spark, sf_dir):
     return SK.kmv_distinct(toks, "tok", ["source"], k=64)
 
 
+def _q71_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import chunking as CH
+
+    chunks = CH.chunk_documents_sql(
+        "documents", 400, 80, extra_cols="source"
+    )
+    return f"""
+    WITH c AS ({chunks})
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(length(chunk_text)) AS BIGINT) AS sum_chunk_chars,
+           CAST(MAX(n_chunks) AS INT) AS max_chunks,
+           bit_xor({HH.h60_sql(
+               "concat(CAST(doc_id AS VARCHAR), ':', "
+               "CAST(chunk_idx AS VARCHAR), ':', chunk_text)"
+           )}) AS chunk_checksum
+    FROM c GROUP BY source
+    """
+
+
+@_register("q71_context_chunking", _q71_oracle)
+def q71(spark, sf_dir):
+    """Context-window document chunking (operators/chunking.py): split
+    each document into 400-char windows advancing by 320 (80-char
+    overlap) — the stage between a cleaned corpus and a fixed-context
+    trainer / RAG indexer.  MAP-ONLY: sequence + transform + posexplode,
+    no shuffle before the per-source report agg.  The value-hash runs
+    over an h60 checksum of every (doc, idx, chunk_text) triple, so the
+    exact chunk boundaries — including the shorter final window — are
+    byte-proven against the oracle's integer-arithmetic twin.
+    Reference ancestor: P15 unnest applied to derived windows."""
+    from ..functions import hashing as HH
+    from ..operators import chunking as CH
+
+    d = _t(spark, sf_dir, "documents")
+    c = CH.chunk_documents(d, chunk_chars=400, overlap=80)
+    chk = F.expr(
+        HH.h60_spark_sql(
+            "concat(CAST(doc_id AS STRING), ':', "
+            "CAST(chunk_idx AS STRING), ':', chunk_text)"
+        )
+    )
+    return c.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum(F.length("chunk_text")).alias("sum_chunk_chars"),
+        F.max("n_chunks").alias("max_chunks"),
+        F.bit_xor(chk).alias("chunk_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
