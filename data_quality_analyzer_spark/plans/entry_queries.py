@@ -2659,7 +2659,9 @@ def q62(spark, sf_dir):
     importance-weighted selection."""
     from ..operators import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = SP.dsir_weights(d, TX.keep_verdict(F.col("text")), text_col="text")
     pos = F.col("dsir_weight") > 0
     return w.groupBy("source").agg(
@@ -3086,9 +3088,16 @@ def q68(spark, sf_dir):
     importance-proportional."""
     from ..operators import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
-    w = SP.dsir_weights(
-        d, TX.keep_verdict(F.col("text")), text_col="text"
+    from ..exec_utils import materialize
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # materialize the annotated frame: the sampler consumes the weight
+    # column twice (mean scalar + accept filter) and the DSIR fold is
+    # the expensive part (at 100 TB weights would be a stored column)
+    w = materialize(
+        SP.dsir_weights(d, TX.keep_verdict(F.col("text")), text_col="text")
     )
     kept = SP.weighted_sample(w, "dsir_weight", 0.3, "doc_id", seed=5)
     return kept.groupBy("source").agg(
