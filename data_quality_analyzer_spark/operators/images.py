@@ -136,6 +136,155 @@ def metadata_gate(
         reason = F.when(flags[r], F.lit(r)).otherwise(reason)
     return df.withColumn(reason_col, reason)
 
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing (NovelAI / SDXL bucketed batching): every image is
+# assigned to the pinned bucket whose aspect ratio is nearest its own, so a
+# training batch contains ONE resolution and no image is destructively
+# squashed to a global square.  At 10^12 images this is a MAP-ONLY literal
+# fold — the bucket table is ~17 rows folded into the plan as constants;
+# assignment, resize dims and crop offsets are pure int64 codegen (no UDF,
+# no join, no shuffle), and the only exchange in the q72 report is the
+# per-bucket count agg.
+#
+# Portability rule (pinned; both engine twins share it bit-for-bit):
+#   a = w·bh, b = h·bw           (int64; a==b ⟺ exact aspect match)
+#   key = (max(a,b) · 2^20) div min(a,b)   — a monotone integer surrogate
+#   for |log(w/h) − log(bw/bh)|; argmin over buckets, ties → lowest index
+#   (encoded as combined = key·64 + idx, take min, idx = combined mod 64).
+# Resolution 2^-20 in the ratio is ~10^5× finer than adjacent-bucket
+# spacing, and with dims ≤ 2^14 and bucket sides ≤ 2^11 every intermediate
+# is < 2^46 — int64-safe with a wide margin.
+#
+# Resize rule (cover + center crop, all integer): if a ≥ b the image is
+# wider than the bucket — scale height to bh (resize_w = a div h ≥ bw,
+# truncation-safe by the a ≥ b inequality), crop the width overflow
+# centered; symmetrically otherwise.
+# ---------------------------------------------------------------------------
+
+#: pinned SDXL-1024 bucket family (w, h): multiples of 64, area ≈ 1024².
+AR_BUCKETS: tuple[tuple[int, int], ...] = (
+    (512, 2048), (576, 1792), (640, 1536), (704, 1408), (768, 1344),
+    (832, 1216), (896, 1152), (960, 1088), (1024, 1024), (1088, 960),
+    (1152, 896), (1216, 832), (1344, 768), (1408, 704), (1536, 640),
+    (1792, 576), (2048, 512),
+)
+_AR_SHIFT = 1 << 20
+
+
+def _ar_combined_terms(w: str, h: str, cast: str) -> list[str]:
+    """Shared generator of the per-bucket combined (key·64 + idx) integer
+    expressions — identical text modulo the engine's BIGINT cast syntax,
+    so the Spark and DuckDB twins cannot drift."""
+    terms = []
+    for i, (bw, bh) in enumerate(AR_BUCKETS):
+        a = f"(CAST({w} AS {cast}) * {bh})"
+        b = f"(CAST({h} AS {cast}) * {bw})"
+        key = f"((greatest({a}, {b}) * {_AR_SHIFT}) {{div}} least({a}, {b}))"
+        terms.append(f"({key} * 64 + {i})")
+    return terms
+
+
+def ar_bucket_idx_spark_sql(w: str, h: str) -> str:
+    """Spark-SQL expression: index into AR_BUCKETS (NULL for NULL or
+    non-positive dims)."""
+    terms = [t.format(div="div") for t in _ar_combined_terms(w, h, "BIGINT")]
+    arr = "array(" + ", ".join(terms) + ")"
+    guard = f"({w} IS NULL OR {h} IS NULL OR {w} <= 0 OR {h} <= 0)"
+    return f"IF({guard}, CAST(NULL AS INT), CAST(pmod(array_min({arr}), 64) AS INT))"
+
+
+def ar_bucket_idx_duck_sql(w: str, h: str) -> str:
+    """DuckDB twin of :func:`ar_bucket_idx_spark_sql` — same pinned
+    integer rule."""
+    terms = [t.format(div="//") for t in _ar_combined_terms(w, h, "BIGINT")]
+    arr = "list_min([" + ", ".join(terms) + "])"
+    guard = f"({w} IS NULL OR {h} IS NULL OR {w} <= 0 OR {h} <= 0)"
+    return f"CASE WHEN {guard} THEN NULL ELSE CAST({arr} % 64 AS INT) END"
+
+
+def assign_ar_buckets(
+    df,
+    w_col: str = "w",
+    h_col: str = "h",
+):
+    """Annotate every row with its aspect-ratio bucket and the integer
+    resize + center-crop recipe that maps the image into it:
+    ``bucket_idx, bucket_w, bucket_h, resize_w, resize_h, crop_x, crop_y``.
+    Map-only whole-stage codegen; invalid dims yield NULL bucket columns
+    so the metadata gate's funnel owns the reject decision."""
+    from pyspark.sql import functions as F
+
+    idx = F.expr(ar_bucket_idx_spark_sql(w_col, h_col))
+    bw_arr = F.array(*[F.lit(bw) for bw, _ in AR_BUCKETS])
+    bh_arr = F.array(*[F.lit(bh) for _, bh in AR_BUCKETS])
+
+    # element_at(arr, NULL) does NOT reliably yield NULL (observed: last
+    # element under constant-index folding) — guard the NULL bucket row
+    # explicitly.
+    def _at(arr):
+        return F.when(
+            F.col("bucket_idx").isNotNull(),
+            F.element_at(arr, F.col("bucket_idx") + 1),
+        )
+
+    out = (
+        df.withColumn("bucket_idx", idx)
+        .withColumn("bucket_w", _at(bw_arr))
+        .withColumn("bucket_h", _at(bh_arr))
+    )
+    a = F.col(w_col).cast("long") * F.col("bucket_h")
+    b = F.col(h_col).cast("long") * F.col("bucket_w")
+    # nullif guards: with NULL/non-positive dims bucket_idx is already
+    # NULL, but ANSI mode would still raise on the dead `div 0` branch.
+    wider = a >= b
+    resize_w = F.when(wider, F.expr(
+        f"(CAST({w_col} AS BIGINT) * bucket_h) div nullif({h_col}, 0)"
+    ).cast("int")).otherwise(F.col("bucket_w"))
+    resize_h = F.when(wider, F.col("bucket_h")).otherwise(F.expr(
+        f"(CAST({h_col} AS BIGINT) * bucket_w) div nullif({w_col}, 0)"
+    ).cast("int"))
+    return (
+        out.withColumn("resize_w", resize_w)
+        .withColumn("resize_h", resize_h)
+        .withColumn(
+            "crop_x", ((F.col("resize_w") - F.col("bucket_w")) / 2).cast("int")
+        )
+        .withColumn(
+            "crop_y", ((F.col("resize_h") - F.col("bucket_h")) / 2).cast("int")
+        )
+    )
+
+
+def ar_bucket_report_duck_sql(rel: str, w: str, h: str, id_col: str) -> str:
+    """DuckDB twin of the q72 per-bucket report over relation ``rel``."""
+    idx = ar_bucket_idx_duck_sql(w, h)
+    bw = "[" + ", ".join(str(bw) for bw, _ in AR_BUCKETS) + "]"
+    bh = "[" + ", ".join(str(bh) for _, bh in AR_BUCKETS) + "]"
+    return f"""
+    WITH assigned AS (
+      SELECT {id_col} AS _id, {w} AS _w, {h} AS _h, {idx} AS bucket_idx
+      FROM {rel}
+    ), dims AS (
+      SELECT *,
+             ({bw})[bucket_idx + 1] AS bucket_w,
+             ({bh})[bucket_idx + 1] AS bucket_h
+      FROM assigned WHERE bucket_idx IS NOT NULL
+    )
+    SELECT bucket_w, bucket_h,
+           COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN CAST(_w AS BIGINT) * bucket_h
+                              = CAST(_h AS BIGINT) * bucket_w
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_ar,
+           CAST(SUM(CASE WHEN CAST(_w AS BIGINT) * bucket_h
+                              >= CAST(_h AS BIGINT) * bucket_w
+                         THEN (CAST(_w AS BIGINT) * bucket_h) // _h - bucket_w
+                         ELSE (CAST(_h AS BIGINT) * bucket_w) // _w - bucket_h
+                    END) AS BIGINT) AS sum_crop_px,
+           bit_xor(_id) AS id_checksum
+    FROM dims GROUP BY bucket_w, bucket_h
+    """
+
+
 _FLAG_SCHEMA = (
     "magic_ok boolean, decodable boolean, dims_match boolean, "
     "dims_bounds boolean, psnr_ok boolean"

@@ -3264,6 +3264,107 @@ def q71(spark, sf_dir):
     )
 
 
+def _q72_oracle() -> str:
+    from ..operators import images as IM
+
+    return IM.ar_bucket_report_duck_sql(
+        "documents",
+        "(16 + (doc_id * 37) % 1200)",
+        "(16 + (doc_id * 61) % 1200)",
+        "doc_id",
+    )
+
+
+@_register("q72_aspect_ratio_buckets", _q72_oracle)
+def q72(spark, sf_dir):
+    """ASPECT-RATIO bucketing (operators/images.py:assign_ar_buckets):
+    every image is assigned to the nearest of 17 pinned SDXL-1024
+    buckets by a pure-int64 surrogate for |log(w/h) − log(bw/bh)| —
+    the NovelAI/SDXL batching primitive that keeps one resolution per
+    training batch.  Assignment + resize dims + center-crop offsets are
+    a MAP-ONLY literal fold (17 constants in the plan, zero UDF/join);
+    the only exchange is the per-bucket report agg.  Both engines derive
+    (w, h) from doc_id with the q60 integer recipe and value-hash
+    per-bucket counts, exact-ratio counts, total cropped pixels, and an
+    id checksum — so the argmin rule, the tie-break, and the integer
+    resize math are all bit-proven.  Reference ancestor: A16 one-pass
+    bucketed histogram (payer_analysis.py) on the aspect axis."""
+    from ..operators import images as IM
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + (F.col("doc_id") * 37) % 1200).alias("w"),
+        (F.lit(16) + (F.col("doc_id") * 61) % 1200).alias("h"),
+    )
+    a = IM.assign_ar_buckets(d)
+    crop = F.when(
+        F.col("w").cast("long") * F.col("bucket_h")
+        >= F.col("h").cast("long") * F.col("bucket_w"),
+        F.col("resize_w").cast("long") - F.col("bucket_w"),
+    ).otherwise(F.col("resize_h").cast("long") - F.col("bucket_h"))
+    return (
+        a.filter(F.col("bucket_idx").isNotNull())
+        .groupBy("bucket_w", "bucket_h")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum(
+                F.when(
+                    F.col("w").cast("long") * F.col("bucket_h")
+                    == F.col("h").cast("long") * F.col("bucket_w"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_exact_ar"),
+            F.sum(crop).alias("sum_crop_px"),
+            F.bit_xor("doc_id").alias("id_checksum"),
+        )
+    )
+
+
+def _q73_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import alignment as AL
+
+    p = HH.h60_sql("concat('img:', CAST(doc_id AS VARCHAR))")
+    return AL.alignment_report_duck_sql(
+        "documents", "text", p, "doc_id", "source"
+    )
+
+
+@_register("q73_caption_alignment", _q73_oracle)
+def q73(spark, sf_dir):
+    """IMAGE–CAPTION alignment gate (operators/alignment.py): the
+    CLIP-score filter class with deterministic stand-in towers — hashed
+    bag-of-words caption embedding vs the image hash's ±1 bit vector,
+    keep ⟺ cos ≥ 1/5 decided in EXACT int64 arithmetic (den²·dot² vs
+    num²·60·‖v‖²), so the learned-scorer plumbing gets a value-hash
+    oracle.  Spark side is MAP-ONLY: one sorted-RLE fold per caption
+    (zero UDF/join/explode — the only exchange is the per-source report
+    agg); the oracle proves the fold with an independent unnest+groupBy
+    decomposition.  Reference ancestor: F14 validity conjunction as a
+    cross-modal consistency rule."""
+    from ..functions import hashing as HH
+    from ..operators import alignment as AL
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "img_hash",
+        F.expr(HH.h60_spark_sql("concat('img:', CAST(doc_id AS STRING))")),
+    )
+    s = AL.alignment_scores(d, caption_col="text", image_hash_col="img_hash")
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("align_nrm") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_scored"),
+        F.sum(F.when(F.col("align_keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_keep"),
+        F.sum("align_dot").alias("sum_dot"),
+        F.bit_xor(
+            F.when(F.col("align_keep"), F.col("doc_id")).otherwise(0)
+        ).alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

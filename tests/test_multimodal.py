@@ -212,3 +212,68 @@ def test_metadata_gate_in_prep_corpus(spark, tmp_path):
     ids = {r["image_id"] for r in out.collect()}
     assert "planted-banner" not in ids
     assert len(ids) > 0
+
+
+def test_ar_buckets_assignment_and_crop_math(spark):
+    from data_quality_analyzer_spark.operators import images as IM
+
+    rows = [
+        # (id, w, h, expected (bucket_w, bucket_h))
+        (0, 1024, 1024, (1024, 1024)),   # exact square
+        (1, 512, 2048, (512, 2048)),     # exact tallest bucket
+        (2, 3000, 1000, (1792, 576)),    # 3:1 → widest-but-one ~3.11 beats 2048/512=4
+        (3, 100, 401, (512, 2048)),      # beyond tallest → clamps to extreme
+        (4, 1025, 1024, (1024, 1024)),   # epsilon off square stays square
+        (5, None, 1024, None),
+        (6, 0, 1024, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, w, h) for i, w, h, _ in rows], "image_id long, w int, h int"
+    )
+    out = {r["image_id"]: r for r in IM.assign_ar_buckets(df).collect()}
+    for i, _w, _h, want in rows:
+        r = out[i]
+        if want is None:
+            assert r["bucket_idx"] is None and r["bucket_w"] is None
+            continue
+        assert (r["bucket_w"], r["bucket_h"]) == want, (i, r)
+        # cover invariant: resized image fully covers the bucket
+        assert r["resize_w"] >= r["bucket_w"] and r["resize_h"] >= r["bucket_h"]
+        # one axis matches the bucket exactly (scale-to-cover)
+        assert r["resize_w"] == r["bucket_w"] or r["resize_h"] == r["bucket_h"]
+        assert r["crop_x"] == (r["resize_w"] - r["bucket_w"]) // 2
+        assert r["crop_y"] == (r["resize_h"] - r["bucket_h"]) // 2
+
+    # map-only: assignment adds no exchange
+    plan = (
+        IM.assign_ar_buckets(df.coalesce(1))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_ar_bucket_duck_twin_agrees(spark):
+    """The DuckDB bucket-index twin matches Spark on a dense grid of
+    aspect ratios (including ties and extremes)."""
+    import duckdb
+
+    from data_quality_analyzer_spark.operators import images as IM
+
+    dims = [(w, h) for w in range(50, 1600, 97) for h in range(50, 1600, 131)]
+    df = spark.createDataFrame(dims, "w int, h int")
+    got = {
+        (r["w"], r["h"]): r["bucket_idx"]
+        for r in df.selectExpr(
+            "w", "h", IM.ar_bucket_idx_spark_sql("w", "h") + " AS bucket_idx"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ", ".join(f"({w}, {h})" for w, h in dims) + ") t(w, h)")
+    want = {
+        (w, h): idx
+        for w, h, idx in con.execute(
+            f"SELECT w, h, {IM.ar_bucket_idx_duck_sql('w', 'h')} FROM d"
+        ).fetchall()
+    }
+    assert got == want
