@@ -47,6 +47,7 @@ def prep_corpus(
     contamination_dir: str | None = None,
     contamination_threshold: float = 0.8,
     metadata_gate: bool = False,
+    alignment_threshold: tuple[int, int] | None = None,
 ) -> DataFrame:
     """images(input_hint schema) → deduplicated keep-verdict rows.
 
@@ -56,6 +57,14 @@ def prep_corpus(
     default: the gate's keep dials (``META_MIN_SIDE`` etc.) are corpus
     policy, not correctness, and the F1-vs-reference invariant is defined
     on the ungated corpus.
+
+    ``alignment_threshold=(num, den)`` adds the image–caption alignment
+    gate (operators/alignment.py: keep ⟺ cos(caption BoW, phash bits)
+    ≥ num/den, exact int64 — the CLIP-score filter slot) on the kept
+    rows, between the quality verdict and decontamination/dedup: cheap
+    map-only scoring runs only on survivors, and dedup then never keeps
+    a misaligned canonical.  Off by default for the same F1-invariant
+    reason as the metadata gate.
 
     Returns the verdict-table columns of ``run_pipeline`` restricted to
     kept, deduplicated rows (bytes untouched, caption_scrubbed present).
@@ -76,6 +85,18 @@ def prep_corpus(
         images = IM.metadata_gate(images)
     verdicts = run_pipeline(spark, images, settings=settings)
     keeps = verdicts.filter(F.col("keep"))
+    if alignment_threshold is not None:
+        from ..operators import alignment as AL
+
+        num, den = alignment_threshold
+        keeps = (
+            AL.alignment_scores(
+                keeps, caption_col="caption", image_hash_col="phash",
+                num=num, den=den,
+            )
+            .filter(F.col("align_keep"))
+            .drop("align_dot", "align_nrm", "align_keep")
+        )
     if contamination_dir is not None:
         keeps = LN.decontaminate_committed(
             spark, keeps, contamination_dir,
