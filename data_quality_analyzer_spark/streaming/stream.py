@@ -533,3 +533,50 @@ def streaming_near_dup_verified(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def streaming_session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native Structured-Streaming SESSIONIZATION: Spark's built-in
+    ``session_window`` merges a user's events whose gaps are under
+    ``gap`` into one growing window — the streaming counterpart of the
+    batch ``operators/sessions.sessionize`` (which needs the full
+    history; this needs only in-flight state bounded by the watermark).
+
+    Semantics note (pinned): ``session_window`` is HALF-OPEN — an event
+    exactly ``gap`` after the previous one starts a NEW session, where
+    the batch operator's strict ``diff > gap`` rule keeps it.  The two
+    agree on every gap that is not exactly the threshold (test pins
+    agreement on such data); callers needing bit-identical boundary
+    behavior pass the batch gap minus one microsecond.
+
+    Scale shape: state per (user, open session) only; the watermark
+    closes sessions and frees state — without it a 10^12-event stream
+    would accrete state forever.  In append mode closed sessions emit
+    exactly once (exactly-once session rows downstream); complete mode
+    re-emits all — tests use complete so trailing sessions surface
+    without post-watermark traffic."""
+    # watermarks require TIMESTAMP: cast NTZ wall clock under the
+    # pinned-UTC session (same convention as operators/sessions.py)
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap).alias("w"),
+            "user_id",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

@@ -378,3 +378,57 @@ def test_streaming_verified_pending_retry(spark):
     ).coalesce(1).write.parquet(in_dir, mode="append")
     run_once()
     assert (1, 12) in confirmed()
+
+
+def test_streaming_session_stats_matches_batch(spark, tmp_path):
+    """Native session_window streaming sessionization agrees with the
+    batch operator (operators/sessions.py) on (user, n_events,
+    session_value) for data with no exact-boundary gaps."""
+    import datetime as dt
+
+    from data_quality_analyzer_spark.operators import sessions as SN
+    from data_quality_analyzer_spark.streaming import stream as ST
+
+    t0 = dt.datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    eid = 0
+    for user in (1, 2, 3):
+        offs = 0
+        for burst in range(user + 1):          # user u has u+1 sessions
+            for k in range(3):                  # 3 events per session
+                rows.append((eid, t0 + dt.timedelta(seconds=offs), user,
+                             "view", float(user * 10 + burst * 5 + k), "{}"))
+                eid += 1
+                offs += 60
+            offs += 2000                        # 33-min gap closes session
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    batch_df = spark.createDataFrame(rows, schema)
+    in_dir = str(tmp_path / "sess_in")
+    # two files → two micro-batches crossing session boundaries
+    batch_df.filter("event_id % 2 = 0").write.parquet(in_dir)
+    batch_df.filter("event_id % 2 = 1").write.mode("append").parquet(in_dir)
+
+    src = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    agg = ST.streaming_session_stats(src, gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("sess_stream").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["n_events"], str(r["session_value"]))
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    want = {
+        (r["user_id"], r["n_events"], str(r["session_value"]))
+        for r in SN.session_stats(batch_df).collect()
+    }
+    assert got == want
+    assert len(got) == 2 + 3 + 4  # user u → u+1 sessions
