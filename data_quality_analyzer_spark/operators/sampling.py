@@ -204,6 +204,73 @@ def stratified_sample_duck_sql(
     )
 
 
+def _split_thresholds(splits: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, cumulative integer threshold) per split, in the caller's
+    insertion order (pinned: reordering the dict REASSIGNS rows).  The
+    last split's threshold is forced to SAMPLE_DENOM so the partition is
+    exhaustive by construction — float rounding can never orphan a row."""
+    if not splits:
+        raise ValueError("split_corpus: empty splits map")
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must sum to 1 (got {total}); an unassigned "
+            "remainder would silently leak rows out of every split"
+        )
+    out, cum = [], 0.0
+    for name, frac in splits.items():
+        if not (0.0 <= frac <= 1.0):
+            raise ValueError(f"fraction for split {name!r} out of [0, 1]")
+        if "'" in name or "\\" in name:
+            raise ValueError(f"split name {name!r} contains a quote")
+        cum += frac
+        out.append((name, int(round(cum * SAMPLE_DENOM))))
+    out[-1] = (out[-1][0], SAMPLE_DENOM)
+    return out
+
+
+def _split_case(thresholds: list[tuple[str, int]], u: str) -> str:
+    """Shared CASE text for both engines (u = the hash-mod expression)."""
+    arms = " ".join(
+        f"WHEN {u} < {thr} THEN '{name}'" for name, thr in thresholds[:-1]
+    )
+    return f"CASE {arms} ELSE '{thresholds[-1][0]}' END"
+
+
+def split_corpus(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test partition: every row gets exactly one
+    split label from its key hash's position in the cumulative-fraction
+    intervals — disjoint and exhaustive by construction, stable across
+    partitionings, retries, cluster sizes, and engines (same
+    ``seeded_key_hash`` as every sampler, so a row sampled at fraction f
+    and a row split at fraction f agree).  MAP-ONLY: one hash + one CASE
+    per row; use a fresh ``seed`` per experiment to re-randomize.
+
+    Holdout-safety note: the split key should be the DEDUP key (or
+    computed after dedup) — hashing a raw doc id puts near-duplicates in
+    different splits and leaks train into test."""
+    thresholds = _split_thresholds(splits)
+    u = f"__u_{seed}"
+    case = _split_case(thresholds, u)
+    return df.withColumn(
+        u, F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM))
+    ).withColumn(split_col, F.expr(case)).drop(u)
+
+
+def split_corpus_duck_sql(
+    splits: dict[str, float], key_col: str, seed: int = 0
+) -> str:
+    """DuckDB twin: the split-label expression for one row."""
+    u = f"(({_h60_key_sql(key_col, seed)}) % {SAMPLE_DENOM})"
+    return _split_case(_split_thresholds(splits), u)
+
+
 # ---------------------------------------------------------------------------
 # DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
 # Language Models via Importance Resampling") — score every raw document

@@ -3365,6 +3365,89 @@ def q73(spark, sf_dir):
     )
 
 
+def _q74_oracle() -> str:
+    from ..operators import sessions as SN
+
+    sess = SN.sessionize_duck_sql("events")
+    return f"""
+    WITH sess AS ({sess})
+    SELECT n_events,
+           COUNT(*) AS n_sessions,
+           CAST(SUM(duration_s) AS BIGINT) AS sum_duration_s,
+           ROUND(CAST(SUM(session_value) AS DOUBLE) / SUM(n_events), 6)
+             AS avg_value,
+           bit_xor(CAST(user_id * 1000003 + session_idx AS BIGINT))
+             AS session_checksum
+    FROM sess GROUP BY n_events
+    """
+
+
+@_register("q74_sessionization", _q74_oracle)
+def q74(spark, sf_dir):
+    """Gap-based SESSIONIZATION (operators/sessions.py): 30-minute-gap
+    sessions per user via lag + cumulative-sum windows PARTITIONED BY
+    user_id — ordering pinned to (ts, event_id), time arithmetic exact
+    unix_micros int64, cumulative frame pinned to ROWS (the q53 lesson).
+    One hash-by-user Exchange serves the lag window, the session-number
+    window, AND the per-session aggregate; the size-distribution rollup
+    is the only further shuffle.  The checksum over (user, session_idx)
+    pairs value-proves every session boundary.  Reference ancestor:
+    F10/F11 freshness windows upgraded to run structure."""
+    from ..operators import sessions as SN
+
+    e = _t(spark, sf_dir, "events")
+    sess = SN.session_stats(e)
+    return sess.groupBy("n_events").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("duration_s").alias("sum_duration_s"),
+        F.round(
+            F.sum("session_value").cast("double") / F.sum("n_events"), 6
+        ).alias("avg_value"),
+        F.bit_xor(
+            F.col("user_id") * 1000003 + F.col("session_idx")
+        ).alias("session_checksum"),
+    )
+
+
+_Q75_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q75_oracle() -> str:
+    from ..operators import sampling as SP
+
+    label = SP.split_corpus_duck_sql(_Q75_SPLITS, "doc_id", seed=3)
+    return f"""
+    SELECT {label} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor(doc_id) AS id_checksum
+    FROM documents GROUP BY 1
+    """
+
+
+@_register("q75_corpus_split", _q75_oracle)
+def q75(spark, sf_dir):
+    """Deterministic TRAIN/VAL/TEST split (operators/sampling.py:
+    split_corpus): every doc labeled by its key hash's cumulative-
+    fraction interval — disjoint ∧ exhaustive by construction (the last
+    threshold is forced to the full denominator), reproducible on any
+    partitioning/cluster size/engine, and consistent with every other
+    sampler via the shared seeded_key_hash.  MAP-ONLY labeling; the
+    only exchange is the per-split report agg.  The checksum over ALL
+    doc ids per split value-proves the exact membership of each side.
+    Reference ancestor: S7 sampling scan
+    (additional_charge_checks.py:741) upgraded to a partition."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    s = SP.split_corpus(d, _Q75_SPLITS, "doc_id", seed=3)
+    return s.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

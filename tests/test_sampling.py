@@ -444,3 +444,47 @@ def test_token_shards_balanced_and_deterministic(spark):
 
     with _pt.raises(ValueError, match="target_tokens"):
         SH.assign_token_shards(df, 0, "tok", "doc_id")
+
+
+def test_split_corpus_partition_properties(spark):
+    """Splits are disjoint+exhaustive, partitioning-invariant, and
+    consistent with deterministic_sample at the same seed (a row is in
+    'train' iff the 0.8-fraction sampler would keep it)."""
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = SP.split_corpus(df, splits, "doc_id", seed=9)
+    rows = out.collect()
+    assert len(rows) == 500
+    by_split: dict[str, set] = {}
+    for r in rows:
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set(by_split) <= {"train", "val", "test"}
+    assert sum(len(v) for v in by_split.values()) == 500  # exhaustive
+    # consistency with the plain sampler
+    sampled = {
+        r["doc_id"]
+        for r in SP.deterministic_sample(df, 0.8, "doc_id", seed=9).collect()
+    }
+    assert sampled == by_split["train"]
+    # partitioning invariance
+    again = {
+        (r["doc_id"], r["split"])
+        for r in SP.split_corpus(
+            df.repartition(13), splits, "doc_id", seed=9
+        ).collect()
+    }
+    assert again == {(r["doc_id"], r["split"]) for r in rows}
+
+
+def test_split_corpus_contracts(spark):
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 1"):
+        SP.split_corpus(df, {"a": 0.5, "b": 0.2}, "doc_id")
+    with pytest.raises(ValueError, match="empty"):
+        SP.split_corpus(df, {}, "doc_id")
+    with pytest.raises(ValueError, match="quote"):
+        SP.split_corpus(df, {"a'b": 1.0}, "doc_id")
