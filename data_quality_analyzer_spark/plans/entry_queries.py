@@ -3448,6 +3448,121 @@ def q75(spark, sf_dir):
     )
 
 
+def _q76_oracle() -> str:
+    from ..operators import drift as DR
+
+    keep = TX.keep_verdict_sql("text")
+    return DR.stats_drift_duck_sql(
+        "(SELECT * FROM documents WHERE doc_id % 2 = 1)",
+        "(SELECT * FROM documents WHERE doc_id % 2 = 0)",
+        keep,
+        keep,
+        "lang",
+    )
+
+
+@_register("q76_stats_drift", _q76_oracle)
+def q76(spark, sf_dir):
+    """SNAPSHOT STATS DRIFT (operators/drift.py): per-language keep-rate
+    and volume of the current crawl vs a baseline snapshot, with
+    ok/warning/critical severity decided by EXACT integer
+    cross-multiplication (|Δrate| and volume-floor bands never touch a
+    rounded double; the displayed rates are cosmetic).  Two corpus
+    aggregates + a broadcast full-outer join of |groups|-row frames —
+    groups that appear/vanish are critical by definition.  Both engines
+    derive the snapshots as the odd/even doc_id halves.  Reference
+    ancestor: Check 3 historical stats (charge_analysis_checks.py:
+    617-905) — the same ok/warning/critical escalation contract over
+    "stats now vs stats expected"."""
+    from ..operators import drift as DR
+
+    d = _t(spark, sf_dir, "documents")
+    keep = TX.keep_verdict(F.col("text"))
+    return DR.stats_drift(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+        keep,
+        keep,
+        "lang",
+    )
+
+
+def _q77_oracle() -> str:
+    from ..functions import hashing as HH
+    from ..operators import images as IM
+    from ..operators import sampling as SP
+
+    idx = IM.ar_bucket_idx_duck_sql(
+        "(16 + (doc_id * 37) % 1200)", "(16 + (doc_id * 61) % 1200)"
+    )
+    bw = "[" + ", ".join(str(bw) for bw, _ in IM.AR_BUCKETS) + "]"
+    bh = "[" + ", ".join(str(bh) for _, bh in IM.AR_BUCKETS) + "]"
+    h = (
+        "(" + HH.h60_sql("concat('5:', CAST(doc_id AS VARCHAR))") + ")"
+        f" % {SP.SAMPLE_DENOM}"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, {idx} AS bucket_idx, {h} AS h FROM documents
+    ), dims AS (
+      SELECT doc_id, h,
+             ({bw})[bucket_idx + 1] AS bucket_w,
+             ({bh})[bucket_idx + 1] AS bucket_h
+      FROM assigned
+    ), pos AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY bucket_w, bucket_h
+                                ORDER BY h % 64, h, doc_id) - 1 AS p,
+             COUNT(*) OVER (PARTITION BY bucket_w, bucket_h) AS tot
+      FROM dims
+    )
+    SELECT bucket_w, bucket_h,
+           COUNT(*) AS n_images,
+           CAST(MAX(p // 32) + 1 AS INT) AS n_batches,
+           CAST(SUM(CASE WHEN p // 32 < tot // 32 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_leftover,
+           bit_xor(doc_id * 65536 + p // 32) AS assign_checksum
+    FROM pos GROUP BY bucket_w, bucket_h
+    """
+
+
+@_register("q77_bucket_batches", _q77_oracle)
+def q77(spark, sf_dir):
+    """BATCH assembly inside aspect-ratio buckets (plans/shards.py:
+    bucket_batches): each resolution group's rows are laid out in the
+    deterministic (h60, key) permutation and numbered into batches of
+    32, remainder rows flagged — the loader-facing half of SDXL
+    bucketed batching.  Spark runs the scalable two-phase plan (per
+    (group, hash-sub-bucket) counts → driver prefix offsets as one
+    literal map → per-sub-bucket count window, so no group-sized sort
+    exists); the oracle runs the GLOBAL per-group window — equality
+    value-proves the decomposition, batch ids and remainder flags bit
+    for bit (the q69 proof pattern).  Reference ancestor: S3 batched
+    insert sink (claim_analysis.py) as a deterministic layout."""
+    from ..operators import images as IM
+    from ..plans import shards as SH
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.lit(16) + (F.col("doc_id") * 37) % 1200).alias("w"),
+        (F.lit(16) + (F.col("doc_id") * 61) % 1200).alias("h"),
+    )
+    a = IM.assign_ar_buckets(d).select("doc_id", "bucket_w", "bucket_h")
+    b = SH.bucket_batches(
+        a, 32, ("bucket_w", "bucket_h"), "doc_id", seed=5, num_buckets=64
+    )
+    return b.groupBy("bucket_w", "bucket_h").agg(
+        F.count("*").alias("n_images"),
+        (F.max("batch_idx") + 1).cast("int").alias("n_batches"),
+        F.sum(F.when(F.col("in_full_batch"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_leftover"),
+        F.bit_xor(
+            F.col("doc_id") * 65536 + F.col("batch_idx").cast("long")
+        ).alias("assign_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

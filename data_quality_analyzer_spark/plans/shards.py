@@ -156,3 +156,91 @@ def assign_token_shards(
         )
         .drop("_ts_h", "_ts_bkt", "_ts_pos")
     )
+
+
+def bucket_batches(
+    df: DataFrame,
+    batch_size: int,
+    group_cols: tuple[str, ...],
+    key_col: str,
+    seed: int = 0,
+    num_buckets: int = 128,
+) -> DataFrame:
+    """BATCH assembly within groups — the second half of aspect-ratio
+    bucketed training (SDXL/NovelAI): inside each group (e.g. each
+    (bucket_w, bucket_h) resolution), rows are laid out in the
+    deterministic pseudo-random (h60, key) permutation and numbered into
+    fixed-size batches; the per-group remainder (< batch_size rows) is
+    flagged so loaders can drop or pad it explicitly.
+
+    Same two-phase shape as :func:`assign_token_shards`, restarted per
+    group: (1) one hash aggregate of counts per (group, hash-sub-bucket)
+    — |groups|·num_buckets tiny rows to the driver, prefix-summed into
+    base offsets that ride back as ONE literal map keyed by
+    'group:sub'; (2) a cumulative count window per (group, sub-bucket)
+    partition (~|group|/num_buckets rows each), so no group-sized sort
+    ever exists — the property that matters when one resolution holds
+    10^11 images.  ``num_buckets`` is part of the permutation definition
+    (pin with seed), and position arithmetic is pure integer.
+
+    Returns df + ``batch_idx`` (int, 0-based per group) +
+    ``in_full_batch`` (false for the per-group remainder rows)."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    from ..operators.sampling import SAMPLE_DENOM
+
+    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    gkey = F.concat_ws(
+        "", *[F.col(c).cast("string") for c in group_cols]
+    )
+    bucketed = (
+        df.withColumn("_bb_h", h)
+        .withColumn("_bb_sub", F.pmod(F.col("_bb_h"), F.lit(num_buckets)))
+        .withColumn("_bb_g", gkey)
+    )
+    counts = {
+        (r["_bb_g"], r["_bb_sub"]): r["_n"]
+        for r in bucketed.groupBy("_bb_g", "_bb_sub")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    }
+    groups = sorted({g for g, _ in counts})
+    base_entries, total_entries = [], []
+    for g in groups:
+        acc = 0
+        for sub in range(num_buckets):
+            n = int(counts.get((g, sub), 0))
+            if n:
+                base_entries += [F.lit(f"{g}{sub}"), F.lit(acc)]
+            acc += n
+        total_entries += [F.lit(g), F.lit(acc)]
+    base = F.element_at(
+        F.create_map(*base_entries),
+        F.concat_ws("", F.col("_bb_g"), F.col("_bb_sub")),
+    )
+    total = F.element_at(F.create_map(*total_entries), F.col("_bb_g"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_bb_g", "_bb_sub")
+        .orderBy("_bb_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = F.count("*").over(w) - 1
+    return (
+        bucketed.withColumn("_bb_pos", base + before)
+        .withColumn("_bb_tot", total)
+        .withColumn(
+            "batch_idx", F.expr(f"CAST(_bb_pos div {int(batch_size)} AS INT)")
+        )
+        .withColumn(
+            "in_full_batch",
+            F.expr(
+                f"_bb_pos div {int(batch_size)} < "
+                f"_bb_tot div {int(batch_size)}"
+            ),
+        )
+        .drop("_bb_h", "_bb_sub", "_bb_g", "_bb_pos", "_bb_tot")
+    )

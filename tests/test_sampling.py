@@ -488,3 +488,68 @@ def test_split_corpus_contracts(spark):
         SP.split_corpus(df, {}, "doc_id")
     with pytest.raises(ValueError, match="quote"):
         SP.split_corpus(df, {"a'b": 1.0}, "doc_id")
+
+
+def test_bucket_batches_properties(spark):
+    """Every full batch has exactly batch_size rows, leftovers = total
+    mod B per group, assignment is partitioning-invariant, and the
+    two-phase plan equals a driver-side global-permutation replay."""
+    import hashlib
+
+    from data_quality_analyzer_spark.plans.shards import bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(200)],
+        "doc_id long, grp string",
+    )
+    out = bucket_batches(df, 7, ("grp",), "doc_id", seed=2, num_buckets=16)
+    rows = out.collect()
+    sizes: dict[tuple, int] = {}
+    totals: dict[str, int] = {}
+    for r in rows:
+        sizes[(r["grp"], r["batch_idx"])] = (
+            sizes.get((r["grp"], r["batch_idx"]), 0) + 1
+        )
+        totals[r["grp"]] = totals.get(r["grp"], 0) + 1
+    for (g, b), n in sizes.items():
+        full = b < totals[g] // 7
+        assert n == 7 if full else n == totals[g] % 7, (g, b, n)
+    leftovers = {g: t % 7 for g, t in totals.items()}
+    got_left = {}
+    for r in rows:
+        if not r["in_full_batch"]:
+            got_left[r["grp"]] = got_left.get(r["grp"], 0) + 1
+    assert got_left == {g: v for g, v in leftovers.items() if v}
+
+    # python replay of the pinned permutation (sub, h, key) per group
+    denom = 1_000_000
+    def h60(key):
+        return int(hashlib.md5(f"2:{key}".encode()).hexdigest()[:15], 16) % denom
+    want = {}
+    for g in totals:
+        ids = [i for i in range(200) if ["a", "b", "c"][i % 3] == g]
+        perm = sorted(ids, key=lambda i: (h60(i) % 16, h60(i), i))
+        for p, i in enumerate(perm):
+            want[i] = (g, p // 7)
+    got = {r["doc_id"]: (r["grp"], r["batch_idx"]) for r in rows}
+    assert got == want
+
+    again = {
+        r["doc_id"]: (r["grp"], r["batch_idx"])
+        for r in bucket_batches(
+            df.repartition(11), 7, ("grp",), "doc_id", seed=2, num_buckets=16
+        ).collect()
+    }
+    assert again == got
+
+
+def test_bucket_batches_contracts(spark):
+    import pytest as _pytest
+
+    from data_quality_analyzer_spark.plans.shards import bucket_batches
+
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError, match="batch_size"):
+        bucket_batches(df, 0, (), "doc_id")
+    with _pytest.raises(ValueError, match="num_buckets"):
+        bucket_batches(df, 4, (), "doc_id", num_buckets=0)
