@@ -249,3 +249,19 @@ def keep_verdict_sql(c: str) -> str:
         f"AND {mean_word_len_sql(c)} BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN} "
         f"AND NOT {has_toxicity_sql(c)})"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinned whitespace tokenizer — ONE definition per engine, shared by the
+# repetition metrics and the caption-alignment gate (a drift here would
+# silently desynchronize their token streams).  `\s` is ASCII-only in
+# BOTH Java regex and DuckDB's RE2 (the U+00A0 lesson in repetition.py's
+# kernel notes); empty tokens from leading/trailing/repeated whitespace
+# are filtered on both sides.
+# ---------------------------------------------------------------------------
+
+WS_TOKENS_SPARK = "filter(split(lower(trim({c})), '\\\\s+'), t -> t != '')"
+WS_TOKENS_DUCK = (
+    "list_filter(string_split_regex(lower(trim({c})), '\\s+'), "
+    "t -> t != '')"
+)

@@ -43,6 +43,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as HH
+from ..functions import text as TXF
 
 #: embedding dimensionality — one bucket per usable bit of the 60-bit
 #: portable hash family.
@@ -50,11 +51,11 @@ ALIGN_DIM = 60
 #: default keep threshold cos ≥ 1/5 (rational, so the decision is exact)
 ALIGN_NUM, ALIGN_DEN = 1, 5
 
-_TOKS = "filter(split(lower(trim({c})), '\\\\s+'), t -> t != '')"
-_TOKS_DUCK = (
-    "list_filter(string_split_regex(lower(trim({c})), '\\s+'), "
-    "t -> t <> '')"
-)
+# the pinned tri-engine tokenizer lives in functions/text.py — shared
+# with repetition.py so caption tokenization can never drift between
+# the alignment gate and the repetition/dedup operators
+_TOKS = TXF.WS_TOKENS_SPARK
+_TOKS_DUCK = TXF.WS_TOKENS_DUCK
 
 
 def _term_expr(tok: str) -> tuple[str, str]:
@@ -106,10 +107,24 @@ def alignment_struct(caption_col: str, image_hash_col: str) -> Column:
     return F.expr(f"aggregate({terms}, {zero}, {step}, {finish})")
 
 
+def _check_threshold(num: int, den: int) -> None:
+    # num ≥ 1: the `dot > 0` conjunct (which also rejects unscorable
+    # rows) would silently tighten a cos ≥ 0 threshold at exactly-
+    # orthogonal pairs; a strictly positive threshold keeps the rule
+    # and the docstring identical.
+    if num < 1 or den < 1:
+        raise ValueError(
+            f"alignment threshold must be a positive rational "
+            f"(num ≥ 1, den ≥ 1); got {num}/{den}"
+        )
+
+
 def alignment_keep(
     dot: Column, nrm: Column, num: int = ALIGN_NUM, den: int = ALIGN_DEN
 ) -> Column:
-    """Exact rational threshold: cos(v, u) ≥ num/den (and defined)."""
+    """Exact rational threshold: cos(v, u) ≥ num/den (num ≥ 1 — see
+    :func:`_check_threshold`) and defined."""
+    _check_threshold(num, den)
     return (
         (dot > 0)
         & (F.lit(den * den) * dot * dot >= F.lit(num * num * ALIGN_DIM) * nrm)
@@ -160,6 +175,7 @@ def alignment_report_duck_sql(
     """DuckDB twin of the q73 per-group report — INDEPENDENT
     decomposition: unnest tokens → signed per-bucket sums → per-doc
     dot/‖v‖² → group rollup.  Exact int64 throughout."""
+    _check_threshold(num, den)
     h = HH.h60_sql("tok")
     toks = _TOKS_DUCK.format(c="_cap")
     keep = (

@@ -52,6 +52,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import hashing as HH
+from ..functions import text as TXF
 
 # (n, Gopher Table A1 threshold) — top-n-gram char fraction for small n,
 # duplicated-n-gram char fraction for n ≥ 5.
@@ -59,7 +60,7 @@ GOPHER_TOP_THRESHOLDS = {2: 0.20, 3: 0.18, 4: 0.16}
 GOPHER_DUP_THRESHOLDS = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 DEFAULT_NS = (2, 3, 5)
 
-_TOKS = "filter(split(lower(trim({c})), '\\\\s+'), t -> t != '')"
+_TOKS = TXF.WS_TOKENS_SPARK
 
 
 def _grams_expr(toks: str, ns: tuple[int, ...]) -> Column:
@@ -239,10 +240,7 @@ def token_ngram_metrics_duck_sql(
 ) -> str:
     """DuckDB twin of :func:`token_ngram_metrics` (same pinned
     definitions; used by the q56 oracle)."""
-    toks = (
-        f"list_filter(string_split_regex(lower(trim({text_col})), '\\s+'), "
-        f"t -> t != '')"
-    )
+    toks = TXF.WS_TOKENS_DUCK.format(c=text_col)
     per_n = " UNION ALL ".join(
         f"SELECT {id_col}, length(array_to_string(toks, ' ')) AS L, {n} AS n, "
         f"unnest(list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "

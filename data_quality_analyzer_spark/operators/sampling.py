@@ -256,7 +256,9 @@ def split_corpus(
     computed after dedup) — hashing a raw doc id puts near-duplicates in
     different splits and leaks train into test."""
     thresholds = _split_thresholds(splits)
-    u = f"__u_{seed}"
+    # sign-free temp name: f"__u_{seed}" with a negative seed parses as
+    # `__u_ - N` inside the CASE expression (confirmed AnalysisException)
+    u = "__split_u"
     case = _split_case(thresholds, u)
     return df.withColumn(
         u, F.pmod(_h60_key(key_col, seed), F.lit(SAMPLE_DENOM))

@@ -3468,7 +3468,8 @@ def q76(spark, sf_dir):
     ok/warning/critical severity decided by EXACT integer
     cross-multiplication (|Δrate| and volume-floor bands never touch a
     rounded double; the displayed rates are cosmetic).  Two corpus
-    aggregates + a broadcast full-outer join of |groups|-row frames —
+    aggregates + a small full-outer join of |groups|-row frames (full
+    outer cannot broadcast-hash in Spark and does not need to) —
     groups that appear/vanish are critical by definition.  Both engines
     derive the snapshots as the odd/even doc_id halves.  Reference
     ancestor: Check 3 historical stats (charge_analysis_checks.py:

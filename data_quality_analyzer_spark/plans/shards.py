@@ -192,8 +192,18 @@ def bucket_batches(
     from ..operators.sampling import SAMPLE_DENOM
 
     h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    # NULL group values are encoded as a \x03 sentinel BEFORE
+    # concat_ws (which silently SKIPS null args: ('a', NULL) and
+    # (NULL, 'a') would otherwise both collapse to 'a' and
+    # interleave two distinct groups into one batch permutation)
     gkey = F.concat_ws(
-        "", *[F.col(c).cast("string") for c in group_cols]
+        "",
+        *[
+            F.when(F.col(c).isNull(), F.lit("")).otherwise(
+                F.col(c).cast("string")
+            )
+            for c in group_cols
+        ],
     )
     bucketed = (
         df.withColumn("_bb_h", h)

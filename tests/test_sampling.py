@@ -488,6 +488,10 @@ def test_split_corpus_contracts(spark):
         SP.split_corpus(df, {}, "doc_id")
     with pytest.raises(ValueError, match="quote"):
         SP.split_corpus(df, {"a'b": 1.0}, "doc_id")
+    # negative seeds must work (regression: f"__u_{seed}" parsed as
+    # `__u_ - 1` inside the CASE expression)
+    got = SP.split_corpus(df, {"a": 0.5, "b": 0.5}, "doc_id", seed=-1)
+    assert got.count() == 3
 
 
 def test_bucket_batches_properties(spark):
@@ -553,3 +557,23 @@ def test_bucket_batches_contracts(spark):
         bucket_batches(df, 0, (), "doc_id")
     with _pytest.raises(ValueError, match="num_buckets"):
         bucket_batches(df, 4, (), "doc_id", num_buckets=0)
+
+
+def test_bucket_batches_null_groups_stay_distinct(spark):
+    """NULL group values must not merge distinct groups (concat_ws skips
+    NULL args; the operator encodes them as a sentinel)."""
+    from data_quality_analyzer_spark.plans.shards import bucket_batches
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 40 else None, None if i < 40 else "a")
+         for i in range(80)],
+        "doc_id long, g1 string, g2 string",
+    )
+    out = bucket_batches(df, 8, ("g1", "g2"), "doc_id", seed=1, num_buckets=8)
+    per_group: dict[tuple, list] = {}
+    for r in out.collect():
+        per_group.setdefault((r["g1"], r["g2"]), []).append(r["batch_idx"])
+    assert set(per_group) == {("a", None), (None, "a")}
+    for ids in per_group.values():  # each group numbered independently 0..4
+        assert sorted(set(ids)) == [0, 1, 2, 3, 4]
+        assert sum(1 for b in ids if b < 5) == 40
