@@ -115,3 +115,105 @@ def kmv_distinct_sql(
              AS est_distinct
     FROM _kmv_s s JOIN _kmv_e e USING ({g})
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the FREQUENCY sibling
+# of the KMV cardinality sketch above: estimate per-item counts in
+# depth·width bounded memory, with one-sided error (estimate ≥ truth,
+# overcount ≤ εN with probability 1−δ for width = e/ε, depth = ln 1/δ).
+# Heavy-hitter detection at 10^12 tokens without a vocabulary-sized
+# groupBy: the only corpus-sized operation is ONE hash aggregate whose
+# key space is depth·width (4096 default — partial-agg friendly, bytes
+# to the driver), after which any item's estimate is a map lookup.
+#
+# Determinism: row hashes are the repo's Carter-Wegman Mersenne mixes
+# (``hashing.mix_spark_sql`` / ``mix_sql`` — the minhash seed family, so
+# both engines compute identical (row, col) cells and identical
+# estimates: a frequency sketch with a value-hash oracle, like the KMV).
+# Mergeability: sketches add cell-wise across crawls.
+# Reference ancestor: A14 group-count distribution (payer_analysis.py),
+# upgraded to bounded memory.
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_col_spark(value_sql: str, i: int, width: int) -> str:
+    h = HH.h60_spark_sql(value_sql)
+    return f"CAST(pmod({HH.mix_spark_sql(h, i)}, {width}) AS INT)"
+
+
+def _cms_col_duck(value_sql: str, i: int, width: int) -> str:
+    h = HH.h60_sql(value_sql)
+    return f"CAST(({HH.mix_sql(h, i)}) % {width} AS INT)"
+
+
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build the sketch: one row per non-empty (row_idx, col) cell with
+    its count.  Plan: a posexplode of ``depth`` plan-literal column ids
+    per input row → ONE bounded hash aggregate (depth·width keys)."""
+    if depth < 1 or depth > len(HH.MINHASH_PARAMS):
+        raise ValueError(f"depth must be in [1, {len(HH.MINHASH_PARAMS)}]")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    v = f"CAST({value_col} AS STRING)"
+    cols = ", ".join(_cms_col_spark(v, i, width) for i in range(depth))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.posexplode(F.expr(f"array({cols})")).alias("row_idx", "col"))
+        .groupBy("row_idx", "col")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate_expr(
+    cms_cells: dict[tuple[int, int], int],
+    value_sql: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+):
+    """Spark estimate Column for ``value_sql`` given the COLLECTED sketch
+    cells (bounded: depth·width ints — a dial, not data; the same
+    literal-map scoring shape as DSIR).  Items hashing into an all-empty
+    cell estimate 0."""
+    entries = []
+    for (i, c), n in sorted(cms_cells.items()):
+        entries += [F.lit(f"{i}:{c}"), F.lit(int(n))]
+    m = F.create_map(*entries)
+    per_row = [
+        F.coalesce(
+            F.element_at(
+                m,
+                F.expr(
+                    f"concat('{i}', ':', {_cms_col_spark(value_sql, i, width)})"
+                ),
+            ),
+            F.lit(0),
+        )
+        for i in range(depth)
+    ]
+    return F.least(*per_row) if len(per_row) > 1 else per_row[0]
+
+
+def count_min_sketch_sql(
+    rel: str,
+    value_sql: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`count_min_sketch` (relation ``(row_idx,
+    col, cnt)``)."""
+    arms = " UNION ALL ".join(
+        f"SELECT {i} AS row_idx, "
+        f"{_cms_col_duck(f'CAST({value_sql} AS VARCHAR)', i, width)} AS col "
+        f"FROM {rel} WHERE {value_sql} IS NOT NULL"
+        for i in range(depth)
+    )
+    return f"SELECT row_idx, col, COUNT(*) AS cnt FROM ({arms}) GROUP BY 1, 2"

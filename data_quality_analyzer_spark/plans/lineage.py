@@ -1094,3 +1094,85 @@ def kmv_ledger_estimate(spark: SparkSession, store_dir: str) -> DataFrame:
     return sk.select(
         *group_cols, F.round(est, 2).alias("est_distinct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-run COUNT-MIN frequency ledger (the 7th ledger): per-crawl CMS
+# cell tables committed under the same atomic-manifest rule; the merged
+# corpus-union sketch is the CELL-WISE SUM of committed sketches, so
+# token-frequency estimates over every crawl ever seen cost depth·width
+# rows per crawl — history is never rescanned.  Unlike the KMV ledger
+# (set union — naturally idempotent), CMS merge is ADDITIVE: replaying a
+# committed batch would double its counts, so the manifest guard is the
+# correctness mechanism here, not just bookkeeping.
+# ---------------------------------------------------------------------------
+
+CMS_MANIFEST = "_cms_manifest.json"
+CMS_DIR = "cms_sketches"
+
+
+def read_cms_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, CMS_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "depth": None, "width": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_cms_sketch(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    value_col: str,
+    depth: int | None = None,
+    width: int | None = None,
+) -> None:
+    """Commit one crawl's count-min cells.  Replaying a committed
+    ``batch_id`` is a guarded no-op (additive merge — see module note);
+    committing with different depth/width than the ledger pin raises
+    (cells from different geometries cannot be summed)."""
+    from ..operators import sketches as SK
+
+    depth = SK.CMS_DEPTH if depth is None else depth
+    width = SK.CMS_WIDTH if width is None else width
+    manifest = read_cms_manifest(store_dir)
+    if manifest["depth"] is not None and (
+        manifest["depth"] != depth or manifest["width"] != width
+    ):
+        raise ValueError(
+            f"ledger at {store_dir!r} is pinned to depth="
+            f"{manifest['depth']} width={manifest['width']}; got "
+            f"depth={depth} width={width}"
+        )
+    if batch_id in manifest["batches"]:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    cells = SK.count_min_sketch(df, value_col, depth=depth, width=width)
+    batch_dir = os.path.join(store_dir, CMS_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt
+        shutil.rmtree(batch_dir)
+    cells.write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    manifest["depth"], manifest["width"] = depth, width
+    tmp = os.path.join(store_dir, CMS_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, CMS_MANIFEST))
+
+
+def cms_ledger_cells(spark: SparkSession, store_dir: str) -> dict:
+    """The merged (cell-wise summed) sketch over every committed crawl,
+    collected to a dict for :func:`..operators.sketches.cms_estimate_expr`
+    — depth·width bounded, a dial, not data."""
+    manifest = read_cms_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed sketches at {store_dir!r}")
+    merged = (
+        spark.read.parquet(os.path.join(store_dir, CMS_DIR))
+        .filter(F.col("batch_id").isin(manifest["batches"]))
+        .groupBy("row_idx", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return {(r["row_idx"], r["col"]): r["cnt"] for r in merged}

@@ -132,3 +132,82 @@ def test_kmv_ledger_merges_crawls(spark, tmp_path):
         LN.commit_kmv_sketch(spark, crawl1, store, "c3", "v", ["grp"], k=64)
     with pytest.raises(ValueError, match="no committed"):
         LN.kmv_ledger_estimate(spark, str(tmp_path / "empty"))
+
+
+def test_count_min_one_sided_and_exact_when_sparse(spark):
+    """CMS estimates are >= truth for EVERY item, and exact when the
+    vocabulary is far smaller than the width (no collisions forced)."""
+    from data_quality_analyzer_spark.operators import sketches as SK
+
+    rows = [(f"tok{i % 7}",) for i in range(140)] + [("rare",)]
+    df = spark.createDataFrame(rows, "tok string")
+    cells = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in SK.count_min_sketch(df, "tok").collect()
+    }
+    est = SK.cms_estimate_expr(cells, "tok").cast("long")
+    got = (
+        df.groupBy("tok").agg(F.count("*").alias("n"))
+        .select("tok", "n", est.alias("e"))
+        .collect()
+    )
+    assert len(got) == 8
+    for r in got:
+        assert r["e"] >= r["n"], r          # one-sided error contract
+        assert r["e"] == r["n"], r          # 8 items in 4x1024 cells: exact
+
+
+def test_count_min_merges_cellwise(spark):
+    """sketch(A ∪ B) == cell-wise sum of sketch(A) + sketch(B) — the
+    property cross-crawl frequency ledgers would rely on."""
+    from data_quality_analyzer_spark.operators import sketches as SK
+
+    a = spark.createDataFrame([(f"w{i % 5}",) for i in range(50)], "tok string")
+    b = spark.createDataFrame([(f"w{i % 9}",) for i in range(90)], "tok string")
+
+    def cells(df):
+        return {
+            (r["row_idx"], r["col"]): r["cnt"]
+            for r in SK.count_min_sketch(df, "tok").collect()
+        }
+
+    ca, cb, cu = cells(a), cells(b), cells(a.unionByName(b))
+    merged = dict(ca)
+    for k, v in cb.items():
+        merged[k] = merged.get(k, 0) + v
+    assert merged == cu
+
+
+def test_count_min_contracts(spark):
+    import pytest as _pytest
+
+    from data_quality_analyzer_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([("x",)], "tok string")
+    with _pytest.raises(ValueError, match="depth"):
+        SK.count_min_sketch(df, "tok", depth=0)
+    with _pytest.raises(ValueError, match="width"):
+        SK.count_min_sketch(df, "tok", width=1)
+
+
+def test_cms_ledger_merges_crawls(spark, tmp_path):
+    """Ledger estimate over two committed crawls == direct sketch of the
+    union; replaying a batch is a no-op (additive merge is guarded);
+    geometry pin raises."""
+    from data_quality_analyzer_spark.operators import sketches as SK
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "cms_store")
+    a = spark.createDataFrame([(f"w{i % 5}",) for i in range(50)], "tok string")
+    b = spark.createDataFrame([(f"w{i % 9}",) for i in range(90)], "tok string")
+    LN.commit_cms_sketch(spark, a, store, "crawl-a", "tok")
+    LN.commit_cms_sketch(spark, b, store, "crawl-b", "tok")
+    LN.commit_cms_sketch(spark, a, store, "crawl-a", "tok")  # replay no-op
+    cells = LN.cms_ledger_cells(spark, store)
+    direct = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in SK.count_min_sketch(a.unionByName(b), "tok").collect()
+    }
+    assert cells == direct
+    with pytest.raises(ValueError, match="pinned"):
+        LN.commit_cms_sketch(spark, a, store, "crawl-c", "tok", width=256)
