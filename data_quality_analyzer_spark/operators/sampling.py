@@ -502,3 +502,109 @@ def weighted_sample_duck_sql(
         f"CAST({h} AS DOUBLE) / {SAMPLE_DENOM}.0 "
         f"< {fraction} * exp({weight_col}) / {m}"
     )
+
+
+def plan_mixture(
+    df: DataFrame,
+    parts: dict[str, int],
+    strata_col: str,
+    token_col,
+) -> DataFrame:
+    """MIXTURE PLANNING (the Pile/Dolma construction step): given target
+    mixture PARTS per stratum (integers — "60 web : 30 books : 3 code")
+    and the available token mass, compute the LARGEST feasible corpus
+    honoring the ratio and the per-stratum sampling plan that builds it.
+
+    Exact integer rule (pinned; P = Σ parts over strata present in the
+    map): N* = min over strata of (avail_s · P) div parts_s — the
+    binding stratum caps the corpus; selected_s = (N* · parts_s) div P
+    (≤ avail_s by construction); fraction_ppm = (selected_s · 10^6) div
+    avail_s feeds :func:`deterministic_sample`/`sample_token_budget`
+    directly.  Strata absent from ``parts`` are reported with parts 0 /
+    selected 0 — excluded LOUDLY, not silently.
+
+    Scale shape: ONE corpus aggregate (per-stratum token sums) → a
+    single-row min over the |strata|-sized frame, broadcast back via
+    cross-join — no second corpus pass, no window, no collect."""
+    if not parts:
+        raise ValueError("plan_mixture: empty parts map")
+    for s_name, p in parts.items():
+        if not isinstance(p, int) or p <= 0:
+            raise ValueError(
+                f"parts for stratum {s_name!r} must be a positive int, got {p}"
+            )
+        if "'" in s_name or "\\" in s_name:
+            raise ValueError(f"stratum name {s_name!r} contains a quote")
+    P = sum(parts.values())
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {p}" for s, p in sorted(parts.items())
+    )
+    part = F.expr(f"CASE {arms} ELSE 0 END")
+    avail = (
+        df.groupBy(strata_col)
+        .agg(F.sum(F.coalesce(token_col, F.lit(0))).cast("long").alias("avail_tokens"))
+        .withColumn("parts", part)
+    )
+    cap = F.expr(f"(avail_tokens * {P}) div parts")
+    nstar = (
+        avail.filter(F.col("parts") > 0)
+        .select(F.min(cap).alias("_nstar"))
+    )
+    sel = F.expr(f"(_nstar * parts) div {P}")
+    return (
+        avail.crossJoin(F.broadcast(nstar))
+        .withColumn(
+            "selected_tokens",
+            F.when(F.col("parts") > 0, sel).otherwise(F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "fraction_ppm",
+            F.when(
+                (F.col("parts") > 0) & (F.col("avail_tokens") > 0),
+                F.expr(f"(selected_tokens * {SAMPLE_DENOM}) div avail_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn(
+            "is_binding",
+            F.when(F.col("parts") > 0, cap == F.col("_nstar")).otherwise(
+                F.lit(False)
+            ),
+        )
+        .drop("_nstar")
+    )
+
+
+def plan_mixture_duck_sql(
+    rel: str,
+    parts: dict[str, int],
+    strata_col: str,
+    token_sql: str,
+) -> str:
+    """DuckDB twin of :func:`plan_mixture` (same pinned integer rule)."""
+    P = sum(parts.values())
+    arms = " ".join(
+        f"WHEN {strata_col} = '{s}' THEN {p}" for s, p in sorted(parts.items())
+    )
+    return f"""
+    WITH avail AS (
+      SELECT {strata_col},
+             CAST(SUM(COALESCE({token_sql}, 0)) AS BIGINT) AS avail_tokens,
+             CAST(CASE {arms} ELSE 0 END AS INT) AS parts
+      FROM {rel} GROUP BY {strata_col}
+    ), nstar AS (
+      SELECT MIN((avail_tokens * {P}) // parts) AS _n
+      FROM avail WHERE parts > 0
+    )
+    SELECT {strata_col}, avail_tokens, parts,
+           CAST(CASE WHEN parts > 0 THEN (_n * parts) // {P}
+                ELSE 0 END AS BIGINT) AS selected_tokens,
+           CAST(CASE WHEN parts > 0 AND avail_tokens > 0
+                THEN (((_n * parts) // {P}) * {SAMPLE_DENOM}) // avail_tokens
+                ELSE 0 END AS BIGINT) AS fraction_ppm,
+           CASE WHEN parts > 0
+                THEN (avail_tokens * {P}) // parts = _n
+                ELSE FALSE END AS is_binding
+    FROM avail CROSS JOIN nstar
+    """

@@ -3564,6 +3564,113 @@ def q77(spark, sf_dir):
     )
 
 
+def _q78_oracle() -> str:
+    from ..operators import sampling as SP
+    from ..operators import sketches as SK
+
+    toks = SP._dsir_tokens_sql("text")
+    rel = (
+        f"(SELECT tok FROM (SELECT unnest({toks}) AS tok FROM documents "
+        f"WHERE text IS NOT NULL) WHERE tok <> '')"
+    )
+    cms = SK.count_min_sketch_sql(rel, "tok")
+    probes = " UNION ALL ".join(
+        f"SELECT tok, n_exact, {i} AS row_idx, "
+        f"{SK._cms_col_duck('CAST(tok AS VARCHAR)', i, SK.CMS_WIDTH)} AS col "
+        f"FROM topk"
+        for i in range(SK.CMS_DEPTH)
+    )
+    return f"""
+    WITH tokrel AS (SELECT tok FROM {rel} t),
+    cms AS ({SK.count_min_sketch_sql("tokrel", "tok")}),
+    topk AS (
+      SELECT tok, COUNT(*) AS n_exact FROM tokrel
+      GROUP BY tok ORDER BY n_exact DESC, tok LIMIT 20
+    ),
+    probes AS ({probes})
+    SELECT p.tok, p.n_exact,
+           CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count,
+           CAST(MIN(COALESCE(c.cnt, 0)) - p.n_exact AS BIGINT) AS overcount
+    FROM probes p LEFT JOIN cms c USING (row_idx, col)
+    GROUP BY p.tok, p.n_exact
+    """
+
+
+@_register("q78_count_min_heavy_hitters", _q78_oracle)
+def q78(spark, sf_dir):
+    """COUNT-MIN frequency sketch (operators/sketches.py): per-token
+    count estimates from depth·width = 4·1024 bounded cells — heavy-
+    hitter detection whose only corpus-sized operation is ONE hash
+    aggregate over a 4096-key space (vs a vocabulary-sized groupBy);
+    estimates are then literal-map lookups, the DSIR scoring shape.
+    Row hashes are the Carter-Wegman Mersenne mix family, so both
+    engines compute identical cells and identical estimates — a
+    frequency sketch with a value-hash oracle (the q70 KMV claim, on
+    the frequency axis).  The query reports the exact top-20 tokens
+    next to their sketch estimates; the one-sided error contract
+    (estimate ≥ truth) is visible in the overcount column and pinned in
+    tests.  Reference ancestor: A14 group-count distribution upgraded
+    to bounded memory."""
+    from ..operators import sampling as SP
+    from ..operators import sketches as SK
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = (
+        d.select(F.explode(SP._dsir_tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cells = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in SK.count_min_sketch(toks, "tok").collect()
+    }
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("tok"))
+        .limit(20)
+    )
+    est = SK.cms_estimate_expr(cells, "tok").cast("long")
+    return top.select(
+        "tok",
+        "n_exact",
+        est.alias("est_count"),
+        (est - F.col("n_exact")).alias("overcount"),
+    )
+
+
+_Q79_PARTS = {"en": 60, "de": 20, "fr": 15, "es": 5}  # zh absent → excluded
+
+
+def _q79_oracle() -> str:
+    from ..operators import sampling as SP
+
+    return SP.plan_mixture_duck_sql(
+        "documents", _Q79_PARTS, "lang", TX.bpe_token_count_sql("text")
+    )
+
+
+@_register("q79_mixture_plan", _q79_oracle)
+def q79(spark, sf_dir):
+    """MIXTURE PLANNING (operators/sampling.py:plan_mixture): given
+    target mixture PARTS (60:20:15:5 over languages here — the
+    Pile/Dolma construction step) and the available BPE-token mass,
+    compute the largest feasible corpus honoring the ratio, which
+    stratum BINDS it, and the per-stratum sampling fractions (ppm) that
+    feed deterministic_sample / sample_token_budget directly.  Exact
+    integer rule: N* = min_s (avail_s·P div parts_s); selected_s =
+    N*·parts_s div P — no float ratio ever decides anything.  ONE
+    corpus aggregate + a single-row broadcast cross-join; strata
+    outside the mixture are reported with parts 0, excluded loudly.
+    Reference ancestor: A15/A18 grand-total quality planning
+    (payer_analysis.py) on the mixture axis."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    return SP.plan_mixture(
+        d, _Q79_PARTS, "lang", TX.bpe_token_count(F.col("text"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -577,3 +577,72 @@ def test_bucket_batches_null_groups_stay_distinct(spark):
     for ids in per_group.values():  # each group numbered independently 0..4
         assert sorted(set(ids)) == [0, 1, 2, 3, 4]
         assert sum(1 for b in ids if b < 5) == 40
+
+
+def test_plan_mixture_hand_computed(spark):
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    rows = [("a", 100)] * 10 + [("b", 10)] * 10 + [("zz", 7)] * 3
+    df = spark.createDataFrame(rows, "lang string, tok long")
+    out = {
+        r["lang"]: r
+        for r in SP.plan_mixture(
+            df, {"a": 1, "b": 1}, "lang", F.col("tok")
+        ).collect()
+    }
+    # avail: a=1000, b=100; P=2; caps a=2000, b=200 → N*=200
+    assert out["a"]["avail_tokens"] == 1000 and out["b"]["avail_tokens"] == 100
+    assert out["a"]["selected_tokens"] == 100
+    assert out["b"]["selected_tokens"] == 100
+    assert not out["a"]["is_binding"] and out["b"]["is_binding"]
+    assert out["a"]["fraction_ppm"] == 100_000
+    assert out["b"]["fraction_ppm"] == 1_000_000
+    # stratum outside the mixture: loud zeros
+    assert out["zz"]["parts"] == 0
+    assert out["zz"]["selected_tokens"] == 0
+    assert out["zz"]["fraction_ppm"] == 0
+    assert out["zz"]["is_binding"] is False
+
+
+def test_plan_mixture_contracts(spark):
+    import pytest as _pytest
+
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    df = spark.createDataFrame([("a", 5)], "lang string, tok long")
+    with _pytest.raises(ValueError, match="empty"):
+        SP.plan_mixture(df, {}, "lang", F.col("tok"))
+    with _pytest.raises(ValueError, match="positive int"):
+        SP.plan_mixture(df, {"a": 0}, "lang", F.col("tok"))
+    with _pytest.raises(ValueError, match="positive int"):
+        SP.plan_mixture(df, {"a": 1.5}, "lang", F.col("tok"))
+
+
+def test_plan_mixture_composes_with_sampler(spark):
+    """Feeding plan_mixture's fraction_ppm into stratified_sample
+    realizes the target ratio (within hash-sampling noise) and never
+    overdraws a stratum — the end-to-end mixture construction path."""
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    rows = (
+        [(i, "en", 10) for i in range(4000)]
+        + [(i + 10_000, "de", 10) for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string, tok long")
+    plan = {
+        r["lang"]: r
+        for r in SP.plan_mixture(
+            df, {"en": 1, "de": 1}, "lang", F.col("tok")
+        ).collect()
+    }
+    # de binds (10k tokens): selected 10k tokens per side
+    assert plan["de"]["is_binding"]
+    fr = {s: plan[s]["fraction_ppm"] / 1_000_000 for s in ("en", "de")}
+    assert fr["de"] == 1.0 and abs(fr["en"] - 0.25) < 0.001
+    sampled = SP.stratified_sample(df, fr, "lang", "doc_id", seed=4)
+    got = {
+        r["lang"]: r["n"]
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["de"] == 1000                     # fraction 1.0 is exact
+    assert abs(got["en"] - 1000) < 120           # hash noise ~±3σ
