@@ -113,3 +113,52 @@ def test_text_files_rejects_bad_id_mode(spark, tmp_path):
 
     with _pt.raises(ValueError, match="id_from"):
         RD.read_text_files(spark, str(d), id_from="pathstring")
+
+
+def test_warc_roundtrip_and_composition(spark, tmp_path):
+    """write_warc → read_warc round-trips records byte-exactly (binary
+    payloads incl. CRLF bytes), splits HTTP bodies only for
+    response/resource records, drops a truncated trailer, and the HTTP
+    body composes straight into the HTML extractor."""
+    from data_quality_analyzer_spark.operators import html as HT
+    from data_quality_analyzer_spark.sources import readers as RD
+
+    html = b"<html><head><title>T1</title></head><body><p>Hello crawl</p></body></html>"
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + html
+    binary_payload = bytes(range(256)) + b"\r\n\r\n" + bytes(range(256))
+    recs = [
+        {"warc_type": "warcinfo", "record_id": "<urn:uuid:0>",
+         "payload": b"software: test\r\n"},
+        {"warc_type": "response", "record_id": "<urn:uuid:1>",
+         "target_uri": "http://ex.com/a", "payload": http},
+        {"warc_type": "resource", "record_id": "<urn:uuid:2>",
+         "target_uri": "http://ex.com/bin", "payload": binary_payload},
+    ]
+    p1 = tmp_path / "crawl-00000.warc"
+    RD.write_warc(str(p1), recs)
+    # truncated final record must be dropped, not half-parsed
+    with open(p1, "ab") as f:
+        f.write(b"WARC/1.0\r\nWARC-Type: response\r\n"
+                b"WARC-Record-ID: <urn:uuid:3>\r\nContent-Length: 9999\r\n"
+                b"\r\nshort")
+    out = {r["record_id"]: r for r in RD.read_warc(spark, str(p1)).collect()}
+    assert set(out) == {"<urn:uuid:0>", "<urn:uuid:1>", "<urn:uuid:2>"}
+    assert bytes(out["<urn:uuid:1>"]["payload"]) == http
+    assert bytes(out["<urn:uuid:1>"]["http_body"]) == html
+    assert out["<urn:uuid:1>"]["target_uri"] == "http://ex.com/a"
+    assert bytes(out["<urn:uuid:2>"]["payload"]) == binary_payload
+    assert out["<urn:uuid:0>"]["http_body"] is None  # warcinfo: no split
+    assert out["<urn:uuid:0>"]["warc_type"] == "warcinfo"
+
+    # composition: WARC → HTML extraction
+    docs = (
+        RD.read_warc(spark, str(p1))
+        .filter(F.col("warc_type") == "response")
+        .select(
+            F.col("record_id").alias("doc_id"),
+            F.col("http_body").cast("string").alias("html"),
+        )
+    )
+    page = HT.extract_pages(docs, html_col="html").collect()[0]
+    assert page["title"] == "T1"
+    assert "Hello crawl" in page["text"]
