@@ -678,6 +678,66 @@ def dedup_image_near(
     )
 
 
+def consolidate_captions(
+    df: DataFrame,
+    fp_col: str,
+    id_col: str,
+    caption_col: str,
+    score: Column,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Caption CONSOLIDATION per perceptual cluster — the LAION-style
+    "same image, many captions" resolution: instead of merely keeping
+    the min-id row (:func:`dedup_image_near`), every near-dup image
+    cluster elects its BEST caption by ``score`` (e.g. the BPE token
+    count as a richness proxy, or the trained ``quality_clf`` score),
+    ties broken by lowest id — so re-crawled images keep their most
+    informative caption rather than their first-seen one.
+
+    Returns one row per cluster: ``cluster_id`` (canonical min node),
+    ``n_members`` (ALL rows incl. exact-fp copies), ``winner_id``,
+    ``winner_caption``.  NULL scores rank below every real score (a
+    caption the scorer cannot judge never beats a judged one).
+
+    Scale shape: identical to the dedup action it extends — exact-fp
+    collapse (one hash agg) → banded Hamming over DISTINCT fps → CC on
+    the tiny rep graph → one join back + one ``max(struct)``
+    combiner-friendly agg per cluster.  Election is a map-side-combining
+    hash aggregate, never a window."""
+    reps = (
+        df.groupBy(F.col(fp_col).alias("_fp"))
+        .agg(F.min(id_col).alias("_rep"))
+        .transform(materialize)
+    )
+    pairs = fingerprint_near_duplicates(
+        reps, "_fp", "_rep", bands=bands, bits=64, max_hamming=max_hamming
+    )
+    labels = connected_components(pairs)
+    rows = (
+        df.join(reps.withColumnRenamed("_fp", fp_col), fp_col)
+        .join(labels, F.col("_rep") == F.col("node"), "left")
+        .withColumn("_label", F.coalesce(F.col("label"), F.col("_rep")))
+    )
+    best = F.max(
+        F.struct(
+            F.coalesce(score, F.lit(-1)).cast("long").alias("s"),
+            (-F.col(id_col)).alias("negid"),
+            F.col(caption_col).alias("cap"),
+        )
+    ).alias("_w")
+    return (
+        rows.groupBy("_label")
+        .agg(F.count("*").alias("n_members"), best)
+        .select(
+            F.col("_label").alias("cluster_id"),
+            "n_members",
+            (-F.col("_w.negid")).alias("winner_id"),
+            F.col("_w.cap").alias("winner_caption"),
+        )
+    )
+
+
 def ngram_jaccard(a_col: str, b_col: str, k: int = DEFAULT_SHINGLE) -> Column:
     """Exact Jaccard of k-shingle sets of two text columns (verification
     stage for LSH candidates — runs on the candidate pairs only)."""

@@ -3671,6 +3671,135 @@ def q79(spark, sf_dir):
     )
 
 
+_Q80_EXT = " extended with richer descriptive detail tokens"
+
+
+def _q80_oracle() -> str:
+    fp = HH.h60_sql("text")
+    score = TX.bpe_token_count_sql("caption")
+    chk = HH.h60_sql(
+        "concat(CAST(label AS VARCHAR), ':', CAST(id AS VARCHAR), ':', caption)"
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id, text, {fp} AS fp FROM documents
+      WHERE text IS NOT NULL AND length(trim(text)) > 0
+    ),
+    allrows AS (
+      SELECT doc_id AS id, text AS caption, fp FROM base
+      UNION ALL
+      SELECT doc_id + 1000000, text || '{_Q80_EXT}', fp
+      FROM base WHERE doc_id % 25 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, substr(text, 1, 24), xor(fp, 3)
+      FROM base WHERE doc_id % 40 = 0
+    ),
+    reps AS (SELECT fp, MIN(id) AS rep FROM allrows GROUP BY fp),
+    bandrows AS (
+      SELECT rep, fp, r.b AS band,
+             (fp >> (CAST(r.b AS INTEGER) * 16)) % 65536 AS bb
+      FROM reps, range(4) r(b)
+    ),
+    pairs AS (
+      SELECT DISTINCT x.rep AS id_a, y.rep AS id_b
+      FROM bandrows x JOIN bandrows y
+        ON x.band = y.band AND x.bb = y.bb AND x.rep < y.rep
+      WHERE bit_count(xor(x.fp, y.fp)) <= 3
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT s AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.s, r.r FROM edges e JOIN reach r ON e.d = r.node
+    ),
+    lbl AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+    rows_l AS (
+      SELECT a.id, a.caption, COALESCE(l.label, r.rep) AS label,
+             COALESCE({score}, -1) AS s
+      FROM allrows a
+      JOIN reps r USING (fp)
+      LEFT JOIN lbl l ON r.rep = l.node
+    ),
+    winners AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY label ORDER BY s DESC, id ASC
+      ) AS rn,
+      COUNT(*) OVER (PARTITION BY label) AS n_members
+      FROM rows_l
+    )
+    SELECT n_members,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(s) AS BIGINT) AS sum_winner_score,
+           bit_xor({chk}) AS winner_checksum
+    FROM winners WHERE rn = 1 GROUP BY n_members
+    """
+
+
+@_register("q80_caption_consolidation", _q80_oracle)
+def q80(spark, sf_dir):
+    """Caption CONSOLIDATION per image near-dup cluster
+    (operators/dedup.py:consolidate_captions): every perceptual cluster
+    elects its BEST caption (BPE-token richness score here;
+    quality_clf in production) instead of its first-seen one — the
+    LAION "same image, many captions" resolution.  Planted cohorts
+    prove both paths: doc_id%25 exact-fp copies carry a LONGER caption
+    (must win over the original), doc_id%40 Hamming-3 variants carry a
+    truncated one (must lose).  Election is a map-side-combining
+    max(struct) hash agg — never a window; the oracle replays the whole
+    chain (banding, recursive-CTE components, winner rule) and
+    value-hashes (cluster, winner, caption) triples.  Reference
+    ancestor: A10 $first-in-group upgraded to a scored election."""
+    from ..operators import dedup as DD
+
+    base = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+        .select(
+            "doc_id", "text", F.expr(HH.h60_spark_sql("text")).alias("fp")
+        )
+    )
+    allrows = (
+        base.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("caption"), "fp"
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 25 == 0).select(
+                (F.col("doc_id") + 1000000).alias("id"),
+                F.concat(F.col("text"), F.lit(_Q80_EXT)).alias("caption"),
+                "fp",
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 40 == 0).select(
+                (F.col("doc_id") + 2000000).alias("id"),
+                F.substring("text", 1, 24).alias("caption"),
+                F.expr("fp ^ 3").alias("fp"),
+            )
+        )
+    )
+    cons = DD.consolidate_captions(
+        allrows, "fp", "id", "caption", TX.bpe_token_count(F.col("caption"))
+    )
+    chk = F.expr(
+        HH.h60_spark_sql(
+            "concat(CAST(cluster_id AS STRING), ':', "
+            "CAST(winner_id AS STRING), ':', winner_caption)"
+        )
+    )
+    score = F.coalesce(
+        TX.bpe_token_count(F.col("winner_caption")), F.lit(-1)
+    ).cast("long")
+    return cons.groupBy("n_members").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum(score).alias("sum_winner_score"),
+        F.bit_xor(chk).alias("winner_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -903,3 +903,44 @@ def test_ivf_assign_malformed_vectors(spark):
     a32 = [[float(i + j) for j in range(32)] for i in range(4)]
     res = SIM.knn_ivf(df32, q32, topk=3, k=4, anchors=a32, nprobe=4)
     assert res.count() == 3
+
+
+def test_consolidate_captions_elects_best(spark):
+    """Every perceptual cluster keeps its best-scored caption (ties →
+    lowest id); NULL-scored captions never beat judged ones; singletons
+    pass through."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+
+    fa, fb, fc, fd = (
+        0x123456789ABCDEF0, 0x0FEDCBA987654321,
+        0x55AA55AA55AA55AA, 0x7777000011110F0F,
+    )  # pairwise Hamming far above the threshold
+    rows = [
+        # cluster A: exact-fp dups + a Hamming-1 variant: richest wins
+        (1, fa, "short one"),
+        (2, fa, "a much richer caption with many descriptive tokens"),
+        (3, fa ^ 2, "medium caption here"),
+        # cluster B: tie on score -> lowest id wins
+        (10, fb, "three word caption"),
+        (11, fb, "other word caption"),
+        # cluster C: NULL caption loses to any judged caption
+        (20, fc, None),
+        (21, fc ^ 2, "real caption"),
+        # singleton
+        (30, fd, "alone"),
+    ]
+    df = spark.createDataFrame(rows, "id long, fp long, caption string")
+    score = F.size(F.split(F.col("caption"), " "))
+    out = {
+        r["cluster_id"]: r
+        for r in DD.consolidate_captions(df, "fp", "id", "caption", score)
+        .collect()
+    }
+    assert set(out) == {1, 10, 20, 30}
+    assert out[1]["winner_id"] == 2 and out[1]["n_members"] == 3
+    assert out[10]["winner_id"] == 10  # tie -> lowest id
+    assert out[20]["winner_id"] == 21
+    assert out[20]["winner_caption"] == "real caption"
+    assert out[30]["winner_id"] == 30 and out[30]["n_members"] == 1
