@@ -120,6 +120,7 @@ def prep_text_corpus(
     min_quality_score: float | None = None,
     jaccard_threshold: float = 0.8,
     mixing: dict[str, float] | None = None,
+    mixture_parts: dict[str, int] | None = None,
     strata_col: str = "lang",
     sample_seed: int = 0,
     shards_path: str | None = None,
@@ -176,7 +177,11 @@ def prep_text_corpus(
        threshold); deliberately after near-dedup: the heaviest text
        shuffle runs on the smallest surviving set;
     7. **corpus mixing** (``stratified_sample``) when ``mixing`` weights
-       are given — deterministic hash selection;
+       are given — deterministic hash selection; OR ``mixture_parts``
+       (integer ratio, e.g. ``{"en": 60, "de": 20}``) to PLAN the
+       fractions from the surviving corpus's token mass via
+       ``plan_mixture`` (q79) before sampling — the two are mutually
+       exclusive;
     8. **shard write** (``shards.write_training_shards``) when
        ``shards_path`` is given — reproducible layout.
 
@@ -349,6 +354,27 @@ def prep_text_corpus(
             out, max_crossdoc_dup_frac, text_col, id_col
         )
         out, n = audit(out, "crossdoc_dup", n)
+    if mixture_parts is not None:
+        # integer mixture planning (q79): derive the per-stratum
+        # fractions from the SURVIVING corpus's token mass so the ratio
+        # is honored over what actually remains after filtering/dedup —
+        # planning on the raw corpus would overdraw filtered strata.
+        # |strata| rows collected (bounded — a dial, not data).
+        if mixing is not None:
+            raise ValueError(
+                "pass either mixing (explicit fractions) or "
+                "mixture_parts (planned ratio), not both"
+            )
+        from ..functions.text import bpe_token_count
+
+        plan = SP.plan_mixture(
+            out, mixture_parts, strata_col, bpe_token_count(F.col(text_col))
+        ).collect()
+        mixing = {
+            r[strata_col]: r["fraction_ppm"] / SP.SAMPLE_DENOM
+            for r in plan
+            if r["parts"] > 0
+        }
     if mixing is not None:
         out = SP.stratified_sample(
             out, mixing, strata_col, id_col, seed=sample_seed

@@ -453,3 +453,38 @@ def test_line_ledger_finalize_after_shard_write(spark, tmp_path, monkeypatch):
     # finalize without prepare refuses loudly
     with _pt.raises(ValueError, match="prepare"):
         LN.finalize_incremental_lines(ledger, "never_prepared")
+
+
+def test_prep_text_corpus_mixture_parts(spark):
+    """prep_text_corpus(mixture_parts=...) plans the mixture over the
+    SURVIVING corpus: the binding stratum is kept whole (fraction 1.0 is
+    exact) and the abundant stratum is sampled toward the ratio; passing
+    both mixing and mixture_parts raises."""
+    import pytest as _pytest
+
+    from data_quality_analyzer_spark.plans.prep import prep_text_corpus
+    from data_quality_analyzer_spark.sources import seed_corpus as SC
+
+    en = SC.sentences("en", 60, seed=5)
+    de = SC.sentences("de", 8, seed=6)
+    rows = [(i, " ".join(en[i:i + 3]), "en") for i in range(56)] + [
+        (100 + i, " ".join(de[i:i + 3]), "de") for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = prep_text_corpus(
+        spark, docs, mixture_parts={"en": 1, "de": 1}, sample_seed=3
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    de_ids = {100 + i for i in range(5)}
+    # every de doc that survives the filters is in the mixture (binding
+    # stratum, fraction exactly 1.0) and en was sampled DOWN
+    base = prep_text_corpus(spark, docs)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    assert de_ids & base_ids == de_ids & got
+    assert de_ids & got  # the binding stratum did survive
+    assert len(got - de_ids) < len(base_ids - de_ids)
+
+    with _pytest.raises(ValueError, match="not both"):
+        prep_text_corpus(
+            spark, docs, mixing={"en": 1.0}, mixture_parts={"en": 1}
+        )

@@ -646,3 +646,39 @@ def test_plan_mixture_composes_with_sampler(spark):
     }
     assert got["de"] == 1000                     # fraction 1.0 is exact
     assert abs(got["en"] - 1000) < 120           # hash noise ~±3σ
+
+
+def test_split_on_cluster_key_prevents_holdout_leak(spark):
+    """The split_corpus docstring's warning, demonstrated: splitting on
+    the raw doc id can put near-duplicates on opposite sides of the
+    train/test fence, while splitting on the dedup CLUSTER id never
+    does."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.operators import dedup as DD
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    fa = 0x123456789ABCDEF0
+    # 60 clusters of 2 near-dup docs each (fps differ by 1 bit)
+    rows = []
+    for c in range(60):
+        base_fp = fa ^ (c << 8)
+        rows.append((2 * c, base_fp, c))
+        rows.append((2 * c + 1, base_fp ^ 1, c))
+    df = spark.createDataFrame(rows, "doc_id long, fp long, cluster long")
+    pairs = DD.fingerprint_near_duplicates(df, "fp", "doc_id", max_hamming=3)
+    labels = DD.connected_components(pairs)
+    with_label = df.join(labels, df.doc_id == labels.node, "left").withColumn(
+        "label", F.coalesce("label", "doc_id")
+    )
+    splits = {"train": 0.5, "test": 0.5}
+
+    def leaks(key):
+        s = SP.split_corpus(with_label, splits, key, seed=11)
+        sides = s.groupBy("cluster").agg(
+            F.countDistinct("split").alias("k")
+        )
+        return sides.filter(F.col("k") > 1).count()
+
+    assert leaks("doc_id") > 0      # the hazard is real
+    assert leaks("label") == 0      # keyed on the cluster: no leak
