@@ -66,6 +66,13 @@ def stats_drift(
             "full_outer",
         )
     )
+    return _drift_report(j, group_col)
+
+
+def _drift_report(j: DataFrame, group_col: str) -> DataFrame:
+    """Severity + display columns over a joined stats frame with
+    (n_cur, kept_cur, n_base, kept_base) — shared by the two-snapshot
+    form above and the committed-ledger form in plans/lineage.py."""
     delta = F.abs(
         F.col("kept_cur") * F.col("n_base") - F.col("kept_base") * F.col("n_cur")
     )

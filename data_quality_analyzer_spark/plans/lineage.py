@@ -1176,3 +1176,102 @@ def cms_ledger_cells(spark: SparkSession, store_dir: str) -> dict:
         .collect()
     )
     return {(r["row_idx"], r["col"]): r["cnt"] for r in merged}
+
+
+# ---------------------------------------------------------------------------
+# Committed CORPUS-STATS baseline (drift ledger): per-group (n, kept)
+# stats of each crawl committed under the atomic-manifest rule, so the
+# q76 drift check can run "this crawl vs the last COMMITTED one" without
+# rescanning history — the operational form of the reference's
+# historical-stats comparison (charge_analysis_checks.py:617-905, which
+# reads a PERSISTED stats collection, exactly this).
+# ---------------------------------------------------------------------------
+
+STATS_MANIFEST = "_stats_manifest.json"
+STATS_DIR = "corpus_stats"
+
+
+def read_stats_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, STATS_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "group_col": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_corpus_stats(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    keep,
+    group_col: str = "lang",
+) -> None:
+    """Commit one crawl's per-group (n, kept) stats (|groups| rows —
+    bytes, not data).  Replay of a committed batch_id is a no-op; a
+    different group column than the ledger pin raises."""
+    from ..operators.drift import _group_stats
+
+    manifest = read_stats_manifest(store_dir)
+    if manifest["group_col"] is not None and manifest["group_col"] != group_col:
+        raise ValueError(
+            f"stats ledger at {store_dir!r} is pinned to "
+            f"group_col={manifest['group_col']!r}; got {group_col!r}"
+        )
+    if batch_id in manifest["batches"]:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    stats = _group_stats(df, group_col, keep)
+    batch_dir = os.path.join(store_dir, STATS_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt
+        shutil.rmtree(batch_dir)
+    stats.write.parquet(batch_dir)
+    manifest["batches"] = sorted(set(manifest["batches"]) | {batch_id})
+    manifest["group_col"] = group_col
+    tmp = os.path.join(store_dir, STATS_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, STATS_MANIFEST))
+
+
+def drift_vs_committed(
+    spark: SparkSession,
+    cur: DataFrame,
+    store_dir: str,
+    keep,
+    baseline_batch: str | None = None,
+) -> DataFrame:
+    """q76's drift report with the BASELINE side read from the committed
+    stats ledger (default: the lexicographically last committed batch —
+    crawl ids sort chronologically by convention; pass
+    ``baseline_batch`` to compare against any earlier crawl).  The
+    current corpus is scanned once; the baseline costs |groups| rows."""
+    from ..operators import drift as DR
+
+    manifest = read_stats_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed stats at {store_dir!r}")
+    batch = baseline_batch or manifest["batches"][-1]
+    if batch not in manifest["batches"]:
+        raise ValueError(
+            f"baseline batch {batch!r} not committed (have "
+            f"{manifest['batches']})"
+        )
+    group_col = manifest["group_col"]
+    base = (
+        spark.read.parquet(os.path.join(store_dir, STATS_DIR))
+        .filter(F.col("batch_id") == batch)
+        .select(group_col, "n", "kept")
+    )
+    c = DR._group_stats(cur, group_col, keep)
+    j = (
+        c.withColumnRenamed("n", "n_cur")
+        .withColumnRenamed("kept", "kept_cur")
+        .join(
+            base.withColumnRenamed("n", "n_base")
+            .withColumnRenamed("kept", "kept_base"),
+            group_col,
+            "full_outer",
+        )
+    )
+    return DR._drift_report(j, group_col)

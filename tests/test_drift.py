@@ -64,3 +64,37 @@ def test_drift_duck_twin_agrees(spark):
         ).fetchall()
     )
     assert spark_rows == duck_rows
+
+
+def test_drift_vs_committed_ledger(spark, tmp_path):
+    """commit_corpus_stats + drift_vs_committed: drift against the last
+    committed crawl matches the direct two-frame form; replay is a
+    no-op; group pin and unknown baseline raise."""
+    import pytest as _pytest
+
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    store = str(tmp_path / "stats_store")
+    base = spark.createDataFrame(_rows(0), "lang string, k boolean")
+    cur = spark.createDataFrame(_rows(1), "lang string, k boolean")
+    LN.commit_corpus_stats(spark, base, store, "crawl-001", F.col("k"))
+    LN.commit_corpus_stats(spark, base, store, "crawl-001", F.col("k"))  # replay
+    got = sorted(
+        tuple(r)
+        for r in LN.drift_vs_committed(
+            spark, cur, store, F.col("k")
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in DR.stats_drift(cur, base, F.col("k"), F.col("k")).collect()
+    )
+    assert got == want
+    with _pytest.raises(ValueError, match="pinned"):
+        LN.commit_corpus_stats(
+            spark, base, store, "crawl-002", F.col("k"), group_col="other"
+        )
+    with _pytest.raises(ValueError, match="not committed"):
+        LN.drift_vs_committed(
+            spark, cur, store, F.col("k"), baseline_batch="nope"
+        )
