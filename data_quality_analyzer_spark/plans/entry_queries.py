@@ -3614,8 +3614,12 @@ def q78(spark, sf_dir):
     from ..operators import sampling as SP
     from ..operators import sketches as SK
 
+    from ..exec_utils import materialize
+
     d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = (
+    # materialized: the token relation feeds BOTH the sketch build and
+    # the exact top-20 — without the cut the corpus tokenizes twice
+    toks = materialize(
         d.select(F.explode(SP._dsir_tokens(F.col("text"))).alias("tok"))
         .filter(F.col("tok") != "")
     )
