@@ -3804,6 +3804,118 @@ def q80(spark, sf_dir):
     )
 
 
+_Q81_FMTS = "('jpeg', 'png', 'gif', 'ppm', 'bmp')"
+
+
+def _q81_json(engine: str) -> str:
+    """Shared derivation of the planted JSON metadata string (identical
+    concat text per engine; only the int→string cast differs)."""
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    w = f"CAST(16 + (event_id * 13) % 2000 AS {cast})"
+    h = f"CAST(16 + (event_id * 29) % 2000 AS {cast})"
+    return f"""
+    CASE event_id % 5
+      WHEN 0 THEN concat('{{"w": ', {w}, ', "h": ', {h}, ', "fmt": "jpeg"}}')
+      WHEN 1 THEN concat('{{"h": ', {h}, ', "fmt": "png"}}')
+      WHEN 2 THEN concat('{{"w": "x', {w}, '", "h": ', {h}, ', "fmt": "gif"}}')
+      WHEN 3 THEN concat('{{"w": ', {w}, ', "h": ')
+      ELSE concat('{{"w": ', {w}, ', "h": ', {h},
+                  ', "fmt": "tiff", "extra": 1}}')
+    END
+    """
+
+
+@_register(
+    "q81_json_metadata_audit",
+    lambda: f"""
+    WITH j AS (
+      SELECT event_id, event_type, ({_q81_json("duck")}) AS s FROM events
+    ), g AS (
+      -- DuckDB does NOT short-circuit AND: json_extract on a malformed
+      -- string raises even behind json_valid(s) AND ... — so the guard
+      -- must null the INPUT, not the conjunction
+      SELECT event_id, event_type, json_valid(s) AS valid,
+             CASE WHEN json_valid(s) THEN s END AS sv
+      FROM j
+    ), flags AS (
+      SELECT event_id, event_type,
+             NOT valid AS malformed,
+             valid AND json_extract_string(sv, '$.w') IS NULL AS missing_w,
+             valid AND json_extract_string(sv, '$.w') IS NOT NULL
+               AND TRY_CAST(json_extract_string(sv, '$.w') AS BIGINT) IS NULL
+               AS bad_type_w,
+             valid AND NOT COALESCE(json_extract_string(sv, '$.fmt')
+                                    IN {_Q81_FMTS}, FALSE) AS fmt_unknown,
+             TRY_CAST(json_extract_string(sv, '$.w') AS BIGINT) AS w_val
+      FROM g
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN malformed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_malformed,
+           CAST(SUM(CASE WHEN NOT malformed AND missing_w THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_w,
+           CAST(SUM(CASE WHEN NOT malformed AND NOT missing_w AND bad_type_w
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_type_w,
+           CAST(SUM(CASE WHEN NOT malformed AND NOT missing_w
+                AND NOT bad_type_w AND fmt_unknown THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fmt_unknown,
+           CAST(SUM(CASE WHEN NOT malformed AND NOT missing_w
+                AND NOT bad_type_w AND NOT fmt_unknown THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ok,
+           CAST(SUM(CASE WHEN NOT malformed AND NOT missing_w
+                AND NOT bad_type_w AND NOT fmt_unknown THEN w_val
+                ELSE 0 END) AS BIGINT) AS sum_ok_w,
+           bit_xor(CASE WHEN NOT malformed AND NOT missing_w
+                AND NOT bad_type_w AND NOT fmt_unknown THEN event_id
+                ELSE 0 END) AS id_checksum
+    FROM flags GROUP BY event_type
+    """,
+)
+def q81(spark, sf_dir):
+    """JSON METADATA audit — the P11 nested-document extraction class
+    (the reference validates nested claim documents; web pipelines
+    validate sidecar JSON metadata) over a derived string with planted
+    malformations: truncated JSON, missing key, string-typed number,
+    out-of-vocabulary format.  Pure JVM codegen: ``get_json_object`` +
+    ``try_cast`` (never an ANSI cast error on dirty data), first-fail
+    attribution mirrors the q60 metadata gate.  DuckDB twins via
+    json_valid/json_extract_string/TRY_CAST — the engines must agree on
+    every malformation class AND on the extracted values (sum + id
+    checksum).  Malformation detection is get_json_object(s, '$') IS
+    NULL (the whole-document probe), identical to json_valid."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(_q81_json("spark")).alias("s")
+    )
+    valid = F.expr("get_json_object(s, '$') IS NOT NULL")
+    w_raw = F.expr("get_json_object(s, '$.w')")
+    w_val = F.expr("try_cast(get_json_object(s, '$.w') AS BIGINT)")
+    fmt_ok = F.expr(
+        f"COALESCE(get_json_object(s, '$.fmt') IN {_Q81_FMTS}, FALSE)"
+    )
+    malformed = ~valid
+    missing = valid & w_raw.isNull()
+    bad_type = valid & w_raw.isNotNull() & w_val.isNull()
+    fmt_unknown = valid & ~fmt_ok
+    ok = ~malformed & ~missing & ~bad_type & ~fmt_unknown
+
+    def n(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        n(malformed, "n_malformed"),
+        n(~malformed & missing, "n_missing_w"),
+        n(~malformed & ~missing & bad_type, "n_bad_type_w"),
+        n(~malformed & ~missing & ~bad_type & fmt_unknown, "n_fmt_unknown"),
+        n(ok, "n_ok"),
+        F.sum(F.when(ok, w_val).otherwise(0)).cast("long").alias("sum_ok_w"),
+        F.bit_xor(F.when(ok, F.col("event_id")).otherwise(0)).alias(
+            "id_checksum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
