@@ -697,14 +697,19 @@ def consolidate_captions(
 
     Returns one row per cluster: ``cluster_id`` (canonical min node),
     ``n_members`` (ALL rows incl. exact-fp copies), ``winner_id``,
-    ``winner_caption``.  NULL scores rank below every real score (a
-    caption the scorer cannot judge never beats a judged one).
+    ``winner_caption``.  Scores compare as DOUBLE (fractional
+    quality_clf scores keep their order — a long cast would truncate
+    [0, 1) to a universal tie); NULL scores rank as −∞, below every
+    real score.  Rows with a NULL fingerprint are EXCLUDED up front
+    (an unjudgeable image belongs to no perceptual cluster — count
+    them upstream), mirroring dedup_image_near's pre-filter contract.
 
     Scale shape: identical to the dedup action it extends — exact-fp
     collapse (one hash agg) → banded Hamming over DISTINCT fps → CC on
     the tiny rep graph → one join back + one ``max(struct)``
     combiner-friendly agg per cluster.  Election is a map-side-combining
     hash aggregate, never a window."""
+    df = df.filter(F.col(fp_col).isNotNull())
     reps = (
         df.groupBy(F.col(fp_col).alias("_fp"))
         .agg(F.min(id_col).alias("_rep"))
@@ -721,7 +726,7 @@ def consolidate_captions(
     )
     best = F.max(
         F.struct(
-            F.coalesce(score, F.lit(-1)).cast("long").alias("s"),
+            F.coalesce(score.cast("double"), F.lit(float("-inf"))).alias("s"),
             (-F.col(id_col)).alias("negid"),
             F.col(caption_col).alias("cap"),
         )

@@ -521,11 +521,14 @@ def plan_mixture(
     (≤ avail_s by construction); fraction_ppm = (selected_s · 10^6) div
     avail_s feeds :func:`deterministic_sample`/`sample_token_budget`
     directly.  Strata absent from ``parts`` are reported with parts 0 /
-    selected 0 — excluded LOUDLY, not silently.
+    selected 0 — excluded LOUDLY, not silently.  Symmetrically, a
+    ``parts`` stratum with NO corpus rows still appears (avail 0) and
+    drives N* to 0 — an infeasible ratio yields an empty plan, never a
+    silently ratio-violating one.
 
-    Scale shape: ONE corpus aggregate (per-stratum token sums) → a
-    single-row min over the |strata|-sized frame, broadcast back via
-    cross-join — no second corpus pass, no window, no collect."""
+    Scale shape: ONE corpus aggregate (per-stratum token sums),
+    materialized (|strata| rows) so the single-row min and the output
+    reuse it without a second corpus scan; no window, no collect."""
     if not parts:
         raise ValueError("plan_mixture: empty parts map")
     for s_name, p in parts.items():
@@ -535,15 +538,27 @@ def plan_mixture(
             )
         if "'" in s_name or "\\" in s_name:
             raise ValueError(f"stratum name {s_name!r} contains a quote")
+    from ..exec_utils import materialize
+
     P = sum(parts.values())
     arms = " ".join(
         f"WHEN {strata_col} = '{s}' THEN {p}" for s, p in sorted(parts.items())
     )
     part = F.expr(f"CASE {arms} ELSE 0 END")
+    spark = df.sparkSession
+    # every parts stratum must appear even with zero corpus rows —
+    # otherwise an exhausted stratum silently vanishes from the min and
+    # the "feasible" corpus violates the requested ratio
+    part_rows = spark.createDataFrame(
+        [(s,) for s in sorted(parts)], f"{strata_col} string"
+    )
     avail = (
         df.groupBy(strata_col)
         .agg(F.sum(F.coalesce(token_col, F.lit(0))).cast("long").alias("avail_tokens"))
+        .join(part_rows, strata_col, "full_outer")
+        .withColumn("avail_tokens", F.coalesce("avail_tokens", F.lit(0)))
         .withColumn("parts", part)
+        .transform(materialize)  # one corpus scan, reused by min + output
     )
     cap = F.expr(f"(avail_tokens * {P}) div parts")
     nstar = (
@@ -582,17 +597,26 @@ def plan_mixture_duck_sql(
     strata_col: str,
     token_sql: str,
 ) -> str:
-    """DuckDB twin of :func:`plan_mixture` (same pinned integer rule)."""
+    """DuckDB twin of :func:`plan_mixture` (same pinned integer rule,
+    including the full-outer parts join that keeps corpus-absent
+    strata in the plan)."""
     P = sum(parts.values())
+    key = f"COALESCE(corpus.{strata_col}, p.{strata_col})"
     arms = " ".join(
-        f"WHEN {strata_col} = '{s}' THEN {p}" for s, p in sorted(parts.items())
+        f"WHEN {key} = '{s}' THEN {p}" for s, p in sorted(parts.items())
     )
+    values = ", ".join(f"('{s}')" for s in sorted(parts))
     return f"""
-    WITH avail AS (
+    WITH corpus AS (
       SELECT {strata_col},
-             CAST(SUM(COALESCE({token_sql}, 0)) AS BIGINT) AS avail_tokens,
-             CAST(CASE {arms} ELSE 0 END AS INT) AS parts
+             CAST(SUM(COALESCE({token_sql}, 0)) AS BIGINT) AS avail_tokens
       FROM {rel} GROUP BY {strata_col}
+    ), avail AS (
+      SELECT {key} AS {strata_col},
+             COALESCE(avail_tokens, 0) AS avail_tokens,
+             CAST(CASE {arms} ELSE 0 END AS INT) AS parts
+      FROM corpus FULL OUTER JOIN (VALUES {values}) p({strata_col})
+        ON corpus.{strata_col} = p.{strata_col}
     ), nstar AS (
       SELECT MIN((avail_tokens * {P}) // parts) AS _n
       FROM avail WHERE parts > 0

@@ -190,7 +190,10 @@ def cms_estimate_expr(
     """Spark estimate Column for ``value_sql`` given the COLLECTED sketch
     cells (bounded: depth·width ints — a dial, not data; the same
     literal-map scoring shape as DSIR).  Items hashing into an all-empty
-    cell estimate 0."""
+    cell estimate 0.  The probe hashes ``CAST(value AS STRING)`` —
+    exactly the build side's derivation, so non-string columns probe the
+    cells they were counted into."""
+    value_sql = f"CAST({value_sql} AS STRING)"
     entries = []
     for (i, c), n in sorted(cms_cells.items()):
         entries += [F.lit(f"{i}:{c}"), F.lit(int(n))]

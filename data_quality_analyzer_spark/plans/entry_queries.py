@@ -3573,7 +3573,6 @@ def _q78_oracle() -> str:
         f"(SELECT tok FROM (SELECT unnest({toks}) AS tok FROM documents "
         f"WHERE text IS NOT NULL) WHERE tok <> '')"
     )
-    cms = SK.count_min_sketch_sql(rel, "tok")
     probes = " UNION ALL ".join(
         f"SELECT tok, n_exact, {i} AS row_idx, "
         f"{SK._cms_col_duck('CAST(tok AS VARCHAR)', i, SK.CMS_WIDTH)} AS col "

@@ -1161,10 +1161,15 @@ def commit_cms_sketch(
     os.replace(tmp, os.path.join(store_dir, CMS_MANIFEST))
 
 
-def cms_ledger_cells(spark: SparkSession, store_dir: str) -> dict:
-    """The merged (cell-wise summed) sketch over every committed crawl,
-    collected to a dict for :func:`..operators.sketches.cms_estimate_expr`
-    — depth·width bounded, a dial, not data."""
+def cms_ledger_cells(
+    spark: SparkSession, store_dir: str
+) -> tuple[dict, int, int]:
+    """The merged (cell-wise summed) sketch over every committed crawl:
+    ``(cells, depth, width)`` — the LEDGER's pinned geometry rides along
+    because estimating with mismatched defaults would probe cells that
+    were never counted and silently UNDERestimate (breaking the
+    one-sided contract); pass depth/width straight into
+    :func:`..operators.sketches.cms_estimate_expr`."""
     manifest = read_cms_manifest(store_dir)
     if not manifest["batches"]:
         raise ValueError(f"no committed sketches at {store_dir!r}")
@@ -1175,7 +1180,8 @@ def cms_ledger_cells(spark: SparkSession, store_dir: str) -> dict:
         .agg(F.sum("cnt").alias("cnt"))
         .collect()
     )
-    return {(r["row_idx"], r["col"]): r["cnt"] for r in merged}
+    cells = {(r["row_idx"], r["col"]): r["cnt"] for r in merged}
+    return cells, manifest["depth"], manifest["width"]
 
 
 # ---------------------------------------------------------------------------

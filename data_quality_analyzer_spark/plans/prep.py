@@ -289,6 +289,11 @@ def prep_text_corpus(
         )
         # dropped here = contamination hits
         out, n = audit(out, "decontamination", n)
+    if mixing is not None and mixture_parts is not None:
+        raise ValueError(
+            "pass either mixing (explicit fractions) or "
+            "mixture_parts (planned ratio), not both"
+        )
     if (line_ledger_dir is None) != (batch_id is None):
         raise ValueError(
             "line_ledger_dir and batch_id must be given together"
@@ -360,11 +365,6 @@ def prep_text_corpus(
         # is honored over what actually remains after filtering/dedup —
         # planning on the raw corpus would overdraw filtered strata.
         # |strata| rows collected (bounded — a dial, not data).
-        if mixing is not None:
-            raise ValueError(
-                "pass either mixing (explicit fractions) or "
-                "mixture_parts (planned ratio), not both"
-            )
         from ..functions.text import bpe_token_count
 
         plan = SP.plan_mixture(

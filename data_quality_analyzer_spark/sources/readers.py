@@ -172,13 +172,18 @@ def parse_warc_records(data: bytes, name: str) -> list[dict]:
             length = int(fields.get("content-length", ""))
         except ValueError:
             break
+        if length < 0:
+            break  # malformed framing — never rewind into parsed bytes
         body_start = head_end + 4
         if body_start + length > n:
             break  # truncated record
         payload = data[body_start : body_start + length]
         wtype = fields.get("warc-type", "")
         http_body = None
-        if wtype in ("response", "resource") and b"\r\n\r\n" in payload:
+        # only response records carry an HTTP message; a resource
+        # record's payload IS the content (splitting it on an embedded
+        # blank line would corrupt arbitrary binary resources)
+        if wtype == "response" and b"\r\n\r\n" in payload:
             http_body = payload.split(b"\r\n\r\n", 1)[1]
         out.append(
             {

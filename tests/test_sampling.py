@@ -602,6 +602,17 @@ def test_plan_mixture_hand_computed(spark):
     assert out["zz"]["selected_tokens"] == 0
     assert out["zz"]["fraction_ppm"] == 0
     assert out["zz"]["is_binding"] is False
+    # a parts stratum with NO corpus rows makes the ratio infeasible:
+    # it must appear (avail 0, binding) and drive EVERY selection to 0
+    empty = {
+        r["lang"]: r
+        for r in SP.plan_mixture(
+            df, {"a": 1, "b": 1, "ghost": 1}, "lang", F.col("tok")
+        ).collect()
+    }
+    assert empty["ghost"]["avail_tokens"] == 0
+    assert empty["ghost"]["is_binding"]
+    assert all(empty[s]["selected_tokens"] == 0 for s in ("a", "b", "ghost"))
 
 
 def test_plan_mixture_contracts(spark):

@@ -203,7 +203,8 @@ def test_cms_ledger_merges_crawls(spark, tmp_path):
     LN.commit_cms_sketch(spark, a, store, "crawl-a", "tok")
     LN.commit_cms_sketch(spark, b, store, "crawl-b", "tok")
     LN.commit_cms_sketch(spark, a, store, "crawl-a", "tok")  # replay no-op
-    cells = LN.cms_ledger_cells(spark, store)
+    cells, depth, width = LN.cms_ledger_cells(spark, store)
+    assert (depth, width) == (SK.CMS_DEPTH, SK.CMS_WIDTH)
     direct = {
         (r["row_idx"], r["col"]): r["cnt"]
         for r in SK.count_min_sketch(a.unionByName(b), "tok").collect()
