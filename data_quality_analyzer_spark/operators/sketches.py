@@ -228,3 +228,113 @@ def count_min_sketch_sql(
         for i in range(depth)
     )
     return f"SELECT row_idx, col, COUNT(*) AS cnt FROM ({arms}) GROUP BY 1, 2"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the MEMBERSHIP sibling: "have we crawled
+# this URL?" in m bits with NO false negatives (one-sided, like the CMS
+# overcount).  Spark ships a native DataFrameStatFunctions bloom, but —
+# as with HLL vs KMV — its bit layout is not reproducible across
+# engines; this one derives every bit position from the repo's portable
+# h60 + Mersenne-mix family, so both engines set and probe identical
+# bits and the FALSE-POSITIVE SET ITSELF is oracle-checkable.
+#
+# Representation: the distinct SET POSITIONS (ints < m), not a packed
+# bitmap — position sets are mergeable by plain set union (the KMV
+# ledger property: replay-idempotent, unlike the CMS's additive cells),
+# and ≤ m ints bound the driver copy.  The probe folds the positions
+# into a words[m/64] int64 literal array: membership = k array lookups
+# + bit tests, pure codegen, zero joins on the corpus side.
+# Reference ancestor: P2 membership filter (claim_analysis.py:30-35),
+# upgraded to bounded memory.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 16
+BLOOM_K = 4
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    k: int = BLOOM_K,
+    m: int = BLOOM_BITS,
+) -> DataFrame:
+    """Distinct bit positions set by the values: one explode of ``k``
+    plan-literal positions per row → ONE bounded distinct (≤ m keys)."""
+    if k < 1 or k > len(HH.MINHASH_PARAMS):
+        raise ValueError(f"k must be in [1, {len(HH.MINHASH_PARAMS)}]")
+    if m < 64 or m % 64:
+        raise ValueError(f"m must be a positive multiple of 64, got {m}")
+    h = HH.h60_spark_sql(f"CAST({value_col} AS STRING)")
+    pos = ", ".join(
+        f"CAST(pmod({HH.mix_spark_sql('_bf_h', i)}, {m}) AS INT)"
+        for i in range(k)
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.expr(h).alias("_bf_h"))
+        .select(F.explode(F.expr(f"array({pos})")).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_words(positions, m: int = BLOOM_BITS) -> list[int]:
+    """Pack collected positions (iterable of ints) into m/64 int64
+    words — the literal the probe expression folds into the plan."""
+    words = [0] * (m // 64)
+    for p in positions:
+        words[p >> 6] |= 1 << (p & 63)
+    # int64 two's complement for Spark literals
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    words: list[int],
+    k: int = BLOOM_K,
+    m: int = BLOOM_BITS,
+    out_col: str = "bloom_hit",
+) -> DataFrame:
+    """Annotate with ``out_col`` = all ``k`` positions of the value are
+    set (NULL values probe false).  Same CAST + hash derivation as
+    :func:`bloom_build`, and the h60 is bound ONCE per row (the q78
+    bind-once lesson) with the k Mersenne mixes and bit tests riding on
+    the bound column — map-only, zero joins."""
+    if len(words) != m // 64:
+        raise ValueError(
+            f"words length {len(words)} does not match m={m} (need {m // 64})"
+        )
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    h = HH.h60_spark_sql(f"CAST({value_col} AS STRING)")
+    tests = []
+    for i in range(k):
+        p = f"pmod({HH.mix_spark_sql('_bf_ph', i)}, {m})"
+        tests.append(
+            f"(shiftright(element_at({arr}, "
+            f"CAST(shiftright({p}, 6) AS INT) + 1), "
+            f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
+        )
+    return (
+        df.withColumn("_bf_ph", F.expr(h))
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(value_col).isNotNull(), F.expr(" AND ".join(tests))
+            ).otherwise(F.lit(False)),
+        )
+        .drop("_bf_ph")
+    )
+
+
+def bloom_positions_duck_sql(
+    rel: str, value_sql: str, k: int = BLOOM_K, m: int = BLOOM_BITS
+) -> str:
+    """DuckDB twin of :func:`bloom_build` (distinct positions)."""
+    h = HH.h60_sql(f"CAST({value_sql} AS VARCHAR)")
+    arms = " UNION ALL ".join(
+        f"SELECT CAST(({HH.mix_sql(h, i)}) % {m} AS INT) AS pos "
+        f"FROM {rel} WHERE {value_sql} IS NOT NULL"
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT pos FROM ({arms})"

@@ -1281,3 +1281,83 @@ def drift_vs_committed(
         )
     )
     return DR._drift_report(j, group_col)
+
+
+# ---------------------------------------------------------------------------
+# Cross-crawl BLOOM frontier ledger (9th ledger): each crawl commits the
+# distinct bit POSITIONS its keys set; the merged frontier filter is the
+# plain set union of committed positions — like the KMV ledger (and
+# unlike the CMS), union is naturally idempotent, so replay is safe by
+# algebra, and the merged filter keeps the no-false-negative guarantee
+# over every crawl ever committed.  ≤ m ints per crawl.
+# ---------------------------------------------------------------------------
+
+BLOOM_MANIFEST = "_bloom_manifest.json"
+BLOOM_DIR = "bloom_positions"
+
+
+def read_bloom_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, BLOOM_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "k": None, "m": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_bloom(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    value_col: str,
+    k: int | None = None,
+    m: int | None = None,
+) -> None:
+    """Commit one crawl's set positions (geometry pinned; replay no-op)."""
+    from ..operators import sketches as SK
+
+    k = SK.BLOOM_K if k is None else k
+    m = SK.BLOOM_BITS if m is None else m
+    manifest = read_bloom_manifest(store_dir)
+    if manifest["k"] is not None and (
+        manifest["k"] != k or manifest["m"] != m
+    ):
+        raise ValueError(
+            f"bloom ledger at {store_dir!r} is pinned to k={manifest['k']} "
+            f"m={manifest['m']}; got k={k} m={m}"
+        )
+    if batch_id in manifest["batches"]:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    pos = SK.bloom_build(df, value_col, k=k, m=m)
+    batch_dir = os.path.join(store_dir, BLOOM_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt
+        shutil.rmtree(batch_dir)
+    pos.write.parquet(batch_dir)
+    manifest["batches"] = sorted(set(manifest["batches"]) | {batch_id})
+    manifest["k"], manifest["m"] = k, m
+    tmp = os.path.join(store_dir, BLOOM_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, BLOOM_MANIFEST))
+
+
+def bloom_ledger_words(
+    spark: SparkSession, store_dir: str
+) -> tuple[list[int], int, int]:
+    """(packed words, k, m) of the UNION filter over every committed
+    crawl — feed straight into sketches.bloom_probe."""
+    from ..operators import sketches as SK
+
+    manifest = read_bloom_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed bloom filters at {store_dir!r}")
+    rows = (
+        spark.read.parquet(os.path.join(store_dir, BLOOM_DIR))
+        .filter(F.col("batch_id").isin(manifest["batches"]))
+        .select("pos")
+        .distinct()
+        .collect()
+    )
+    words = SK.bloom_words((r["pos"] for r in rows), m=manifest["m"])
+    return words, manifest["k"], manifest["m"]

@@ -212,3 +212,46 @@ def test_cms_ledger_merges_crawls(spark, tmp_path):
     assert cells == direct
     with pytest.raises(ValueError, match="pinned"):
         LN.commit_cms_sketch(spark, a, store, "crawl-c", "tok", width=256)
+
+
+def test_bloom_no_false_negatives_and_ledger_union(spark, tmp_path):
+    """Every built value probes TRUE (no false negatives — the bloom
+    contract); the union ledger preserves it across crawls; replay is a
+    no-op; geometry pin raises."""
+    from data_quality_analyzer_spark.operators import sketches as SK
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    a = spark.createDataFrame(
+        [(f"url-a-{i}",) for i in range(80)], "k string"
+    )
+    b = spark.createDataFrame(
+        [(f"url-b-{i}",) for i in range(60)], "k string"
+    )
+    store = str(tmp_path / "bloom_store")
+    LN.commit_bloom(spark, a, store, "crawl-a", "k", m=512)
+    LN.commit_bloom(spark, b, store, "crawl-b", "k", m=512)
+    LN.commit_bloom(spark, a, store, "crawl-a", "k", m=512)  # replay no-op
+    words, k, m = LN.bloom_ledger_words(spark, store)
+    assert (k, m) == (SK.BLOOM_K, 512)
+    both = a.unionByName(b)
+    probed = SK.bloom_probe(both, "k", words, k=k, m=m)
+    assert probed.filter("NOT bloom_hit").count() == 0
+    # a value never inserted CAN miss (not guaranteed, but at this load
+    # most do) — and NULL probes false
+    other = spark.createDataFrame(
+        [(f"unseen-{i}",) for i in range(200)] + [(None,)], "k string"
+    )
+    res = SK.bloom_probe(other, "k", words, k=k, m=m)
+    assert res.filter((F.col("k").isNull()) & F.col("bloom_hit")).count() == 0
+    assert res.filter("NOT bloom_hit").count() > 0
+    with pytest.raises(ValueError, match="pinned"):
+        LN.commit_bloom(spark, a, store, "crawl-c", "k", m=256)
+    # ledger words == direct union build
+    direct = SK.bloom_words(
+        (
+            r["pos"]
+            for r in SK.bloom_build(both, "k", m=512).collect()
+        ),
+        m=512,
+    )
+    assert words == direct
