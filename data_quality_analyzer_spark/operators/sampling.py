@@ -632,3 +632,44 @@ def plan_mixture_duck_sql(
                 ELSE FALSE END AS is_binding
     FROM avail CROSS JOIN nstar
     """
+
+
+def sample_exact_k(
+    df: DataFrame,
+    k: int,
+    key_col: str,
+    seed: int = 0,
+    strata_col: str | None = None,
+) -> DataFrame:
+    """EXACTLY-K deterministic sample: the k rows whose seeded key hash
+    is smallest — a fixed-SIZE sample where :func:`deterministic_sample`
+    gives a fixed RATE (the classic reservoir-sample use case, without
+    reservoir state: the bottom-k of a pseudo-random permutation is a
+    uniform k-subset, reproducible on any partitioning/engine).  Ties
+    are impossible at distinct keys (the hash is keyed) and broken by
+    ``key_col`` otherwise.
+
+    With ``strata_col``, k rows PER STRATUM (balanced eval sets, per-
+    language probes).  Scale shape: global form plans as
+    TakeOrderedAndProject (per-partition top-k, then a k-bounded merge —
+    no full sort); stratified form is one rank window partitioned by the
+    stratum (per-key parallel, the q74 window discipline)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    if strata_col is None:
+        return (
+            df.withColumn("_xk_h", h)
+            .orderBy("_xk_h", key_col)
+            .limit(k)
+            .drop("_xk_h")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy("_xk_h", key_col)
+    return (
+        df.withColumn("_xk_h", h)
+        .withColumn("_xk_rn", F.row_number().over(w))
+        .filter(F.col("_xk_rn") <= k)
+        .drop("_xk_h", "_xk_rn")
+    )

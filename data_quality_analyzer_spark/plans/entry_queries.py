@@ -3915,6 +3915,152 @@ def q81(spark, sf_dir):
     )
 
 
+_Q82_M = 256  # deliberately undersized (see q82 docstring)
+
+
+def _q82_oracle() -> str:
+    from ..operators import sketches as SK
+
+    key = "concat('u/p', CAST(doc_id // 3 AS VARCHAR))"
+    pkey = "concat('u/p', CAST((doc_id * 2) // 3 AS VARCHAR))"
+    build = f"(SELECT {key} AS k FROM documents WHERE doc_id % 2 = 0)"
+    probe = f"(SELECT DISTINCT {pkey} AS k FROM documents WHERE doc_id % 2 = 1)"
+    positions = SK.bloom_positions_duck_sql(build, "k", m=_Q82_M)
+    h = HH.h60_sql("CAST(k AS VARCHAR)")
+    probe_pos = " UNION ALL ".join(
+        f"SELECT k, CAST(({HH.mix_sql(h, i)}) % {_Q82_M} AS INT) AS pos "
+        f"FROM probe"
+        for i in range(SK.BLOOM_K)
+    )
+    kchk = HH.h60_sql("k")
+    return f"""
+    WITH probe AS ({probe}),
+    bits AS ({positions}),
+    pp AS ({probe_pos}),
+    hits AS (
+      SELECT pp.k,
+             CAST(SUM(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) AS INT)
+               = {SK.BLOOM_K} AS hit
+      FROM pp LEFT JOIN bits USING (pos) GROUP BY pp.k
+    ),
+    members AS (SELECT DISTINCT k FROM {build} b),
+    j AS (
+      SELECT h.k, h.hit, m.k IS NOT NULL AS member
+      FROM hits h LEFT JOIN members m USING (k)
+    )
+    SELECT COUNT(*) AS n_probed,
+           CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_members,
+           CAST(SUM(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN member AND NOT hit THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_negatives,
+           bit_xor(CASE WHEN hit AND NOT member THEN {kchk} ELSE 0 END)
+             AS fp_checksum
+    FROM j
+    """
+
+
+@_register("q82_bloom_seen_filter", _q82_oracle)
+def q82(spark, sf_dir):
+    """Deterministic BLOOM "seen URL" filter (operators/sketches.py):
+    the crawl-frontier membership primitive — m = 2^16 bits, k = 4
+    Mersenne-mix positions over the portable h60, so unlike Spark's
+    native bloom the bit layout is engine-reproducible and the FALSE-
+    POSITIVE SET itself gets a value-hash oracle (fp_checksum) while
+    n_false_negatives is PROVEN zero, not assumed.  Build = one bounded
+    distinct of set positions (≤ m keys); probe = map-only bit tests
+    against the packed words literal with the h60 bound once per row.
+    The oracle probes via an independent positions-JOIN decomposition.
+    m is deliberately UNDERSIZED (256 bits for ~84 keys) so the
+    false-positive path is genuinely exercised — ~40% of non-members
+    hit, and their exact identity set must match the oracle;
+    production sizes m ≈ n·k/ln 2 for the target FP rate.  Reference ancestor: P2
+    membership filter (claim_analysis.py:30-35) in bounded memory."""
+    from ..operators import sketches as SK
+
+    key = F.concat(F.lit("u/p"), F.expr("CAST(doc_id div 3 AS STRING)"))
+    # probes span DOUBLE the build keyspace: ~half are members, the
+    # rest exercise the false-positive path for real
+    pkey = F.concat(
+        F.lit("u/p"), F.expr("CAST((doc_id * 2) div 3 AS STRING)")
+    )
+    d = _t(spark, sf_dir, "documents")
+    build = d.filter(F.col("doc_id") % 2 == 0).select(key.alias("k"))
+    words = SK.bloom_words(
+        (r["pos"] for r in SK.bloom_build(build, "k", m=_Q82_M).collect()),
+        m=_Q82_M,
+    )
+    probe = (
+        d.filter(F.col("doc_id") % 2 == 1).select(pkey.alias("k")).distinct()
+    )
+    probed = SK.bloom_probe(probe, "k", words, m=_Q82_M, out_col="hit")
+    j = probed.join(
+        build.distinct().withColumn("member", F.lit(True)), "k", "left"
+    ).withColumn("member", F.coalesce("member", F.lit(False)))
+    kchk = F.expr(HH.h60_spark_sql("k"))
+    return j.agg(
+        F.count("*").alias("n_probed"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("long").alias("n_hits"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_members"),
+        F.sum(F.when(F.col("hit") & ~F.col("member"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_positives"),
+        F.sum(F.when(F.col("member") & ~F.col("hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_negatives"),
+        F.bit_xor(
+            F.when(F.col("hit") & ~F.col("member"), kchk).otherwise(0)
+        ).alias("fp_checksum"),
+    )
+
+
+def _q83_oracle() -> str:
+    from ..operators import sampling as SP
+
+    h = f"(({SP._h60_key_sql('doc_id', 6)}) % {SP.SAMPLE_DENOM})"
+    return f"""
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {h}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_selected,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           bit_xor(doc_id) AS id_checksum
+    FROM ranked WHERE rn <= 30 GROUP BY lang
+    """
+
+
+@_register("q83_exact_k_sample", _q83_oracle)
+def q83(spark, sf_dir):
+    """EXACTLY-K deterministic sampling (operators/sampling.py:
+    sample_exact_k): the 30 lowest-hash rows PER LANGUAGE — a fixed-
+    SIZE uniform sample (balanced eval probes) where q52's stratified
+    sampler gives a fixed RATE; reservoir semantics with zero reservoir
+    state, reproducible on any partitioning/engine because the
+    permutation is the shared seeded key hash.  Stratified form = one
+    rank window partitioned by the stratum; the global form (tested)
+    plans as TakeOrderedAndProject — no full sort.  The per-lang
+    membership is value-proven by the id checksum.  Reference ancestor:
+    S7 sampling scan (additional_charge_checks.py:741) with an exact
+    size contract."""
+    from ..operators import sampling as SP
+
+    d = _t(spark, sf_dir, "documents")
+    s = SP.sample_exact_k(d, 30, "doc_id", seed=6, strata_col="lang")
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_selected"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -693,3 +693,46 @@ def test_split_on_cluster_key_prevents_holdout_leak(spark):
 
     assert leaks("doc_id") > 0      # the hazard is real
     assert leaks("label") == 0      # keyed on the cluster: no leak
+
+
+def test_sample_exact_k_properties(spark):
+    """Global form returns exactly k rows, plans as a bounded top-k (no
+    global sort materialization), matches a python bottom-k replay, and
+    is partitioning-invariant; stratified form caps per stratum."""
+    import hashlib
+
+    from data_quality_analyzer_spark.operators import sampling as SP
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b"][i % 2]) for i in range(300)],
+        "doc_id long, lang string",
+    )
+    got = sorted(
+        r["doc_id"] for r in SP.sample_exact_k(df, 25, "doc_id", seed=3).collect()
+    )
+    assert len(got) == 25
+
+    def h(i):
+        return int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+
+    want = sorted(sorted(range(300), key=lambda i: (h(i), i))[:25])
+    assert got == want
+    again = sorted(
+        r["doc_id"]
+        for r in SP.sample_exact_k(df.repartition(7), 25, "doc_id", seed=3).collect()
+    )
+    assert again == got
+    plan = (
+        SP.sample_exact_k(df, 25, "doc_id", seed=3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+
+    strat = SP.sample_exact_k(df, 10, "doc_id", seed=3, strata_col="lang")
+    counts = {r["lang"]: r["n"] for r in strat.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 10, "b": 10}
+    # k above stratum size: whole stratum, exactly once
+    small = SP.sample_exact_k(
+        df.filter("doc_id < 6"), 10, "doc_id", seed=3, strata_col="lang"
+    )
+    assert small.count() == 6
