@@ -4061,6 +4061,64 @@ def q83(spark, sf_dir):
     )
 
 
+_Q84_SUFFIX = " résumé français"  # decomposed accents
+
+
+def _q84_oracle() -> str:
+    from ..functions import hashing as HH
+
+    t = f"(text || '{_Q84_SUFFIX}')"
+    return f"""
+    WITH n AS (
+      SELECT doc_id, {t} AS raw, nfc_normalize({t}) AS norm
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN norm <> raw THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_changed,
+           CAST(SUM(length(raw) - length(norm)) AS BIGINT)
+             AS chars_composed,
+           bit_xor({HH.h60_sql("norm")}) AS norm_checksum
+    FROM n
+    """
+
+
+@_register("q84_nfc_normalization", _q84_oracle)
+def q84(spark, sf_dir):
+    """Unicode NFC NORMALIZATION audit (functions/normalize.py): the
+    ftfy-lite cleanup stage — un-normalized text poisons every
+    fingerprint downstream (composed vs decomposed "é" hash
+    differently, so exact/line/MinHash dedup and decontamination grams
+    silently miss).  Spark has no built-in normalizer, so this is a
+    justified Arrow-UDF path (stdlib ``unicodedata``), and the oracle
+    is unusually strong for a UDF column: DuckDB's independent
+    ``nfc_normalize`` implementation must produce the BYTE-IDENTICAL
+    normalized text (h60 checksum over every normalized doc).  Both
+    engines append a decomposed-accent suffix so every doc exercises
+    composition.  The mojibake-repair half has no SQL twin (codec
+    round-trips) and is pinned by Python-twin tests instead.
+    Reference ancestor: U1 row validator as a repair."""
+    from ..functions import hashing as HH
+    from ..functions import normalize as NZ
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("raw", F.concat(F.col("text"), F.lit(_Q84_SUFFIX)))
+    )
+    n = NZ.normalize_text(d, "raw", out_col="norm")
+    return n.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("norm") != F.col("raw"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_changed"),
+        F.sum(F.length("raw") - F.length("norm"))
+        .cast("long")
+        .alias("chars_composed"),
+        F.bit_xor(F.expr(HH.h60_spark_sql("norm"))).alias("norm_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -135,6 +135,7 @@ def prep_text_corpus(
     html_col: str | None = None,
     max_link_density: float | None = None,
     max_crossdoc_dup_frac: float | None = None,
+    normalize_unicode: bool = False,
 ) -> DataFrame:
     """The composed DOCUMENT-corpus pipeline — every text stage the engine
     ships, chained in cost order (cheapest per-row rejection first, pair-
@@ -143,7 +144,9 @@ def prep_text_corpus(
     0. **domain/source blocklist** (``domains.apply_blocklist``) when
        ``blocked_sources`` is given — the cheapest reject of all: a
        plan-literal membership filter, before any content is read;
-    0b. **HTML → text extraction** (``html.extract_pages``) when
+    0b/0c. **HTML → text extraction** (``html.extract_pages``) and
+       optional **Unicode normalization** (``normalize_unicode=True``:
+       NFC + gated mojibake repair — before any fingerprinting) when
        ``html_col`` is given — the raw-crawl entry point: derives
        ``text_col`` (plus ``title`` and ``link_density`` annotations)
        from the page markup, map-only regexp chains in codegen; when
@@ -263,6 +266,14 @@ def prep_text_corpus(
         out, n = audit(out, "html_extract", n)
     elif max_link_density is not None:
         raise ValueError("max_link_density requires html_col")
+    if normalize_unicode:
+        # stage 0c: NFC + gated mojibake repair (functions/normalize.py)
+        # BEFORE any hashing stage — composed/decomposed twins of the
+        # same visible text must fingerprint identically downstream
+        from ..functions import normalize as NZ
+
+        out = NZ.normalize_text(out, text_col)
+        out, n = audit(out, "normalize_unicode", n)
     out = out.filter(
         F.coalesce(TX.keep_verdict(F.col(text_col)), F.lit(False))
     )
