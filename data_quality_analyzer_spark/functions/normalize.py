@@ -95,8 +95,12 @@ def normalize_text(df, text_col: str = "text", out_col: str | None = None):
     for m in MOJIBAKE_MARKERS:
         c = F.col(text_col).contains(m)
         has_marker = c if has_marker is None else (has_marker | c)
-    repaired = F.when(
-        F.col(text_col).isNotNull() & has_marker,
-        repair_mojibake_udf(spark)(F.col(text_col)),
-    ).otherwise(F.col(text_col))
+    # mask the UDF INPUT, not the call: `when(gate, udf(col))` still
+    # ships every row's text over the Arrow channel and discards the
+    # output — the input-masked form sends NULL for gated-off rows
+    # (the pipeline.py critical-short-circuit pattern)
+    masked = F.when(F.col(text_col).isNotNull() & has_marker, F.col(text_col))
+    repaired = F.coalesce(
+        repair_mojibake_udf(spark)(masked), F.col(text_col)
+    )
     return df.withColumn(out_col, nfc_udf(spark)(repaired))

@@ -649,6 +649,11 @@ def sample_exact_k(
     are impossible at distinct keys (the hash is keyed) and broken by
     ``key_col`` otherwise.
 
+    The permutation key is the RAW 60-bit seeded hash — unlike the
+    fraction samplers there is no reason to quantize to SAMPLE_DENOM,
+    and a 10^6 codomain would birthday-collide at ~10^3 keys, letting
+    the key_col tie-break bias the boundary bucket toward small keys.
+
     With ``strata_col``, k rows PER STRATUM (balanced eval sets, per-
     language probes).  Scale shape: global form plans as
     TakeOrderedAndProject (per-partition top-k, then a k-bounded merge —
@@ -656,7 +661,7 @@ def sample_exact_k(
     stratum (per-key parallel, the q74 window discipline)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    h = F.pmod(seeded_key_hash(key_col, seed), F.lit(SAMPLE_DENOM))
+    h = seeded_key_hash(key_col, seed)
     if strata_col is None:
         return (
             df.withColumn("_xk_h", h)

@@ -305,25 +305,34 @@ def bloom_probe(
         raise ValueError(
             f"words length {len(words)} does not match m={m} (need {m // 64})"
         )
+    # ONE array literal and ONE mix expansion per position, each bound
+    # to a temp column — inlining the words literal k times and the mix
+    # polynomial 2k times blows past codegen limits at m = 2^16 (the
+    # q78 bind-once lesson, applied to the probe)
     arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
     h = HH.h60_spark_sql(f"CAST({value_col} AS STRING)")
+    out = df.withColumn("_bf_ph", F.expr(h)).withColumn(
+        "_bf_arr", F.expr(arr)
+    )
     tests = []
     for i in range(k):
-        p = f"pmod({HH.mix_spark_sql('_bf_ph', i)}, {m})"
+        out = out.withColumn(
+            f"_bf_p{i}",
+            F.expr(f"pmod({HH.mix_spark_sql('_bf_ph', i)}, {m})"),
+        )
         tests.append(
-            f"(shiftright(element_at({arr}, "
-            f"CAST(shiftright({p}, 6) AS INT) + 1), "
-            f"CAST(pmod({p}, 64) AS INT)) & 1) = 1"
+            f"(shiftright(element_at(_bf_arr, "
+            f"CAST(shiftright(_bf_p{i}, 6) AS INT) + 1), "
+            f"CAST(pmod(_bf_p{i}, 64) AS INT)) & 1) = 1"
         )
     return (
-        df.withColumn("_bf_ph", F.expr(h))
-        .withColumn(
+        out.withColumn(
             out_col,
             F.when(
                 F.col(value_col).isNotNull(), F.expr(" AND ".join(tests))
             ).otherwise(F.lit(False)),
         )
-        .drop("_bf_ph")
+        .drop("_bf_ph", "_bf_arr", *[f"_bf_p{i}" for i in range(k)])
     )
 
 

@@ -4021,7 +4021,7 @@ def q82(spark, sf_dir):
 def _q83_oracle() -> str:
     from ..operators import sampling as SP
 
-    h = f"(({SP._h60_key_sql('doc_id', 6)}) % {SP.SAMPLE_DENOM})"
+    h = f"({SP._h60_key_sql('doc_id', 6)})"
     return f"""
     WITH ranked AS (
       SELECT lang, doc_id, n_chars,
@@ -4106,7 +4106,10 @@ def q84(spark, sf_dir):
         .filter(F.col("text").isNotNull())
         .withColumn("raw", F.concat(F.col("text"), F.lit(_Q84_SUFFIX)))
     )
-    n = NZ.normalize_text(d, "raw", out_col="norm")
+    # NFC alone — the oracle's exact scope; the mojibake-repair half is
+    # python-twin-tested, and including it here would diverge the
+    # moment a corpus doc carries a repairable marker sequence
+    n = d.withColumn("norm", NZ.nfc_udf(spark)(F.col("raw")))
     return n.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.when(F.col("norm") != F.col("raw"), 1).otherwise(0))

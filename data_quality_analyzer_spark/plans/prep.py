@@ -144,15 +144,16 @@ def prep_text_corpus(
     0. **domain/source blocklist** (``domains.apply_blocklist``) when
        ``blocked_sources`` is given — the cheapest reject of all: a
        plan-literal membership filter, before any content is read;
-    0b/0c. **HTML → text extraction** (``html.extract_pages``) and
-       optional **Unicode normalization** (``normalize_unicode=True``:
-       NFC + gated mojibake repair — before any fingerprinting) when
+    0b. **HTML → text extraction** (``html.extract_pages``) when
        ``html_col`` is given — the raw-crawl entry point: derives
        ``text_col`` (plus ``title`` and ``link_density`` annotations)
        from the page markup, map-only regexp chains in codegen; when
        ``max_link_density`` is also given, pages whose anchor-text
        fraction exceeds it are rejected here (the jusText
        boilerplate-page gate) before any text stage runs;
+    0c. **Unicode normalization** (``normalize_unicode=True``: NFC +
+       input-masked mojibake repair, functions/normalize.py) — before
+       any fingerprinting stage, independent of ``html_col``;
     1. **heuristic quality filter** (``TX.keep_verdict``: length/token/
        symbol/stopword/repetition bounds) — map-only;
     1b. **Gopher phrase-repetition gate** (``repetition_metrics_udf``)

@@ -713,7 +713,8 @@ def test_sample_exact_k_properties(spark):
     assert len(got) == 25
 
     def h(i):
-        return int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16) % 1_000_000
+        # RAW 60-bit hash — the sampler deliberately does NOT quantize
+        return int(hashlib.md5(f"3:{i}".encode()).hexdigest()[:15], 16)
 
     want = sorted(sorted(range(300), key=lambda i: (h(i), i))[:25])
     assert got == want
