@@ -4122,6 +4122,174 @@ def q84(spark, sf_dir):
     )
 
 
+def _q85_robots_txt(engine: str) -> str:
+    """Shared synthesized robots.txt per source domain: a non-star group
+    that must be ignored, then a star group with allow/disallow pairs
+    and one per-domain varying rule."""
+    nl = "chr(10)" if engine == "duck" else "char(10)"
+    cast = "VARCHAR" if engine == "duck" else "STRING"
+    k = (
+        f"CAST(({HH.h60_sql('source') if engine == 'duck' else HH.h60_spark_sql('source')})"
+        f" % 7 AS {cast})"
+    )
+    parts = [
+        "'User-agent: evilbot'",
+        "'Disallow: /'",
+        "''",
+        "'User-agent: *'",
+        "'Disallow: /private'",
+        "'Allow: /private/ok'",
+        f"concat('Disallow: /p', {k})",
+    ]
+    return f"concat_ws({nl}, {', '.join(parts)})"
+
+
+def _q85_url(engine: str) -> str:
+    cast = "VARCHAR" if engine == "duck" else "STRING"
+    did = f"CAST(doc_id AS {cast})"
+    mod12 = f"CAST(doc_id % 12 AS {cast})"
+    return f"""
+    concat('https://', source, '.example.com',
+      CASE doc_id % 5
+        WHEN 0 THEN concat('/p', {mod12}, '/page')
+        WHEN 1 THEN concat('/private/doc', {did})
+        WHEN 2 THEN concat('/private/ok/doc', {did})
+        WHEN 3 THEN concat('/public/', {did})
+        ELSE ''
+      END)
+    """
+
+
+def _q85_oracle() -> str:
+    txt = _q85_robots_txt("duck")
+    url = _q85_url("duck")
+    from ..operators import robots as RB
+
+    path = RB.url_path_sql("url")
+    return f"""
+    WITH robots AS (
+      SELECT DISTINCT source || '.example.com' AS domain, {txt} AS txt
+      FROM documents
+    ),
+    lines AS (
+      -- generate_subscripts zips with unnest positionally (range() is
+      -- not lateral-capable in DuckDB)
+      SELECT domain,
+             CAST(generate_subscripts(string_split(txt, chr(10)), 1)
+                  AS INT) AS idx,
+             trim(regexp_replace(regexp_replace(
+               unnest(string_split(txt, chr(10))),
+               '#.*$', ''), chr(13), '')) AS line
+      FROM robots
+    ),
+    typed AS (
+      SELECT domain, idx,
+             lower(trim(split_part(line, ':', 1))) AS key,
+             trim(substr(line, strpos(line, ':') + 1)) AS value
+      FROM lines WHERE strpos(line, ':') > 0
+    ),
+    lagged AS (
+      SELECT *, COALESCE(lag(key = 'user-agent')
+               OVER (PARTITION BY domain ORDER BY idx), FALSE) AS prev_ua
+      FROM typed
+    ),
+    blocked AS (
+      SELECT *, SUM(CASE WHEN key = 'user-agent' AND NOT prev_ua
+                 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY domain ORDER BY idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS block_id
+      FROM lagged
+    ),
+    star AS (
+      SELECT DISTINCT domain, block_id FROM blocked
+      WHERE key = 'user-agent' AND value = '*'
+    ),
+    rules AS (
+      SELECT b.domain, b.key = 'allow' AS allow,
+             CASE WHEN b.key = 'allow' THEN
+               CASE WHEN strpos(b.value, '*') = 0 THEN b.value END
+             ELSE split_part(b.value, '*', 1) END AS prefix
+      FROM blocked b JOIN star USING (domain, block_id)
+      WHERE b.key IN ('allow', 'disallow')
+    ),
+    clean_rules AS (
+      SELECT * FROM rules WHERE prefix IS NOT NULL AND prefix <> ''
+    ),
+    urls AS (
+      SELECT doc_id, source, {url} AS url FROM documents
+    ),
+    pathed AS (
+      SELECT doc_id, source, url, source || '.example.com' AS domain,
+             {path} AS path
+      FROM urls
+    ),
+    verdict AS (
+      SELECT p.doc_id, p.source,
+             COALESCE(
+               (SELECT r.allow FROM clean_rules r
+                WHERE r.domain = p.domain
+                  AND starts_with(p.path, r.prefix)
+                ORDER BY length(r.prefix) DESC, r.allow DESC LIMIT 1),
+               TRUE) AS allowed
+      FROM pathed p
+    )
+    SELECT source,
+           COUNT(*) AS n_urls,
+           CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_allowed,
+           CAST(SUM(CASE WHEN allowed THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_blocked,
+           bit_xor(CASE WHEN allowed THEN doc_id ELSE 0 END) AS id_checksum
+    FROM verdict GROUP BY source
+    """
+
+
+@_register("q85_robots_policy", _q85_oracle)
+def q85(spark, sf_dir):
+    """robots.txt PARSE + URL permission matching (operators/robots.py)
+    — RFC 9309's User-agent-* groups as the crawl politeness layer.
+    Parsing is pure Catalyst: comment/CR strip, key:value split,
+    User-agent header-run blocks via the q74 lag+cumsum window pattern
+    per domain, directives joined to star blocks; matching is a
+    broadcast rules join + ONE max(struct(prefix_len, allow)) hash agg
+    per URL (longest prefix wins, Allow beats Disallow at ties, no
+    match ⇒ allowed).  Both engines synthesize the same robots text —
+    including a non-star group that must be IGNORED and a per-domain
+    varying rule — and the oracle replays the entire parse +
+    longest-prefix election in SQL; the allowed-set id checksum proves
+    every verdict.  Reference ancestor: P2 membership filter as a
+    per-domain policy."""
+    from ..operators import robots as RB
+
+    d = _t(spark, sf_dir, "documents")
+    robots = (
+        d.select("source").distinct().select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+            F.expr(_q85_robots_txt("spark")).alias("robots_txt"),
+        )
+    )
+    rules = RB.parse_robots(robots)
+    urls = d.select(
+        "doc_id", "source", F.expr(_q85_url("spark")).alias("url")
+    )
+    v = RB.apply_robots(
+        urls, rules, url_col="url", id_cols=("doc_id", "source")
+    )
+    return v.groupBy("source").agg(
+        F.count("*").alias("n_urls"),
+        F.sum(F.when(F.col("robots_allowed"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_allowed"),
+        F.sum(F.when(F.col("robots_allowed"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_blocked"),
+        F.bit_xor(
+            F.when(F.col("robots_allowed"), F.col("doc_id")).otherwise(0)
+        ).alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

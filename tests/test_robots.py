@@ -1,0 +1,69 @@
+"""robots.txt layer (operators/robots.py): parse semantics (star groups,
+consecutive UA headers, comments, wildcard conservatism) and the
+longest-prefix / Allow-wins matching rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.operators import robots as RB
+
+_TXT = "\r\n".join(
+    [
+        "# global bot policy",
+        "User-agent: evilbot",
+        "Disallow: /",
+        "",
+        "User-agent: goodbot",
+        "User-agent: *",          # consecutive UA lines share one group
+        "Disallow: /private  # keep out",
+        "Allow: /private/ok",
+        "Disallow: /tmp*junk",    # wildcard Disallow: truncated (conservative)
+        "Allow: /cgi*bin",        # wildcard Allow: dropped (conservative)
+        "Disallow:",              # empty Disallow = allow-all: dropped
+        "",
+        "User-agent: otherbot",
+        "Disallow: /only-otherbot",
+    ]
+)
+
+
+def test_parse_robots_star_groups(spark):
+    df = spark.createDataFrame([("ex.com", _TXT)], "domain string, robots_txt string")
+    rules = {
+        (r["allow"], r["prefix"]) for r in RB.parse_robots(df).collect()
+    }
+    assert rules == {
+        (False, "/private"),
+        (True, "/private/ok"),
+        (False, "/tmp"),          # truncated at '*'
+    }
+
+
+def test_apply_robots_matching(spark):
+    rules = spark.createDataFrame(
+        [
+            ("ex.com", False, "/private"),
+            ("ex.com", True, "/private/ok"),
+            ("ex.com", False, "/p"),
+            ("ex.com", True, "/p"),  # tie on length: Allow wins
+        ],
+        "domain string, allow boolean, prefix string",
+    )
+    urls = [
+        (1, "https://ex.com/private/doc", False),   # blocked
+        (2, "https://ex.com/private/ok/x", True),   # longer Allow wins
+        (3, "https://ex.com/public", True),         # tie -> Allow... /p matches both
+        (4, "https://ex.com/other", True),          # no match -> allowed
+        (5, "https://ex.com", True),                # empty path -> '/'
+        (6, "https://nowhere.net/private/doc", True),  # no rules domain
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in urls], "doc_id long, url string"
+    )
+    got = {
+        r["doc_id"]: r["robots_allowed"]
+        for r in RB.apply_robots(df, rules).collect()
+    }
+    assert got == {i: want for i, _u, want in urls}
+    assert len(got) == len(urls)  # the rules join never duplicates rows
