@@ -4,13 +4,14 @@ fetched/kept, decided from the domain's own robots.txt.
 
 Scope (pinned, documented): the ``User-agent: *`` groups — the sections
 that govern a generic bulk crawler.  Per-bot overrides ride the same
-rules table with one more column; out of scope here.  Wildcard rules
-are handled CONSERVATIVELY in both directions: a ``Disallow`` containing
-``*`` is truncated at the wildcard (blocks a superset — never fetches
-something the rule meant to block), an ``Allow`` containing ``*`` is
-dropped (allows a subset).  Production needs the RFC's full
-wildcard/``$`` matcher; the conservative literal form is the defensible
-bulk-crawl default.
+rules table with one more column; out of scope here.  Wildcard/anchor
+rules are handled CONSERVATIVELY in both directions: a ``Disallow`` is
+stripped of a trailing ``$`` anchor and truncated at the first ``*``
+(blocks a superset — never fetches something the rule meant to block;
+a LEADING wildcard truncates to the block-everything prefix ``/``),
+while an ``Allow`` containing ``*`` or ``$`` is dropped (allows a
+subset).  Production needs the RFC's full wildcard/``$`` matcher; the
+conservative literal form is the defensible bulk-crawl default.
 
 Parsing is PURE CATALYST (both engines replay it in the q85 oracle):
 lines → (key, value) split → User-agent header-run blocks via the
@@ -80,28 +81,43 @@ def parse_robots(
         star_blocks, ["domain", "block_id"]
     )
     allow = F.col("key") == "allow"
-    # conservative wildcard handling (module docstring)
+    # conservative wildcard/anchor handling (module docstring); empty
+    # directives (Disallow: = allow-all) are dropped FIRST so that a
+    # leading-wildcard Disallow truncating to '' maps to the
+    # block-everything prefix '/' instead of vanishing
+    dirs = dirs.filter(F.col("value") != "")
+    trunc = F.substring_index(
+        F.regexp_replace("value", r"\$$", ""), "*", 1
+    )
     prefix = F.when(
         allow,
-        F.when(~F.col("value").contains("*"), F.col("value")),
-    ).otherwise(F.substring_index("value", "*", 1))
+        F.when(
+            ~F.col("value").contains("*") & ~F.col("value").contains("$"),
+            F.col("value"),
+        ),
+    ).otherwise(F.when(trunc == "", F.lit("/")).otherwise(trunc))
     return (
         dirs.select("domain", allow.alias("allow"), prefix.alias("prefix"))
-        .filter(F.col("prefix").isNotNull() & (F.col("prefix") != ""))
+        .filter(F.col("prefix").isNotNull())
     )
+
+
+#: strips `scheme://host`, protocol-relative `//host`, or a bare host
+#: (anything before the first '/') — extract_domain accepts all three
+#: forms, so the path side must too or scheme-less URLs would join
+#: their rules yet never match a '/'-prefix
+_PATH_STRIP = "^([a-zA-Z][a-zA-Z0-9+.-]*://|//)?[^/]*"
 
 
 def url_path(url_col: Column) -> Column:
     """Path component of a URL ('/' when absent)."""
-    p = F.regexp_replace(url_col, "^[a-zA-Z]+://[^/]*", "")
+    p = F.regexp_replace(F.trim(url_col), _PATH_STRIP, "")
     return F.when(p == "", "/").otherwise(p)
 
 
 def url_path_sql(c: str) -> str:
-    return (
-        f"CASE WHEN regexp_replace({c}, '^[a-zA-Z]+://[^/]*', '') = '' "
-        f"THEN '/' ELSE regexp_replace({c}, '^[a-zA-Z]+://[^/]*', '') END"
-    )
+    p = f"regexp_replace(trim({c}), '{_PATH_STRIP}', '')"
+    return f"CASE WHEN {p} = '' THEN '/' ELSE {p} END"
 
 
 def apply_robots(
@@ -118,11 +134,15 @@ def apply_robots(
     combining, no window, corpus scanned once."""
     u = urls.withColumn("_rb_dom", DM.extract_domain(F.col(url_col)))
     u = u.withColumn("_rb_path", url_path(F.col(url_col)))
-    j = u.join(
-        F.broadcast(rules.withColumnRenamed("domain", "_rb_dom")),
-        "_rb_dom",
-        "left",
+    # normalize the RULES domain with the same extract_domain as the URL
+    # side — a robots table keyed 'www.Ex.com' (the host it was fetched
+    # from) must still govern 'ex.com' URLs
+    norm_rules = rules.select(
+        DM.extract_domain(F.col("domain")).alias("_rb_dom"),
+        "allow",
+        "prefix",
     )
+    j = u.join(F.broadcast(norm_rules), "_rb_dom", "left")
     matched = F.col("prefix").isNotNull() & F.col("_rb_path").startswith(
         F.col("prefix")
     )
@@ -135,14 +155,14 @@ def apply_robots(
             ),
         )
     )
-    keys = [*id_cols, url_col, "_rb_dom", "_rb_path"]
-    out = (
+    # aggregate ONLY the verdict keyed by (id_cols, url), then join it
+    # back — annotating must preserve every input column and every
+    # duplicate row, which a groupBy over the full frame would destroy
+    keys = [*id_cols, url_col]
+    verdicts = (
         j.groupBy(*keys)
         .agg(verdict.alias("_rb_w"))
-        .withColumn(
-            out_col,
-            F.coalesce(F.col("_rb_w.a") == 1, F.lit(True)),
-        )
-        .drop("_rb_w", "_rb_dom", "_rb_path")
+        .withColumn(out_col, F.coalesce(F.col("_rb_w.a") == 1, F.lit(True)))
+        .drop("_rb_w")
     )
-    return out
+    return urls.join(verdicts, keys, "left")

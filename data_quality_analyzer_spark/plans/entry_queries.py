@@ -4208,13 +4208,19 @@ def _q85_oracle() -> str:
     rules AS (
       SELECT b.domain, b.key = 'allow' AS allow,
              CASE WHEN b.key = 'allow' THEN
-               CASE WHEN strpos(b.value, '*') = 0 THEN b.value END
-             ELSE split_part(b.value, '*', 1) END AS prefix
+               CASE WHEN strpos(b.value, '*') = 0
+                     AND strpos(b.value, '$') = 0 THEN b.value END
+             ELSE
+               CASE WHEN split_part(regexp_replace(b.value, '\$$', ''),
+                                    '*', 1) = '' THEN '/'
+                    ELSE split_part(regexp_replace(b.value, '\$$', ''),
+                                    '*', 1) END
+             END AS prefix
       FROM blocked b JOIN star USING (domain, block_id)
-      WHERE b.key IN ('allow', 'disallow')
+      WHERE b.key IN ('allow', 'disallow') AND b.value <> ''
     ),
     clean_rules AS (
-      SELECT * FROM rules WHERE prefix IS NOT NULL AND prefix <> ''
+      SELECT * FROM rules WHERE prefix IS NOT NULL
     ),
     urls AS (
       SELECT doc_id, source, {url} AS url FROM documents

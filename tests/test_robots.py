@@ -20,6 +20,9 @@ _TXT = "\r\n".join(
         "Allow: /private/ok",
         "Disallow: /tmp*junk",    # wildcard Disallow: truncated (conservative)
         "Allow: /cgi*bin",        # wildcard Allow: dropped (conservative)
+        "Allow: /exact$",         # anchored Allow: dropped (conservative)
+        "Disallow: /search$",     # anchored Disallow: anchor stripped
+        "Disallow: *.gif",        # leading wildcard: blocks EVERYTHING
         "Disallow:",              # empty Disallow = allow-all: dropped
         "",
         "User-agent: otherbot",
@@ -37,6 +40,8 @@ def test_parse_robots_star_groups(spark):
         (False, "/private"),
         (True, "/private/ok"),
         (False, "/tmp"),          # truncated at '*'
+        (False, "/search"),       # '$' anchor stripped (superset)
+        (False, "/"),             # leading wildcard -> block-all prefix
     }
 
 
@@ -61,9 +66,24 @@ def test_apply_robots_matching(spark):
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in urls], "doc_id long, url string"
     )
-    got = {
-        r["doc_id"]: r["robots_allowed"]
-        for r in RB.apply_robots(df, rules).collect()
-    }
+    out = RB.apply_robots(df, rules)
+    assert out.count() == len(urls)  # annotation never duplicates rows
+    got = {r["doc_id"]: r["robots_allowed"] for r in out.collect()}
     assert got == {i: want for i, _u, want in urls}
-    assert len(got) == len(urls)  # the rules join never duplicates rows
+
+
+def test_apply_robots_preserves_columns_and_bare_urls(spark):
+    """Annotation keeps payload columns; scheme-less URLs and
+    www./case-mismatched rule domains still match."""
+    rules = spark.createDataFrame(
+        [("www.Ex.com", False, "/priv")],
+        "domain string, allow boolean, prefix string",
+    )
+    df = spark.createDataFrame(
+        [(1, "ex.com/priv/x", "payload"), (2, "//ex.com/open", "p2")],
+        "doc_id long, url string, text string",
+    )
+    out = {r["doc_id"]: r for r in RB.apply_robots(df, rules).collect()}
+    assert out[1]["robots_allowed"] is False   # bare URL still blocked
+    assert out[2]["robots_allowed"] is True
+    assert out[1]["text"] == "payload"         # payload column preserved
