@@ -4296,6 +4296,75 @@ def q85(spark, sf_dir):
     )
 
 
+def _q86_oracle() -> str:
+    from ..functions import quality_clf as QC
+
+    keep = TX.keep_verdict_sql("text")
+    score = QC.score_duck_sql("text")
+    return f"""
+    WITH v AS (
+      SELECT doc_id, lang,
+             COALESCE({keep}, FALSE) AS heur,
+             {score} >= {QC.MIN_QUALITY_SCORE} AS clf
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN heur AND clf THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both_keep,
+           CAST(SUM(CASE WHEN NOT heur AND NOT clf THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_both_drop,
+           CAST(SUM(CASE WHEN heur AND NOT clf THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_heur_only,
+           CAST(SUM(CASE WHEN clf AND NOT heur THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clf_only,
+           bit_xor(CASE WHEN heur <> clf THEN doc_id ELSE 0 END)
+             AS disagree_checksum
+    FROM v GROUP BY lang
+    """
+
+
+@_register("q86_rule_vs_model_agreement", _q86_oracle)
+def q86(spark, sf_dir):
+    """RULE-vs-MODEL agreement audit: the confusion matrix between the
+    heuristic keep verdict (Gopher/C4 rules) and the trained quality
+    classifier at the pipeline gate — the calibration check a team runs
+    before trusting a learned filter to replace (or veto) hand rules,
+    and the reference's Check-3 "two stats sources must agree" contract
+    applied to the two quality engines.  BOTH columns have exact DuckDB
+    twins (q23's rule SQL, q51's embedded-weight scorer), so every cell
+    AND the exact disagreement membership (checksum) are value-proven.
+    One scan, one ArrowEvalPython (the classifier), one exchange."""
+    from ..functions import quality_clf as QC
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    q = QC.quality_udf(spark)
+    v = d.select(
+        "doc_id",
+        "lang",
+        F.coalesce(TX.keep_verdict(F.col("text")), F.lit(False)).alias("heur"),
+        (q(F.col("text")) >= QC.MIN_QUALITY_SCORE).alias("clf"),
+    )
+    return v.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("heur") & F.col("clf"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_keep"),
+        F.sum(F.when(~F.col("heur") & ~F.col("clf"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_both_drop"),
+        F.sum(F.when(F.col("heur") & ~F.col("clf"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_heur_only"),
+        F.sum(F.when(F.col("clf") & ~F.col("heur"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_clf_only"),
+        F.bit_xor(
+            F.when(F.col("heur") != F.col("clf"), F.col("doc_id")).otherwise(0)
+        ).alias("disagree_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
