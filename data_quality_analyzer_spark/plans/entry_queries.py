@@ -4365,6 +4365,89 @@ def q86(spark, sf_dir):
     )
 
 
+_Q87_LOC = "<loc>\\s*([^<]+?)\\s*</loc>"
+
+
+def _q87_sitemap(engine: str) -> str:
+    """Synthesized per-source sitemap XML: four <url> entries per source
+    page id, two of which are tracking-param/WWW variants of the same
+    canonical URL, plus whitespace padding inside <loc> (the spec allows
+    it; extraction must trim)."""
+    cast = "VARCHAR" if engine == "duck" else "STRING"
+    pg = f"CAST(doc_id // 4 AS {cast})" if engine == "duck" else "CAST(doc_id div 4 AS STRING)"
+    base = f"concat('https://', source, '.example.com/page/', {pg})"
+    return f"""
+    concat(
+      '<?xml version="1.0"?><urlset>',
+      '<url><loc>', {base}, '</loc></url>',
+      '<url><loc> ', {base}, '?utm_source=map </loc></url>',
+      '<url><loc>', 'https://www.', source, '.example.com/page/', {pg},
+        '</loc></url>',
+      '<url><loc>', {base}, '/extra</loc></url>',
+      '</urlset>')
+    """
+
+
+def _q87_oracle() -> str:
+    from ..operators import domains as DM
+
+    canon = DM.canonicalize_url_sql("loc")
+    return f"""
+    WITH maps AS (
+      SELECT doc_id, source, {_q87_sitemap("duck")} AS xml FROM documents
+    ),
+    locs AS (
+      SELECT doc_id, source,
+             trim(unnest(regexp_extract_all(xml, '{_Q87_LOC}', 1))) AS loc
+      FROM maps
+    ),
+    canon AS (
+      SELECT doc_id, source, loc, {canon} AS canonical FROM locs
+    )
+    SELECT source,
+           COUNT(*) AS n_locs,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           bit_xor({HH.h60_sql("canonical")}) AS canon_checksum
+    FROM canon GROUP BY source
+    """
+
+
+@_register("q87_sitemap_discovery", _q87_oracle)
+def q87(spark, sf_dir):
+    """SITEMAP URL discovery — the crawl-frontier feed that pairs with
+    the q85 robots gate and the q82 seen-filter: extract every
+    ``<loc>`` from sitemap XML (regexp_extract_all, pure codegen — the
+    q63 HTML machinery's dialect discipline), trim the spec-permitted
+    whitespace, and CANONICALIZE each URL with the q61 operator so
+    tracking-param and www variants collapse before they enter the
+    frontier.  Both engines synthesize the same per-source sitemaps
+    (with planted variant pairs that must collapse: 4 locs → 2
+    canonicals per entry) and value-hash every canonical form.
+    MAP-ONLY until the per-source report agg.  Reference ancestor: P15
+    unnest over derived arrays."""
+    from ..operators import domains as DM
+
+    d = _t(spark, sf_dir, "documents")
+    maps = d.select(
+        "doc_id", "source", F.expr(_q87_sitemap("spark")).alias("xml")
+    )
+    locs = maps.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(f"regexp_extract_all(xml, '{_Q87_LOC}', 1)")
+        ).alias("loc"),
+    ).withColumn("loc", F.trim("loc"))
+    canon = locs.withColumn("canonical", DM.canonicalize_url(F.col("loc")))
+    return canon.groupBy("source").agg(
+        F.count("*").alias("n_locs"),
+        F.countDistinct("canonical").alias("n_canonical"),
+        F.bit_xor(F.expr(HH.h60_spark_sql("canonical"))).alias(
+            "canon_checksum"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
