@@ -4305,7 +4305,7 @@ def _q86_oracle() -> str:
     WITH v AS (
       SELECT doc_id, lang,
              COALESCE({keep}, FALSE) AS heur,
-             {score} >= {QC.MIN_QUALITY_SCORE} AS clf
+             ROUND({score}, 4) >= {QC.MIN_QUALITY_SCORE} AS clf
       FROM documents WHERE text IS NOT NULL
     )
     SELECT lang,
@@ -4343,7 +4343,10 @@ def q86(spark, sf_dir):
         "doc_id",
         "lang",
         F.coalesce(TX.keep_verdict(F.col("text")), F.lit(False)).alias("heur"),
-        (q(F.col("text")) >= QC.MIN_QUALITY_SCORE).alias("clf"),
+        # threshold on the 4 dp-rounded score: the scorer twins agree
+        # on the rounded grid, so a boundary-straddling raw float can
+        # never flip the verdict between engines
+        (F.round(q(F.col("text")), 4) >= QC.MIN_QUALITY_SCORE).alias("clf"),
     )
     return v.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -4365,7 +4368,11 @@ def q86(spark, sf_dir):
     )
 
 
-_Q87_LOC = "<loc>\\s*([^<]+?)\\s*</loc>"
+# no backslash classes: Spark's SQL literal parser eats a single
+# backslash ('\\s' -> 's'), silently truncating URLs that end in
+# 's' while DuckDB keeps them — whitespace is handled by the
+# explicit trim on both sides instead
+_Q87_LOC = "<loc>([^<]+)</loc>"
 
 
 def _q87_sitemap(engine: str) -> str:
@@ -4374,7 +4381,8 @@ def _q87_sitemap(engine: str) -> str:
     canonical URL, plus whitespace padding inside <loc> (the spec allows
     it; extraction must trim)."""
     cast = "VARCHAR" if engine == "duck" else "STRING"
-    pg = f"CAST(doc_id // 4 AS {cast})" if engine == "duck" else "CAST(doc_id div 4 AS STRING)"
+    div = "//" if engine == "duck" else "div"
+    pg = f"CAST(doc_id {div} 4 AS {cast})"
     base = f"concat('https://', source, '.example.com/page/', {pg})"
     return f"""
     concat(
