@@ -1361,3 +1361,130 @@ def bloom_ledger_words(
     )
     words = SK.bloom_words((r["pos"] for r in rows), m=manifest["m"])
     return words, manifest["k"], manifest["m"]
+
+
+# ---------------------------------------------------------------------------
+# Cross-run SESSIONIZATION ledger (10th ledger): gap-based sessions over
+# an append-only event log that arrives in daily/hourly batches — the
+# batch operator (operators/sessions.py) needs a user's full history in
+# one frame; this needs only |users| rows of committed state: each
+# user's last event time and running session count.  A batch's first
+# session STITCHES onto the archived tail when the cross-batch gap is
+# within the threshold; everything else offsets by the archived count.
+# State is per-user and bounded; events inside a batch may arrive in any
+# order (the window sorts them), but BATCHES must be time-ordered per
+# user (append-only log contract — a late batch would need reprocessing
+# from its own time forward, exactly as in any event-time system).
+# Atomic manifest rule as everywhere; replaying a committed batch
+# returns its stored annotation without touching state.
+# ---------------------------------------------------------------------------
+
+SESS_MANIFEST = "_sessions_manifest.json"
+SESS_STATE_DIR = "session_state"
+SESS_OUT_DIR = "session_batches"
+
+
+def read_sessions_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, SESS_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": [], "gap_us": None}
+    with open(path) as f:
+        return json.load(f)
+
+
+def sessionize_incremental(
+    spark: SparkSession,
+    events: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int | None = None,
+) -> DataFrame:
+    """Annotate this batch's events with GLOBAL ``session_idx`` values
+    that continue across every previously committed batch, then commit
+    the updated per-user state atomically.  Returns the annotated
+    batch (read back from the committed parquet — what was durably
+    written is what downstream sees)."""
+    from ..operators import sessions as SN
+
+    gap_us = SN.DEFAULT_GAP_US if gap_us is None else gap_us
+    manifest = read_sessions_manifest(store_dir)
+    if manifest["gap_us"] is not None and manifest["gap_us"] != gap_us:
+        raise ValueError(
+            f"session ledger at {store_dir!r} is pinned to gap_us="
+            f"{manifest['gap_us']}; got {gap_us}"
+        )
+    out_dir = os.path.join(store_dir, SESS_OUT_DIR, f"batch_id={batch_id}")
+    if batch_id in manifest["batches"]:
+        return spark.read.parquet(out_dir)  # replay: stored annotation
+    os.makedirs(store_dir, exist_ok=True)
+
+    local = SN.sessionize(
+        events, user_col=user_col, ts_col=ts_col,
+        order_col=order_col, gap_us=gap_us,
+    ).withColumn("_us", F.unix_micros(F.col(ts_col).cast("timestamp")))
+
+    batches = manifest["batches"]
+    if batches:
+        prev_state = (
+            spark.read.parquet(os.path.join(store_dir, SESS_STATE_DIR))
+            .filter(F.col("state_batch") == batches[-1])
+            .select(user_col, "last_ts_us", "n_sessions")
+        )
+    else:
+        prev_state = spark.createDataFrame(
+            [], f"{user_col} long, last_ts_us long, n_sessions long"
+        )
+
+    firsts = local.groupBy(user_col).agg(F.min("_us").alias("_first_us"))
+    stitch = (
+        firsts.join(prev_state, user_col, "left")
+        .select(
+            user_col,
+            F.coalesce("n_sessions", F.lit(0)).alias("_base"),
+            (
+                F.col("last_ts_us").isNotNull()
+                & (F.col("_first_us") - F.col("last_ts_us") <= gap_us)
+            ).cast("int").alias("_stitched"),
+        )
+    )
+    annotated = (
+        local.join(F.broadcast(stitch), user_col)
+        .withColumn(
+            "session_idx",
+            F.col("_base") + F.col("session_idx") - F.col("_stitched"),
+        )
+        .drop("_base", "_stitched")
+    )
+    # data first, manifest last (torn batches invisible)
+    annotated.drop("_us").write.parquet(out_dir)
+
+    new_state = (
+        annotated.groupBy(user_col)
+        .agg(
+            F.max("_us").alias("last_ts_us"),
+            F.max("session_idx").alias("n_sessions"),
+        )
+        # carry forward users absent from this batch
+        .unionByName(
+            prev_state.join(
+                firsts.select(user_col), user_col, "left_anti"
+            )
+        )
+        .withColumn("state_batch", F.lit(batch_id))
+    )
+    state_dir = os.path.join(
+        store_dir, SESS_STATE_DIR, f"state_batch={batch_id}"
+    )
+    if os.path.exists(state_dir):  # torn previous attempt
+        shutil.rmtree(state_dir)
+    new_state.drop("state_batch").write.parquet(state_dir)
+    manifest["batches"] = manifest["batches"] + [batch_id]
+    manifest["gap_us"] = gap_us
+    tmp = os.path.join(store_dir, SESS_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, SESS_MANIFEST))
+    return spark.read.parquet(out_dir)
