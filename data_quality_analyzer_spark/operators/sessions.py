@@ -97,26 +97,45 @@ def sessionize_duck_sql(
 ) -> str:
     """DuckDB twin of :func:`session_stats` (relation-level; same pinned
     ordering, integer micros, ROWS frame)."""
-    return f"""
-    WITH flagged AS (
-      SELECT {user_col}, {order_col}, {ts_col}, {value_col},
-             CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
-                    OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
-                       > {gap_us}
-                  THEN 1 ELSE 0 END AS new_s
-      FROM {rel}
-      WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})
-    ), numbered AS (
-      SELECT *, SUM(new_s) OVER (
-        PARTITION BY {user_col} ORDER BY {ts_col}, {order_col}
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS session_idx
-      FROM flagged
+    rows = sessionize_rows_duck_sql(
+        rel, user_col=user_col, ts_col=ts_col, order_col=order_col,
+        extra_cols=value_col, gap_us=gap_us,
     )
+    return f"""
+    WITH _sess_rows AS ({rows})
     SELECT {user_col}, session_idx,
            COUNT(*) AS n_events,
            (epoch_us(MAX({ts_col})) - epoch_us(MIN({ts_col}))) // 1000000
              AS duration_s,
            SUM(CAST({value_col} AS DECIMAL(18,2))) AS session_value
-    FROM numbered GROUP BY {user_col}, session_idx
+    FROM _sess_rows GROUP BY {user_col}, session_idx
     """
+
+
+def sessionize_rows_duck_sql(
+    rel: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    extra_cols: str = "value",
+    gap_us: int = DEFAULT_GAP_US,
+) -> str:
+    """Row-level DuckDB twin of :func:`sessionize` — every event with
+    its ``session_idx`` (the building block session_stats and the q88
+    funnel share)."""
+    return f"""
+    SELECT * FROM (
+      SELECT *, SUM(new_s) OVER (
+        PARTITION BY {user_col} ORDER BY {ts_col}, {order_col}
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS session_idx
+      FROM (
+        SELECT {user_col}, {order_col}, {ts_col}, {extra_cols},
+               CASE WHEN lag(epoch_us({ts_col})) OVER w IS NULL
+                      OR epoch_us({ts_col}) - lag(epoch_us({ts_col})) OVER w
+                         > {gap_us}
+                    THEN 1 ELSE 0 END AS new_s
+        FROM {rel}
+        WINDOW w AS (PARTITION BY {user_col} ORDER BY {ts_col}, {order_col})
+      )
+    )"""

@@ -4456,6 +4456,117 @@ def q87(spark, sf_dir):
     )
 
 
+_Q88_STEPS = ("view", "click", "purchase")
+# 24h funnel window: the fixture's event density (~2 events/user/day)
+# needs day-scale sessions for multi-step journeys; the 30-min default
+# yields 1-event sessions and a vacuous funnel (0 conversions)
+_Q88_GAP_US = 24 * 3600 * 1_000_000
+
+
+def _q88_oracle() -> str:
+    from ..operators import sessions as SN
+
+    rows = SN.sessionize_rows_duck_sql(
+        "events", extra_cols="event_type", gap_us=_Q88_GAP_US
+    )
+    a, b, c = _Q88_STEPS
+    return f"""
+    WITH r AS ({rows}),
+    s1 AS (
+      SELECT user_id, session_idx,
+             MIN(CASE WHEN event_type = '{a}' THEN epoch_us(ts) END) AS t1
+      FROM r GROUP BY user_id, session_idx
+    ),
+    s2 AS (
+      SELECT r.user_id, r.session_idx, MAX(s1.t1) AS t1,
+             MIN(CASE WHEN event_type = '{b}' AND epoch_us(ts) >= s1.t1
+                 THEN epoch_us(ts) END) AS t2
+      FROM r JOIN s1 USING (user_id, session_idx)
+      GROUP BY r.user_id, r.session_idx
+    ),
+    s3 AS (
+      SELECT r.user_id, r.session_idx, MAX(s2.t1) AS t1, MAX(s2.t2) AS t2,
+             MIN(CASE WHEN event_type = '{c}' AND epoch_us(ts) >= s2.t2
+                 THEN epoch_us(ts) END) AS t3
+      FROM r JOIN s2 USING (user_id, session_idx)
+      GROUP BY r.user_id, r.session_idx
+    )
+    SELECT COUNT(*) AS n_sessions,
+           CAST(COUNT(t1) AS BIGINT) AS n_step1,
+           CAST(COUNT(t2) AS BIGINT) AS n_step2,
+           CAST(COUNT(t3) AS BIGINT) AS n_step3,
+           bit_xor(CASE WHEN t3 IS NOT NULL
+                   THEN CAST(user_id * 1000003 + session_idx AS BIGINT)
+                   ELSE 0 END) AS converted_checksum
+    FROM s3
+    """
+
+
+@_register("q88_session_funnel", _q88_oracle)
+def q88(spark, sf_dir):
+    """In-session FUNNEL conversion (view → click → purchase): the
+    ordered-sequence analytics family — a session converts step k only
+    if step k's event occurs AT OR AFTER the first completion of step
+    k−1 (strictly ordered funnel, exact unix_micros comparisons).
+    Composition: q74 sessionization → one hash agg per step, each
+    keyed on (user, session) so the session partitioning is reused —
+    no window over event sequences, no UDF state machine.  The
+    converted-session checksum value-proves exactly WHICH sessions
+    completed all three steps.  Reference ancestor: Check-2's staged
+    escalation (charge_analysis_checks.py:352-620) as an ordered
+    event-sequence rule."""
+    from ..operators import sessions as SN
+
+    a, b, c = _Q88_STEPS
+    e = _t(spark, sf_dir, "events")
+    r = SN.sessionize(e, gap_us=_Q88_GAP_US).withColumn(
+        "_us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    keys = ["user_id", "session_idx"]
+    s1 = r.groupBy(*keys).agg(
+        F.min(F.when(F.col("event_type") == a, F.col("_us"))).alias("t1")
+    )
+    s2 = (
+        r.join(s1, keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("t1").alias("t1"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == b) & (F.col("_us") >= F.col("t1")),
+                    F.col("_us"),
+                )
+            ).alias("t2"),
+        )
+    )
+    s3 = (
+        r.join(s2, keys)
+        .groupBy(*keys)
+        .agg(
+            F.max("t2").alias("t2"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == c) & (F.col("_us") >= F.col("t2")),
+                    F.col("_us"),
+                )
+            ).alias("t3"),
+        )
+        .join(s1, keys)
+    )
+    return s3.agg(
+        F.count("*").alias("n_sessions"),
+        F.count("t1").cast("long").alias("n_step1"),
+        F.count("t2").cast("long").alias("n_step2"),
+        F.count("t3").cast("long").alias("n_step3"),
+        F.bit_xor(
+            F.when(
+                F.col("t3").isNotNull(),
+                F.col("user_id") * 1000003 + F.col("session_idx"),
+            ).otherwise(0)
+        ).alias("converted_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
