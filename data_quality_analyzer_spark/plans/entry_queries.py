@@ -4211,9 +4211,9 @@ def _q85_oracle() -> str:
                CASE WHEN strpos(b.value, '*') = 0
                      AND strpos(b.value, '$') = 0 THEN b.value END
              ELSE
-               CASE WHEN split_part(regexp_replace(b.value, '\$$', ''),
+               CASE WHEN split_part(regexp_replace(b.value, '\\$$', ''),
                                     '*', 1) = '' THEN '/'
-                    ELSE split_part(regexp_replace(b.value, '\$$', ''),
+                    ELSE split_part(regexp_replace(b.value, '\\$$', ''),
                                     '*', 1) END
              END AS prefix
       FROM blocked b JOIN star USING (domain, block_id)
@@ -4565,6 +4565,113 @@ def q88(spark, sf_dir):
             ).otherwise(0)
         ).alias("converted_checksum"),
     )
+
+
+_Q89_SITES = 23  # synthetic domain universe: siteK.example.com, K in [0, 23)
+
+
+def _q89_pages(d: DataFrame) -> DataFrame:
+    """Deterministic page synthesis shared (by construction) with the
+    q89 oracle: doc i lives on site (i % 23) and carries
+    (i % 4) + 1 anchors, link j pointing at site (7i + 13j) % 23 —
+    self-links occur whenever 6i + 13j ≡ 0 (mod 23), deliberately, so
+    the self-loop drop is exercised.  src_domain goes through the REAL
+    extractor (q55/q59/q61's), not a shortcut."""
+    did = F.col("doc_id")
+
+    def url(e) -> Column:
+        return F.concat(
+            F.lit("https://site"),
+            e.cast("string"),
+            F.lit(".example.com/p"),
+            did.cast("string"),
+        )
+
+    frags = [
+        F.when(
+            (did % 4) + 1 >= j,
+            F.concat(
+                F.lit('<a href="'),
+                url((did * 7 + j * 13) % _Q89_SITES),
+                F.lit('">x</a>'),
+            ),
+        ).otherwise(F.lit(""))
+        for j in range(1, 5)
+    ]
+    from ..operators import domains as DM
+
+    return d.select(
+        DM.extract_domain(url(did % _Q89_SITES)).alias("src_domain"),
+        F.concat(*frags).alias("html"),
+    )
+
+
+def _q89_oracle() -> str:
+    from ..operators import domains as DM
+    from ..operators import linkgraph as LG
+
+    def url(e: str) -> str:
+        return (
+            f"'https://site' || CAST({e} AS VARCHAR) || '.example.com/p' "
+            "|| CAST(doc_id AS VARCHAR)"
+        )
+
+    frags = " || ".join(
+        f"""CASE WHEN (doc_id % 4) + 1 >= {j}
+             THEN '<a href="' || {url(f"(doc_id * 7 + {j} * 13) % {_Q89_SITES}")} || '">x</a>'
+             ELSE '' END"""
+        for j in (1, 2, 3, 4)
+    )
+    return f"""
+    WITH pages AS (
+      SELECT {DM.extract_domain_sql(url(f"doc_id % {_Q89_SITES}"))} AS src_domain,
+             {frags} AS html
+      FROM documents
+    ),
+    edges AS ({LG.domain_edges_duck_sql("pages")}),
+    {LG.pagerank_duck_ctes("edges", iters=1)},
+    indeg AS (
+      SELECT dst_domain AS domain,
+             CAST(SUM(weight) AS BIGINT) AS n_inlinks,
+             CAST(COUNT(DISTINCT src_domain) AS BIGINT) AS n_src_domains
+      FROM edges GROUP BY 1
+    ),
+    outd AS (
+      SELECT src_domain AS domain,
+             CAST(SUM(weight) AS BIGINT) AS n_outlinks
+      FROM edges GROUP BY 1
+    )
+    SELECT p.domain,
+           COALESCE(i.n_inlinks, 0) AS n_inlinks,
+           COALESCE(i.n_src_domains, 0) AS n_src_domains,
+           COALESCE(o.n_outlinks, 0) AS n_outlinks,
+           ROUND(p.pr, 6) AS pr
+    FROM pr1 p
+    LEFT JOIN indeg i USING (domain)
+    LEFT JOIN outd o USING (domain)
+    """
+
+
+@_register("q89_link_graph_authority", _q89_oracle)
+def q89(spark, sf_dir):
+    """LINK-GRAPH source authority (operators/linkgraph.py): href
+    extraction (one regexp_extract_all, pure Catalyst) → weighted
+    domain→domain edges (self-loops dropped, targets normalized by the
+    SAME extract_domain as q55/q59/q61) → damped PageRank, plus inlink /
+    referring-domain / outlink tallies — the citation-structure
+    reputation prior that complements q59's content-based one.  Scale
+    shape: the corpus is touched ONCE (projection before the explode,
+    one graph-sized hash agg); every PageRank round after that is one
+    join + one agg over |domains|² ≪ corpus edges.  The oracle unrolls
+    the iteration into CTEs — an independent decomposition — and
+    value-checks all 23 domains' degrees AND scores at 6 dp.  Reference
+    ancestor: per-payer historical stats tiers
+    (charge_analysis_checks.py:758-806) as an upstream source-reputation
+    prior; Page et al. 1999 for the recurrence."""
+    from ..operators import linkgraph as LG
+
+    d = _t(spark, sf_dir, "documents")
+    return LG.domain_authority(_q89_pages(d), "src_domain", "html", iters=1)
 
 
 # ---------------------------------------------------------------------------
