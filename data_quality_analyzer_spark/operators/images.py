@@ -359,3 +359,102 @@ def image_validator_udf(min_dim: int = MIN_DIM, max_dim: int = MAX_DIM):
         return validate_batch(data, w, h, fmt, min_dim, max_dim)
 
     return _validate
+
+
+# ---------------------------------------------------------------------------
+# Structural integrity pre-gate: magic + trailer framing decided JVM-SIDE,
+# before any byte crosses to the Arrow decoder.  A truncated download is
+# the single most common corruption in crawled image corpora (the
+# connection died mid-transfer; the header is pristine, the end-of-image
+# marker is gone).  Spark's substring/length/equality all operate on
+# BinaryType natively, so this check is pure whole-stage codegen over the
+# bytes column — at 10^12 images every row it rejects never pays Arrow
+# serialization or a decode attempt.  The decoder's own sniff
+# (validate_batch above) remains the authority on DECODABILITY; this gate
+# only certifies framing, which is exactly what makes it free.
+# Format constants are the public file-format magics (ISO/IEC 10918 JPEG
+# SOI/EOI, RFC 2083 PNG signature + IEND chunk, GIF89a trailer).
+# ---------------------------------------------------------------------------
+
+#: fmt (lowercased) -> (header_hex, trailer_hex)
+STRUCTURAL_MAGIC = {
+    "jpeg": ("ffd8", "ffd9"),
+    "png": ("89504e470d0a1a0a", "49454e44ae426082"),
+    "gif": ("47494638", "3b"),
+}
+
+
+def structural_flags(bytes_col, fmt_col) -> dict:
+    """Tri-state framing verdicts from a binary column: header_ok /
+    trailer_ok / intact as BooleanType Columns.  NULL bytes or a format
+    without a known framing rule (e.g. ppm, bmp — no trailer) yield NULL
+    verdicts: "can't check" must stay distinct from "checked and failed"
+    or unknown formats would pollute corruption-rate dashboards.
+    ``intact`` additionally requires the file to be at least
+    header+trailer bytes long, so a file that IS just a trailer cannot
+    pass by overlap."""
+    from pyspark.sql import functions as F
+
+    f = F.lower(F.trim(fmt_col))
+    known = bytes_col.isNotNull() & f.isin(*STRUCTURAL_MAGIC)
+    hdr_ok = F.lit(None).cast("boolean")
+    tl_ok = F.lit(None).cast("boolean")
+    min_len = F.lit(None).cast("int")
+    for name, (hh, th) in STRUCTURAL_MAGIC.items():
+        hb, tb = bytes.fromhex(hh), bytes.fromhex(th)
+        hdr_ok = F.when(
+            f == name, F.substring(bytes_col, 1, len(hb)) == F.lit(hb)
+        ).otherwise(hdr_ok)
+        tl_ok = F.when(
+            f == name, F.substring(bytes_col, -len(tb), len(tb)) == F.lit(tb)
+        ).otherwise(tl_ok)
+        min_len = F.when(f == name, F.lit(len(hb) + len(tb))).otherwise(
+            min_len
+        )
+    null_b = F.lit(None).cast("boolean")
+    hdr_ok = F.when(known, hdr_ok).otherwise(null_b)
+    tl_ok = F.when(known, tl_ok).otherwise(null_b)
+    intact = F.when(
+        known, hdr_ok & tl_ok & (F.length(bytes_col) >= min_len)
+    ).otherwise(null_b)
+    return {"header_ok": hdr_ok, "trailer_ok": tl_ok, "intact": intact}
+
+
+def structural_flag_sql(bytes_sql: str, fmt_sql: str, which: str) -> str:
+    """DuckDB twin of :func:`structural_flags` — decided in HEX-STRING
+    space (``hex(blob)`` + left/right) because DuckDB has no blob
+    substring; an independent decomposition of the same framing rule."""
+    f = f"lower(trim({fmt_sql}))"
+    hexb = f"hex({bytes_sql})"
+    arms = {"header_ok": [], "trailer_ok": [], "intact": []}
+    for name, (hh, th) in STRUCTURAL_MAGIC.items():
+        h_ok = f"(left({hexb}, {len(hh)}) = '{hh.upper()}')"
+        t_ok = f"(right({hexb}, {len(th)}) = '{th.upper()}')"
+        long_enough = f"(octet_length({bytes_sql}) >= {(len(hh) + len(th)) // 2})"
+        arms["header_ok"].append(f"WHEN '{name}' THEN {h_ok}")
+        arms["trailer_ok"].append(f"WHEN '{name}' THEN {t_ok}")
+        arms["intact"].append(
+            f"WHEN '{name}' THEN ({h_ok} AND {t_ok} AND {long_enough})"
+        )
+    body = " ".join(arms[which])
+    return (
+        f"(CASE WHEN {bytes_sql} IS NULL THEN NULL "
+        f"ELSE CASE {f} {body} ELSE NULL END END)"
+    )
+
+
+def structural_gate(df, bytes_col: str, fmt_col: str, out_col: str = "framing"):
+    """Annotate ``df`` with a struct<header_ok, trailer_ok, intact>
+    column.  Composition slot: in run_pipeline's cost ordering this sits
+    BETWEEN the q60 metadata gate (no bytes touched at all) and the Arrow
+    decoder (bytes cross the boundary) — mask the decoder's input on
+    ``intact IS NOT FALSE`` to skip Arrow traffic for provably-truncated
+    files while still letting unknown formats through to the sniffing
+    decoder."""
+    from pyspark.sql import functions as F
+
+    flags = structural_flags(F.col(bytes_col), F.col(fmt_col))
+    return df.withColumn(
+        out_col,
+        F.struct(*(v.alias(k) for k, v in flags.items())),
+    )

@@ -4674,6 +4674,134 @@ def q89(spark, sf_dir):
     return LG.domain_authority(_q89_pages(d), "src_domain", "html", iters=1)
 
 
+def _q90_images(d: DataFrame) -> DataFrame:
+    """Deterministic binary-image synthesis shared with the q90 oracle:
+    doc i is a (i%4)-chosen format (jpeg/png/gif/bin) whose body is the
+    md5 hex of its text wrapped in the format's REAL framing bytes; every
+    11th doc gets its first byte stomped to 0x00 (bad magic), every 7th
+    loses its final byte (truncated download — the common crawl failure).
+    GIF's 1-byte trailer means a truncated gif can still end in 0x3b by
+    md5 luck; both engines share the synthesis, so that realism is
+    oracle-safe."""
+    from ..operators.images import STRUCTURAL_MAGIC
+
+    did = F.col("doc_id")
+    payload = F.md5(F.coalesce(F.col("text"), F.lit("")))
+    fmt = (
+        F.when(did % 4 == 0, F.lit("jpeg"))
+        .when(did % 4 == 1, F.lit("png"))
+        .when(did % 4 == 2, F.lit("gif"))
+        .otherwise(F.lit("bin"))
+    )
+    hx = F.lit(None).cast("string")
+    for name, (hh, th) in STRUCTURAL_MAGIC.items():
+        hx = F.when(
+            fmt == name, F.concat(F.lit(hh), payload, F.lit(th))
+        ).otherwise(hx)
+    hx = F.coalesce(hx, payload)  # 'bin': no framing rule
+    hx = F.when(
+        did % 11 == 0, F.concat(F.lit("00"), F.substring(hx, 3, 1_000_000))
+    ).otherwise(hx)
+    hx = F.when(
+        did % 7 == 0, F.substring(hx, F.lit(1), F.length(hx) - 2)
+    ).otherwise(hx)
+    return d.select("doc_id", fmt.alias("fmt"), F.unhex(hx).alias("bytes"))
+
+
+def _q90_oracle() -> str:
+    from ..operators import images as IM
+
+    arms = " ".join(
+        f"WHEN '{name}' THEN '{hh}' || payload || '{th}'"
+        for name, (hh, th) in IM.STRUCTURAL_MAGIC.items()
+    )
+
+    def n_true(which: str) -> str:
+        flag = IM.structural_flag_sql("bytes", "fmt", which)
+        return (
+            f"CAST(SUM(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT) "
+            f"AS n_{which}"
+        )
+
+    intact = IM.structural_flag_sql("bytes", "fmt", "intact")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                  WHEN 2 THEN 'gif' ELSE 'bin' END AS fmt,
+             md5(COALESCE(text, '')) AS payload
+      FROM documents
+    ),
+    hx0 AS (
+      SELECT doc_id, fmt,
+             CASE fmt {arms} ELSE payload END AS hx
+      FROM base
+    ),
+    hx1 AS (
+      SELECT doc_id, fmt,
+             CASE WHEN doc_id % 11 = 0 THEN '00' || substring(hx, 3)
+                  ELSE hx END AS hx
+      FROM hx0
+    ),
+    imgs AS (
+      SELECT doc_id, fmt,
+             unhex(CASE WHEN doc_id % 7 = 0 THEN left(hx, length(hx) - 2)
+                        ELSE hx END) AS bytes
+      FROM hx1
+    )
+    SELECT fmt,
+           COUNT(*) AS n_images,
+           CAST(SUM(CASE WHEN {intact} IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_checked,
+           {n_true("header_ok")},
+           {n_true("trailer_ok")},
+           {n_true("intact")},
+           bit_xor(CASE WHEN {intact} = FALSE THEN doc_id ELSE 0 END)
+             AS corrupt_checksum
+    FROM imgs GROUP BY 1
+    """
+
+
+@_register("q90_image_structural_integrity", _q90_oracle)
+def q90(spark, sf_dir):
+    """Image STRUCTURAL-INTEGRITY pre-gate (operators/images.py:
+    structural_flags): magic + end-of-image trailer framing decided
+    JVM-side on the binary column — substring/length/equality on
+    BinaryType are pure whole-stage codegen, so a truncated download
+    (header pristine, trailer gone: the dominant crawl corruption) is
+    rejected before its bytes ever pay Arrow serialization or a decode
+    attempt.  Tri-state semantics: formats with no framing rule stay
+    NULL-verdict, distinct from "checked and failed".  The corrupt-set
+    checksum value-proves exactly WHICH files each engine rejected.
+    Oracle: an independent hex-string decomposition (DuckDB has no blob
+    substring — left/right over hex(blob)).  Reference ancestor: U1's
+    per-row validator (additional_charge_checks.py:758-792) as the
+    cheap structural half of the q60→decode cost ladder."""
+    from ..operators import images as IM
+
+    d = _t(spark, sf_dir, "documents")
+    imgs = IM.structural_gate(_q90_images(d), "bytes", "fmt")
+    fl = F.col("framing")
+    return imgs.groupBy("fmt").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.when(fl["intact"].isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_checked"),
+        F.sum(F.when(fl["header_ok"], 1).otherwise(0))
+        .cast("long")
+        .alias("n_header_ok"),
+        F.sum(F.when(fl["trailer_ok"], 1).otherwise(0))
+        .cast("long")
+        .alias("n_trailer_ok"),
+        F.sum(F.when(fl["intact"], 1).otherwise(0))
+        .cast("long")
+        .alias("n_intact"),
+        F.bit_xor(
+            F.when(fl["intact"] == False, F.col("doc_id")).otherwise(0)  # noqa: E712
+        ).alias("corrupt_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
