@@ -162,7 +162,20 @@ def domain_authority(
     (1 - damping) floor and 0 inlinks — they still appear (a crawl
     frontier needs the full universe, not just the popular tail).
     """
-    edges = domain_edges(df, src_domain_col, html_col)
+    return authority_from_edges(
+        domain_edges(df, src_domain_col, html_col),
+        iters=iters,
+        damping=damping,
+    )
+
+
+def authority_from_edges(
+    edges: DataFrame, iters: int = 1, damping: float = 0.85
+) -> DataFrame:
+    """The degree/PageRank report over an already-built (src_domain,
+    dst_domain, weight) edge list — the entry point the cross-crawl edge
+    LEDGER uses, where edges arrive merged from committed batches rather
+    than extracted from pages."""
     if iters > 1:
         edges = edges.cache()
     indeg = edges.groupBy(F.col("dst_domain").alias("domain")).agg(

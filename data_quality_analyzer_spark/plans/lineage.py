@@ -1488,3 +1488,90 @@ def sessionize_incremental(
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(store_dir, SESS_MANIFEST))
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Cross-crawl LINK-GRAPH edge ledger (11th ledger): each crawl's weighted
+# domain→domain edge list committed under the atomic-manifest rule.  Edge
+# weights are pure counts, so the merged graph is an ADDITIVE cell-wise
+# sum over committed batches (the CMS-ledger property) — by construction
+# identical to extracting edges from the concatenated crawls, which the
+# equivalence test pins.  Authority (q89's degree/PageRank report) then
+# recomputes over the merged graph without re-parsing a single page:
+# storage and merge cost are GRAPH-sized (|domains|² bound), never
+# corpus-sized.  Reference ancestor: the persisted historical-stats
+# collection (charge_analysis_checks.py:617-905) as accumulating
+# cross-run state under commit discipline.
+# ---------------------------------------------------------------------------
+
+EDGES_MANIFEST = "_edges_manifest.json"
+EDGES_DIR = "link_edges"
+
+
+def read_edges_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, EDGES_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def commit_link_edges(
+    spark: SparkSession,
+    pages: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    src_domain_col: str = "src_domain",
+    html_col: str = "html",
+) -> None:
+    """Extract this crawl's weighted domain edges and commit them.
+    Replaying a committed ``batch_id`` is a guarded no-op (weights are
+    summed at read time — a double commit would double-count, so the
+    manifest guard IS the correctness mechanism, as in the CMS ledger).
+    Data lands before the manifest references it (torn batches stay
+    invisible)."""
+    from ..operators import linkgraph as LG
+
+    manifest = read_edges_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+    edges = LG.domain_edges(pages, src_domain_col, html_col)
+    batch_dir = os.path.join(store_dir, EDGES_DIR, f"batch_id={batch_id}")
+    if os.path.exists(batch_dir):  # torn previous attempt
+        shutil.rmtree(batch_dir)
+    edges.write.parquet(batch_dir)
+    manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    tmp = os.path.join(store_dir, EDGES_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, EDGES_MANIFEST))
+
+
+def link_ledger_edges(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The merged (weight-summed) edge list over every committed crawl —
+    one graph-sized hash aggregate over the batch partitions."""
+    manifest = read_edges_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed link edges at {store_dir!r}")
+    return (
+        spark.read.parquet(os.path.join(store_dir, EDGES_DIR))
+        .filter(F.col("batch_id").isin(manifest["batches"]))
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.sum("weight").cast("long").alias("weight"))
+    )
+
+
+def link_ledger_authority(
+    spark: SparkSession,
+    store_dir: str,
+    iters: int = 1,
+    damping: float = 0.85,
+) -> DataFrame:
+    """q89's degree/PageRank authority report over the union of every
+    committed crawl's edges — no page HTML is ever re-read."""
+    from ..operators import linkgraph as LG
+
+    return LG.authority_from_edges(
+        link_ledger_edges(spark, store_dir), iters=iters, damping=damping
+    )

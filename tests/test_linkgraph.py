@@ -147,6 +147,56 @@ def test_domain_authority_floor_and_degrees(spark):
     assert got["y.com"]["pr"] == pytest.approx(1.0)  # 0.15 + 0.85 * 1.0
 
 
+def test_link_edge_ledger_matches_one_shot(spark, tmp_path):
+    """Three committed crawls must merge to EXACTLY the edges (and
+    therefore the authority report) of one-shot extraction over the
+    concatenated pages; replaying a batch must not double-count."""
+    from data_quality_analyzer_spark.plans import lineage as L
+    from data_quality_analyzer_spark.plans.entry_queries import _q89_pages
+
+    store = str(tmp_path / "edges_ledger")
+    d = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    all_pages = _q89_pages(d)
+    batches = [
+        _q89_pages(d.filter(F.col("doc_id") % 3 == k)) for k in range(3)
+    ]
+    for k, b in enumerate(batches):
+        L.commit_link_edges(spark, b, store, f"crawl-{k}")
+    L.commit_link_edges(spark, batches[1], store, "crawl-1")  # replay no-op
+
+    merged = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in L.link_ledger_edges(spark, store).collect()
+    }
+    one_shot = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in LG.domain_edges(all_pages, "src_domain", "html").collect()
+    }
+    assert merged == one_shot and len(merged) > 0
+
+    led = {
+        r["domain"]: r
+        for r in L.link_ledger_authority(spark, store, iters=2).collect()
+    }
+    direct = {
+        r["domain"]: r
+        for r in LG.domain_authority(
+            all_pages, "src_domain", "html", iters=2
+        ).collect()
+    }
+    assert set(led) == set(direct)
+    for dom in direct:
+        assert led[dom]["n_inlinks"] == direct[dom]["n_inlinks"]
+        assert led[dom]["pr"] == pytest.approx(direct[dom]["pr"], abs=1e-9)
+
+
+def test_link_ledger_empty_raises(spark, tmp_path):
+    from data_quality_analyzer_spark.plans import lineage as L
+
+    with pytest.raises(ValueError):
+        L.link_ledger_edges(spark, str(tmp_path / "nope"))
+
+
 def test_pagerank_rejects_bad_iters(spark):
     edges = spark.createDataFrame(
         PLANTED, "src_domain string, dst_domain string, weight long"
