@@ -4802,6 +4802,50 @@ def q90(spark, sf_dir):
     )
 
 
+_Q91_CAP = 8  # politeness: at most 8 of a domain's URLs per fetch wave
+
+
+def _q91_oracle() -> str:
+    from ..operators import frontier as FR
+
+    urls = (
+        "SELECT 'https://' || source || '.example.com/p' "
+        "|| CAST(doc_id AS VARCHAR) AS url FROM documents"
+    )
+    return f"WITH urls AS ({urls})\n" + FR.fetch_plan_duck_sql(
+        "urls", "url", _Q91_CAP
+    )
+
+
+@_register("q91_fetch_plan", _q91_oracle)
+def q91(spark, sf_dir):
+    """Crawl-frontier POLITENESS plan (operators/frontier.py): every URL
+    gets a deterministic per-domain rank (ordered by the portable h60
+    hash — same waves on any cluster size, retry, or engine) and a fetch
+    slot = (rank−1) div cap, so wave k carries at most cap URLs per
+    domain; the report's max_per_domain column IS the politeness proof
+    and the per-wave h60 checksum value-pins wave membership.  This is
+    the dispatch stage after the q85 robots gate, q87 sitemap discovery,
+    q61 canonical collapse, and q82 seen-filter.  Plan: one
+    hash-by-domain exchange feeds the ordered window (hot-domain cost =
+    that domain's URL count; the q69 two-phase rank is the 10^9-URL
+    escape hatch, per the operator docstring), then two graph-sized hash
+    aggs.  Reference ancestor: S7 sampling scan
+    (additional_charge_checks.py:741) as bounded-batch work dispatch."""
+    from ..operators import frontier as FR
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    return FR.fetch_plan(urls, "url", _Q91_CAP)
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

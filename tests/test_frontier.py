@@ -1,0 +1,78 @@
+"""Frontier politeness scheduling: cap invariant, rank contiguity,
+determinism under repartition/row order, unparseable-URL exclusion,
+and contract errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.operators import frontier as FR
+
+URLS = (
+    [(f"https://big.com/p{i}",) for i in range(23)]
+    + [(f"https://mid.org/a{i}",) for i in range(8)]
+    + [("https://one.net/x",), (None,), ("   ",)]
+)
+
+
+@pytest.fixture(scope="module")
+def urls(spark):
+    return spark.createDataFrame(URLS, "url string")
+
+
+def test_cap_invariant_and_rank_contiguity(urls):
+    slots = FR.assign_fetch_slots(urls, "url", per_domain_cap=5).collect()
+    by_dom: dict[str, list] = {}
+    for r in slots:
+        by_dom.setdefault(r["domain"], []).append(r)
+    # unparseable URLs excluded entirely
+    assert set(by_dom) == {"big.com", "mid.org", "one.net"}
+    assert len(by_dom["big.com"]) == 23
+    for dom, rows in by_dom.items():
+        ranks = sorted(r["rank_in_domain"] for r in rows)
+        assert ranks == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert r["fetch_slot"] == (r["rank_in_domain"] - 1) // 5
+    # wave loads: big.com fills waves 0-3 with 5,5,5,5,3
+    big = by_dom["big.com"]
+    per_slot = {}
+    for r in big:
+        per_slot[r["fetch_slot"]] = per_slot.get(r["fetch_slot"], 0) + 1
+    assert per_slot == {0: 5, 1: 5, 2: 5, 3: 5, 4: 3}
+
+
+def test_fetch_plan_politeness_proof(urls):
+    plan = {
+        r["fetch_slot"]: r
+        for r in FR.fetch_plan(urls, "url", per_domain_cap=5).collect()
+    }
+    assert set(plan) == {0, 1, 2, 3, 4}
+    for r in plan.values():
+        assert r["max_per_domain"] <= 5
+    # wave 0 carries all three domains; the tail waves only big.com
+    assert plan[0]["n_domains"] == 3
+    assert plan[0]["n_urls"] == 5 + 5 + 1
+    assert plan[4] is not None and plan[4]["n_urls"] == 3
+
+
+def test_assignment_invariant_to_layout_and_row_order(spark, urls):
+    base = {
+        r["url"]: (r["fetch_slot"], r["rank_in_domain"])
+        for r in FR.assign_fetch_slots(urls, "url", 5).collect()
+    }
+    shuffled = spark.createDataFrame(
+        list(reversed(URLS)), "url string"
+    ).repartition(7)
+    again = {
+        r["url"]: (r["fetch_slot"], r["rank_in_domain"])
+        for r in FR.assign_fetch_slots(shuffled, "url", 5).collect()
+    }
+    assert base == again
+
+
+def test_cap_contract(urls):
+    with pytest.raises(ValueError):
+        FR.assign_fetch_slots(urls, "url", 0)
+    with pytest.raises(ValueError):
+        FR.fetch_plan_duck_sql("urls", "url", 0)
