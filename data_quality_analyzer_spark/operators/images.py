@@ -443,6 +443,28 @@ def structural_flag_sql(bytes_sql: str, fmt_sql: str, which: str) -> str:
     )
 
 
+def sniffable(bytes_col):
+    """True iff the decoder's own magic table (``sources/codecs.MAGIC``)
+    would sniff these bytes — i.e. ``sniff_format`` returns non-None.
+    Built FROM that table so the Catalyst predicate and the Python sniff
+    can never drift.  This is the verdict-neutral decode pre-mask:
+    unsniffable bytes are exactly the rows where ``validate_batch``
+    yields magic_ok=False, decodable=False without reading past the
+    prefix, so masking them out of the Arrow batch changes no flag.
+    (A declared-format mismatch is NOT maskable: the decoder decodes by
+    sniffed content, not the label.)"""
+    from pyspark.sql import functions as F
+
+    from ..sources.codecs import MAGIC
+
+    pred = F.lit(False)
+    for magic in MAGIC.values():
+        pred = pred | (
+            F.substring(bytes_col, 1, len(magic)) == F.lit(bytes(magic))
+        )
+    return pred
+
+
 def structural_gate(df, bytes_col: str, fmt_col: str, out_col: str = "framing"):
     """Annotate ``df`` with a struct<header_ok, trailer_ok, intact>
     column.  Composition slot: in run_pipeline's cost ordering this sits

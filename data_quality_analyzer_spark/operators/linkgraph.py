@@ -203,6 +203,80 @@ def authority_from_edges(
     )
 
 
+#: anchor capture — href + inner text in ONE pattern so the two
+#: regexp_extract_all calls (group 1, group 2) see the SAME match set
+#: and zip positionally without drift; backslash-free (SQL-literal rule).
+ANCHOR_PATTERN = 'href="([^"]+)"[^>]*>([^<]*)<'
+
+
+def extract_anchors(
+    df: DataFrame, html_col: str
+) -> DataFrame:
+    """One row per anchor: (link_url, anchor_text).  Two
+    ``regexp_extract_all`` passes over the SAME pattern (group 1 = href,
+    group 2 = inner text) — identical match sets, so ``arrays_zip`` is
+    positionally exact; one explode.  Anchor text is trimmed; empty
+    (image-only) anchors stay as '' rows — dropping them is the
+    caller's policy."""
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 1).alias(
+            "link_url"
+        ),
+        F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_PATTERN), 2).alias(
+            "anchor_text"
+        ),
+    )
+    out = df.withColumn("_a", F.explode(pairs)).drop(html_col)
+    return out.select(
+        *[c for c in out.columns if c != "_a"],
+        F.col("_a.link_url").alias("link_url"),
+        F.trim(F.col("_a.anchor_text")).alias("anchor_text"),
+    )
+
+
+def anchor_text_profile(
+    df: DataFrame, src_domain_col: str, html_col: str
+) -> DataFrame:
+    """Per TARGET domain, the off-site anchor-text signal: how many
+    inbound anchors, how many distinct texts, and the single most common
+    text (count-then-lexicographic election via one max(struct) hash
+    agg — the q80 winner shape, never a window).  Anchor text is what
+    OTHER sites call a page — the classic relevance/quality signal that
+    complements q89's structural authority.  Self-links and empty texts
+    are excluded; two hash aggregates, both graph-sized."""
+    slim = df.select(
+        F.col(src_domain_col).alias("src_domain"), F.col(html_col)
+    )
+    a = extract_anchors(slim, html_col)
+    a = a.select(
+        "src_domain",
+        extract_domain(F.col("link_url")).alias("domain"),
+        F.col("anchor_text"),
+    ).filter(
+        F.col("domain").isNotNull()
+        & (F.col("domain") != F.col("src_domain"))
+        & (F.col("anchor_text") != "")
+    )
+    per_text = a.groupBy("domain", "anchor_text").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    # winner = most-frequent text, ties to the lexicographically smallest:
+    # min(struct(-n, text)) — the q19 hash-agg election, never a window
+    return per_text.groupBy("domain").agg(
+        F.sum("n").cast("long").alias("n_anchors"),
+        F.count("*").cast("long").alias("n_distinct_texts"),
+        F.min(F.struct((-F.col("n")).alias("_neg"), "anchor_text")).alias(
+            "_w"
+        ),
+    ).select(
+        "domain",
+        "n_anchors",
+        "n_distinct_texts",
+        F.col("_w.anchor_text").alias("top_text"),
+        (-F.col("_w._neg")).cast("long").alias("top_text_n"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB twins — used by the q89 oracle and the iteration-equivalence tests.
 # ---------------------------------------------------------------------------

@@ -4846,6 +4846,123 @@ def q91(spark, sf_dir):
     return FR.fetch_plan(urls, "url", _Q91_CAP)
 
 
+def _q92_pages(d: DataFrame) -> DataFrame:
+    """q89's deterministic link topology with anchor TEXT from a 5-word
+    vocabulary ('anchor-{(i+3j) % 5}'), so per-target-domain text
+    elections have real frequency structure and ties."""
+    did = F.col("doc_id")
+
+    def url(e) -> Column:
+        return F.concat(
+            F.lit("https://site"),
+            e.cast("string"),
+            F.lit(".example.com/p"),
+            did.cast("string"),
+        )
+
+    frags = [
+        F.when(
+            (did % 4) + 1 >= j,
+            F.concat(
+                F.lit('<a href="'),
+                url((did * 7 + j * 13) % _Q89_SITES),
+                F.lit('">anchor-'),
+                ((did + 3 * j) % 5).cast("string"),
+                F.lit("</a>"),
+            ),
+        ).otherwise(F.lit(""))
+        for j in range(1, 5)
+    ]
+    from ..operators import domains as DM
+
+    return d.select(
+        DM.extract_domain(url(did % _Q89_SITES)).alias("src_domain"),
+        F.concat(*frags).alias("html"),
+    )
+
+
+def _q92_oracle() -> str:
+    from ..operators import domains as DM
+    from ..operators import linkgraph as LG
+
+    def url(e: str) -> str:
+        return (
+            f"'https://site' || CAST({e} AS VARCHAR) || '.example.com/p' "
+            "|| CAST(doc_id AS VARCHAR)"
+        )
+
+    frags = " || ".join(
+        f"""CASE WHEN (doc_id % 4) + 1 >= {j}
+             THEN '<a href="' || {url(f"(doc_id * 7 + {j} * 13) % {_Q89_SITES}")}
+                  || '">anchor-' || CAST((doc_id + 3 * {j}) % 5 AS VARCHAR) || '</a>'
+             ELSE '' END"""
+        for j in (1, 2, 3, 4)
+    )
+    pat = LG.ANCHOR_PATTERN
+    return f"""
+    WITH pages AS (
+      SELECT {DM.extract_domain_sql(url(f"doc_id % {_Q89_SITES}"))} AS src_domain,
+             {frags} AS html
+      FROM documents
+    ),
+    anchors AS (
+      SELECT src_domain, z[1] AS link_url, trim(z[2]) AS anchor_text
+      FROM (
+        SELECT src_domain,
+               UNNEST(list_zip(regexp_extract_all(html, '{pat}', 1),
+                               regexp_extract_all(html, '{pat}', 2))) AS z
+        FROM pages
+      )
+    ),
+    f AS (
+      SELECT {DM.extract_domain_sql('link_url')} AS domain,
+             anchor_text, COUNT(*) AS n
+      FROM anchors
+      WHERE {DM.extract_domain_sql('link_url')} IS NOT NULL
+        AND {DM.extract_domain_sql('link_url')} <> src_domain
+        AND anchor_text <> ''
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT domain, anchor_text, n,
+             ROW_NUMBER() OVER (PARTITION BY domain
+                                ORDER BY n DESC, anchor_text) AS rn
+      FROM f
+    )
+    SELECT r.domain,
+           s.n_anchors,
+           s.n_distinct_texts,
+           r.anchor_text AS top_text,
+           CAST(r.n AS BIGINT) AS top_text_n
+    FROM r
+    JOIN (
+      SELECT domain, CAST(SUM(n) AS BIGINT) AS n_anchors,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_texts
+      FROM f GROUP BY 1
+    ) s USING (domain)
+    WHERE rn = 1
+    """
+
+
+@_register("q92_anchor_text_profile", _q92_oracle)
+def q92(spark, sf_dir):
+    """ANCHOR-TEXT profile per target domain (operators/linkgraph.py:
+    anchor_text_profile): what OTHER sites call a page — the classic
+    relevance/quality complement to q89's structural authority.  Pairs
+    come from ONE pattern read twice (group 1 = href, group 2 = text) so
+    arrays_zip is positionally exact; election of the top text is the
+    q19 min(struct(-n, text)) hash aggregate — most-frequent wins, ties
+    to the lexicographically smallest, never a window.  Self-links and
+    empty (image-only) anchors are excluded.  Oracle: independent
+    ROW_NUMBER decomposition over a DuckDB list_zip replay of the same
+    parse.  Reference ancestor: A10 $first-in-group election
+    (claim_analysis.py:196-205) lifted to the link graph's text axis."""
+    from ..operators import linkgraph as LG
+
+    d = _t(spark, sf_dir, "documents")
+    return LG.anchor_text_profile(_q92_pages(d), "src_domain", "html")
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -106,6 +106,7 @@ def run_pipeline(
     short_circuit: bool = True,
     fuse_scores: bool = True,
     with_quality_clf: bool = True,
+    structural_pregate: bool = False,
 ) -> DataFrame:
     """images(input_hint schema) → verdict table.
 
@@ -124,6 +125,20 @@ def run_pipeline(
     the measurable A/B for the attribution bench.  ``with_quality_clf=
     False`` skips the trained-classifier stage entirely (its rule passes
     vacuously) — bench attribution only; production keeps it on.
+
+    ``structural_pregate=True`` additionally masks the decoder's bytes
+    input for rows the sniffer PROVABLY rejects — bytes carrying none of
+    the decoder's known magics (operators/images.sniffable, pure JVM
+    codegen over the same ``codecs.MAGIC`` table) never pay Arrow
+    serialization.  Verdict-neutral BY CONSTRUCTION: ``validate_batch``
+    produces magic_ok=False, decodable=False for unsniffable bytes
+    without reading past the prefix, so a masked row's flags are
+    identical (row-for-row tested on the fixture corpus).  Two stricter
+    masks were considered and rejected: declared-format mismatch (the
+    decoder decodes by sniffed CONTENT, so such rows can be decodable)
+    and q90's trailer-truncation check (decode_png is lenient about a
+    missing IEND, as libpng is) — both would flip verdicts; q90 stays a
+    reporting/triage signal.
     """
     s = settings or CFG.DEFAULT_SETTINGS
     c = F.col("caption")
@@ -230,9 +245,16 @@ def run_pipeline(
     # -- stage 4: image validation (bytes cross Python exactly once, and
     # only for rows that survived the critical gate) ------------------------
     validator = IM.image_validator_udf(min_dim=s.min_dim, max_dim=s.max_dim)
+    bytes_in = F.col("bytes")
+    if structural_pregate:
+        # mask ONLY unsniffable bytes (no known magic): the decoder would
+        # reject them from the prefix alone, so no flag can change; a
+        # declared-format mismatch must still cross — the decoder decodes
+        # by sniffed content, not the label
+        bytes_in = F.when(IM.sniffable(F.col("bytes")), F.col("bytes"))
     df = df.withColumn(
         "_img",
-        validator(F.when(gate, F.col("bytes")), F.col("w"), F.col("h"), F.col("fmt")),
+        validator(F.when(gate, bytes_in), F.col("w"), F.col("h"), F.col("fmt")),
     )
     df = df.withColumns(
         {

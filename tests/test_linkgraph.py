@@ -147,6 +147,58 @@ def test_domain_authority_floor_and_degrees(spark):
     assert got["y.com"]["pr"] == pytest.approx(1.0)  # 0.15 + 0.85 * 1.0
 
 
+def test_extract_anchors_pairs(spark):
+    rows = [
+        (
+            "s.com",
+            '<a href="https://a.com/1" class="x" rel=nofollow> One </a>'
+            '<a href="https://b.com/2"></a>'  # image-only: empty text
+            '<a href="https://c.com/3">Two</a>',
+        )
+    ]
+    df = spark.createDataFrame(rows, "src_domain string, html string")
+    got = [
+        (r["link_url"], r["anchor_text"])
+        for r in LG.extract_anchors(df, "html")
+        .orderBy("link_url")
+        .collect()
+    ]
+    # attributes between href and '>' must not break the pairing; text
+    # is trimmed; empty anchors survive extraction (policy is downstream)
+    assert got == [
+        ("https://a.com/1", "One"),
+        ("https://b.com/2", ""),
+        ("https://c.com/3", "Two"),
+    ]
+
+
+def test_anchor_text_profile_election(spark):
+    def page(src, url, text):
+        return (src, f'<a href="{url}">{text}</a>')
+
+    rows = [
+        page("s1.com", "https://t.com/a", "beta"),
+        page("s2.com", "https://t.com/b", "beta"),
+        page("s3.com", "https://t.com/c", "alpha"),
+        page("s4.com", "https://t.com/d", "alpha"),  # tie 2-2: alpha wins
+        page("s5.com", "https://t.com/e", "gamma"),
+        page("t.com", "https://t.com/self", "self"),  # self-link excluded
+        page("s6.com", "https://u.org/x", ""),  # empty text excluded
+        page("s7.com", "https://u.org/y", "only"),
+    ]
+    df = spark.createDataFrame(rows, "src_domain string, html string")
+    got = {
+        r["domain"]: r
+        for r in LG.anchor_text_profile(df, "src_domain", "html").collect()
+    }
+    assert set(got) == {"t.com", "u.org"}
+    t = got["t.com"]
+    assert (t["n_anchors"], t["n_distinct_texts"]) == (5, 3)
+    assert (t["top_text"], t["top_text_n"]) == ("alpha", 2)
+    u = got["u.org"]
+    assert (u["n_anchors"], u["top_text"], u["top_text_n"]) == (1, "only", 1)
+
+
 def test_link_edge_ledger_matches_one_shot(spark, tmp_path):
     """Three committed crawls must merge to EXACTLY the edges (and
     therefore the authority report) of one-shot extraction over the
