@@ -4963,6 +4963,84 @@ def q92(spark, sf_dir):
     return LG.anchor_text_profile(_q92_pages(d), "src_domain", "html")
 
 
+_Q93_BUCKETS = 64  # phash-bucket layout width
+_Q93_HOT = 7  # the planted hot bucket (~1/3 of the corpus lands here)
+
+
+def _q93_bucket_sql(engine: str) -> str:
+    """Shared bucket rule: every third image collapses into one hot
+    bucket (the 'language/format hot spot' of the north rule), the rest
+    spread by a multiplicative mix."""
+    assert engine in ("spark", "duck")
+    return (
+        f"CASE WHEN doc_id % 3 = 0 THEN {_Q93_HOT} "
+        f"ELSE (doc_id * 31) % {_Q93_BUCKETS} END"
+    )
+
+
+def _q93_oracle() -> str:
+    bucket = _q93_bucket_sql("duck")
+    return f"""
+    WITH per AS (
+      SELECT {bucket} AS phash_bucket,
+             COUNT(*) AS n_images,
+             bit_xor(doc_id) AS id_checksum
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_images) AS total FROM per)
+    SELECT phash_bucket,
+           CAST(n_images AS BIGINT) AS n_images,
+           id_checksum,
+           (n_images * {_Q93_BUCKETS} > 2 * total) AS hot
+    FROM per, tot
+    """
+
+
+@_register("q93_phash_bucket_layout", _q93_oracle)
+def q93(spark, sf_dir):
+    """pHash-bucket LAYOUT audit under EXPLICIT SALTING (operators/
+    skew.py:two_phase_agg): the per-bucket image counts + membership
+    checksums that a phash-partitioned Iceberg writer reviews before
+    committing a layout, computed with the salt → partial(key, salt) →
+    merge(key) two-phase aggregate so the planted hot bucket (a third of
+    the corpus) spreads over n salt reducers instead of landing on one
+    task — the north rule's 'explicit salting for skewed hot spots'
+    mechanism, here under an oracle instead of only test_skew.  The
+    oracle is the PLAIN single-phase GROUP BY: value equality (counts
+    AND bit_xor membership) proves the salted decomposition exact.
+    Buckets >2x the mean are flagged hot via a single-row broadcast
+    cross-join (q59's pattern — no second corpus pass).  Reference
+    ancestor: S6 index/partitioning discipline (database.py init_indexes)
+    + A16 bucketed histogram (payer_analysis.py)."""
+    from ..operators import skew as SK
+
+    d = _t(spark, sf_dir, "documents")
+    buckets = d.select(
+        F.expr(_q93_bucket_sql("spark")).alias("phash_bucket"), "doc_id"
+    )
+    per = SK.two_phase_agg(
+        buckets,
+        "phash_bucket",
+        partial_aggs=[
+            F.count("*").alias("_n"),
+            F.bit_xor("doc_id").alias("_ck"),
+        ],
+        final_aggs=[
+            F.sum("_n").cast("long").alias("n_images"),
+            F.bit_xor("_ck").alias("id_checksum"),
+        ],
+        n=8,
+        salt_cols=["doc_id"],
+    )
+    tot = per.agg(F.sum("n_images").alias("_total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "phash_bucket",
+        "n_images",
+        "id_checksum",
+        (F.col("n_images") * _Q93_BUCKETS > 2 * F.col("_total")).alias("hot"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
