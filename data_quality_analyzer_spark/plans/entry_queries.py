@@ -5041,6 +5041,97 @@ def q93(spark, sf_dir):
     )
 
 
+_Q94_TOPK = 3  # terms reported per domain
+
+
+def _q94_oracle() -> str:
+    toks = TX.WS_TOKENS_DUCK.format(c="text")
+    return f"""
+    WITH toks AS (
+      SELECT source, UNNEST({toks}) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, COUNT(*) AS df_domains FROM tf GROUP BY 1
+    ),
+    nd AS (
+      SELECT COUNT(DISTINCT source) AS n_domains FROM tf
+    ),
+    scored AS (
+      SELECT tf.source, tf.term, tf.tf, df.df_domains,
+             ROUND(tf.tf * ln(CAST(nd.n_domains AS DOUBLE) / df.df_domains),
+                   4) AS tfidf
+      FROM tf JOIN df USING (term), nd
+    )
+    SELECT source, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df_domains AS BIGINT) AS df_domains, tfidf,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY source
+        ORDER BY tfidf DESC, tf DESC, df_domains ASC, term ASC
+      ) AS rnk
+      FROM scored
+    )
+    WHERE rnk <= {_Q94_TOPK}
+    """
+
+
+@_register("q94_domain_top_terms", _q94_oracle)
+def q94(spark, sf_dir):
+    """TF-IDF TOP TERMS per source domain — the per-source vocabulary
+    profile curators read before trusting a domain tier (and the
+    feature feed a q62-style importance sampler would use).  tf = term
+    count within the domain, idf = ln(N_domains / df_domains), both from
+    ONE tokenize-explode pass (projection before the generator) and two
+    graph-sized hash aggregates; N_domains rides in as a single-row
+    broadcast cross-join (q59's pattern).  Ranking is grid-stable across
+    engines (the q86 lesson): ROUND(score, 4) first, then the EXACT
+    integer chain (tf DESC, df ASC, term ASC) so a 1-ulp ln() divergence
+    cannot reorder rows; the per-domain window is bounded by that
+    domain's vocabulary.  Reference ancestor: A14 group-count
+    distribution (payer_analysis.py) lifted to the term axis with an
+    inverse-document weight."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = d.select(
+        "source",
+        F.explode(F.expr(TX.WS_TOKENS_SPARK.format(c="text"))).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df_domains"))
+    nd = tf.agg(F.countDistinct("source").alias("n_domains"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "source",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df_domains").cast("long").alias("df_domains"),
+            F.round(
+                F.col("tf")
+                * F.log(
+                    F.col("n_domains").cast("double") / F.col("df_domains")
+                ),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(),
+        F.col("tf").desc(),
+        F.col("df_domains").asc(),
+        F.col("term").asc(),
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _Q94_TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
