@@ -1,0 +1,124 @@
+"""Composed crawl-frontier planning: discovery → dedup → policy → waves.
+
+``plan_crawl`` chains the crawl-ops operators the same way
+``prep_text_corpus`` chains the corpus ones, cheapest-reject-first:
+
+  1. **Discover** — ``<loc>`` entries out of sitemap XML (q87's parse,
+     promoted here), spec-permitted whitespace trimmed.
+  2. **Canonical collapse** (q61) — tracking-param/www/fragment variants
+     merge BEFORE any policy work; one distinct on the canonical form.
+  3. **Robots gate** (q85) — parse each domain's robots.txt once
+     (rules are domain-sized, broadcast), keep URLs whose longest
+     matching rule allows fetching.
+  4. **Seen filter** (q82's committed Bloom ledger) — URLs already
+     fetched by ANY previous crawl drop out map-only against the packed
+     words literal.  One-sided: a Bloom false positive SKIPS a URL
+     (re-crawled next refresh at worst), never fetches a dup.
+  5. **Politeness waves** (q91) — deterministic per-domain fetch slots,
+     at most ``per_domain_cap`` URLs per domain per wave.
+
+Pass ``funnel=[]`` to collect per-stage (rows, dropped) audit entries
+(same contract as prep_text_corpus; each boundary costs one count job).
+
+Scale shape: stages 1–4 are map-only or broadcast-joined — the only
+required shuffles are the canonical distinct and the per-domain window
+of stage 5.  Nothing here reads page bodies; the whole plan runs on
+URL-sized rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import domains as DM
+from ..operators import frontier as FR
+from ..operators import robots as RB
+from ..operators import sketches as SK
+
+#: q87's <loc> capture — backslash-free (Spark SQL-literal rule)
+SITEMAP_LOC_PATTERN = "<loc>([^<]+)</loc>"
+
+
+def discover_sitemap_urls(
+    df: DataFrame, xml_col: str, out_col: str = "url"
+) -> DataFrame:
+    """One row per ``<loc>`` entry across the sitemap corpus, trimmed
+    (the sitemap spec permits surrounding whitespace).  Projection
+    before the explode; pure codegen."""
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(SITEMAP_LOC_PATTERN), 1
+    )
+    return (
+        df.select(F.explode(locs).alias(out_col))
+        .select(F.trim(F.col(out_col)).alias(out_col))
+        .filter(F.col(out_col) != "")
+    )
+
+
+def plan_crawl(
+    spark: SparkSession,
+    sitemaps: DataFrame,
+    robots: DataFrame | None = None,
+    seen_store: str | None = None,
+    xml_col: str = "sitemap_xml",
+    per_domain_cap: int = 8,
+    funnel: list | None = None,
+) -> DataFrame:
+    """Sitemap corpus → politeness-scheduled fetch plan.
+
+    ``sitemaps``: frame with ``xml_col`` holding sitemap XML documents.
+    ``robots``: optional (domain, robots_txt) frame — omitted ⇒ every
+    URL is allowed (RFC 9309's no-robots default).  ``seen_store``:
+    optional q82 Bloom-ledger directory of previously fetched canonical
+    URLs.  Returns (domain, url, rank_in_domain, fetch_slot).
+    """
+
+    def boundary(df: DataFrame, stage: str, prev_rows: int | None):
+        if funnel is None:
+            return df, None
+        n = df.count()
+        funnel.append(
+            {
+                "stage": stage,
+                "rows": n,
+                "dropped": None if prev_rows is None else prev_rows - n,
+            }
+        )
+        return df, n
+
+    urls = discover_sitemap_urls(sitemaps, xml_col)
+    urls, n = boundary(urls, "discover", None)
+
+    canon = urls.select(
+        DM.canonicalize_url(F.col("url")).alias("url")
+    ).filter(F.col("url").isNotNull()).distinct()
+    canon, n = boundary(canon, "canonical_distinct", n)
+
+    if robots is not None:
+        rules = RB.parse_robots(robots)
+        gated = (
+            RB.apply_robots(canon, rules, url_col="url", id_cols=())
+            .filter(F.col("robots_allowed"))
+            .drop("robots_allowed")
+        )
+    else:
+        gated = canon
+    gated, n = boundary(gated, "robots_gate", n)
+
+    if seen_store is not None:
+        from . import lineage as LN
+
+        words, k, m = LN.bloom_ledger_words(spark, seen_store)
+        fresh = (
+            SK.bloom_probe(gated, "url", words, k=k, m=m)
+            .filter(~F.col("bloom_hit"))
+            .drop("bloom_hit")
+        )
+    else:
+        fresh = gated
+    fresh, n = boundary(fresh, "seen_filter", n)
+
+    plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
+    plan, _ = boundary(plan, "fetch_waves", n)
+    return plan

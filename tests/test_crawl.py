@@ -1,0 +1,107 @@
+"""Composed crawl planning: each stage's planted reject must fall at
+exactly its own boundary, the funnel must attribute every drop, and the
+final waves must respect the politeness cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_quality_analyzer_spark.plans import crawl as CW
+
+
+def _sitemap(urls):
+    return "".join(f"<url><loc>{u}</loc></url>" for u in urls)
+
+
+@pytest.fixture(scope="module")
+def scenario(spark, tmp_path_factory):
+    """a.com: a utm-variant pair (collapses), a robots-blocked path, a
+    plain page.  b.org: one already-crawled page (in the Bloom ledger)
+    plus three fresh ones; cap=2 forces two waves for b.org."""
+    sitemaps = spark.createDataFrame(
+        [
+            (
+                _sitemap(
+                    [
+                        "https://a.com/page1",
+                        " https://a.com/page1?utm_source=map ",  # variant
+                        "https://a.com/private/secret",  # robots-blocked
+                        "https://a.com/page2",
+                    ]
+                ),
+            ),
+            (
+                _sitemap(
+                    [
+                        "https://b.org/old",  # committed as seen
+                        "https://b.org/new1",
+                        "https://b.org/new2",
+                        "https://b.org/new3",
+                    ]
+                ),
+            ),
+        ],
+        "sitemap_xml string",
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string",
+    )
+    store = str(tmp_path_factory.mktemp("crawl") / "seen_bloom")
+    from data_quality_analyzer_spark.plans import lineage as L
+
+    from data_quality_analyzer_spark.operators import domains as DM
+
+    # the ledger stores CANONICAL urls — same normalization the planner
+    # probes with
+    seen = spark.createDataFrame(
+        [("https://b.org/old",)], "raw string"
+    ).select(DM.canonicalize_url(F.col("raw")).alias("url"))
+    L.commit_bloom(spark, seen, store, "crawl-000", "url")
+    return sitemaps, robots, store
+
+
+def test_plan_crawl_funnel_and_waves(spark, scenario):
+    sitemaps, robots, store = scenario
+    funnel: list = []
+    plan = CW.plan_crawl(
+        spark,
+        sitemaps,
+        robots=robots,
+        seen_store=store,
+        per_domain_cap=2,
+        funnel=funnel,
+    )
+    rows = {
+        r["url"]: (r["domain"], r["fetch_slot"]) for r in plan.collect()
+    }
+    # survivors in canonical (scheme-stripped) form: a.com page1
+    # (variant collapsed) + page2; b.org new1..new3
+    assert set(rows) == {
+        "a.com/page1",
+        "a.com/page2",
+        "b.org/new1",
+        "b.org/new2",
+        "b.org/new3",
+    }
+    # politeness: cap=2 -> b.org spills into a second wave, a.com doesn't
+    b_slots = sorted(s for u, (d, s) in rows.items() if d == "b.org")
+    assert b_slots == [0, 0, 1]
+    assert all(s == 0 for u, (d, s) in rows.items() if d == "a.com")
+
+    stages = [(e["stage"], e["rows"], e["dropped"]) for e in funnel]
+    assert stages == [
+        ("discover", 8, None),
+        ("canonical_distinct", 7, 1),  # the utm variant collapsed
+        ("robots_gate", 6, 1),  # /private/ rejected
+        ("seen_filter", 5, 1),  # /old already crawled
+        ("fetch_waves", 5, 0),
+    ]
+
+
+def test_plan_crawl_defaults_allow_everything(spark, scenario):
+    """No robots, no seen ledger: every canonical URL is scheduled."""
+    sitemaps, _, _ = scenario
+    plan = CW.plan_crawl(spark, sitemaps, per_domain_cap=8)
+    assert plan.count() == 7  # 8 locs minus the collapsed variant
