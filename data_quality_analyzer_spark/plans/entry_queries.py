@@ -5132,6 +5132,101 @@ def q94(spark, sf_dir):
     )
 
 
+def _q95_keys(engine: str) -> tuple[str, str]:
+    """Shared (img_key, cap_key) synthesis: per 8-block, residues {0,1}
+    share BOTH fingerprints (true duplicate pair), {2,3} share only the
+    image (re-captioned dup), {4,5} share only the caption (stock
+    caption), {6,7} are unique — every crosstab class is planted with
+    known mass.  Unique keys live in disjoint ranges (1e6/2e6 offsets)."""
+    div = "doc_id // 8" if engine == "duck" else "doc_id div 8"
+    img = (
+        f"CASE WHEN doc_id % 8 IN (0, 1) THEN ({div}) * 10 + 1 "
+        f"WHEN doc_id % 8 IN (2, 3) THEN ({div}) * 10 + 2 "
+        "ELSE 1000000 + doc_id END"
+    )
+    cap = (
+        f"CASE WHEN doc_id % 8 IN (0, 1) THEN ({div}) * 10 + 3 "
+        f"WHEN doc_id % 8 IN (4, 5) THEN ({div}) * 10 + 4 "
+        "ELSE 2000000 + doc_id END"
+    )
+    return img, cap
+
+
+def _q95_oracle() -> str:
+    img, cap = _q95_keys("duck")
+    return f"""
+    WITH rows_ AS (
+      SELECT doc_id, {img} AS img_key, {cap} AS cap_key FROM documents
+    ),
+    ni AS (SELECT img_key, COUNT(*) AS n_img FROM rows_ GROUP BY 1),
+    nc AS (SELECT cap_key, COUNT(*) AS n_cap FROM rows_ GROUP BY 1),
+    np AS (
+      SELECT img_key, cap_key, COUNT(*) AS n_pair
+      FROM rows_ GROUP BY 1, 2
+    ),
+    labeled AS (
+      SELECT r.doc_id, r.img_key,
+             CASE WHEN np.n_pair > 1 THEN 'exact_pair'
+                  WHEN ni.n_img > 1 THEN 'recaptioned_image'
+                  WHEN nc.n_cap > 1 THEN 'stock_caption'
+                  ELSE 'unique' END AS dup_class
+      FROM rows_ r
+      JOIN ni USING (img_key)
+      JOIN nc USING (cap_key)
+      JOIN np USING (img_key, cap_key)
+    )
+    SELECT dup_class,
+           COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT img_key) AS BIGINT) AS n_image_groups,
+           bit_xor(doc_id) AS id_checksum
+    FROM labeled GROUP BY 1
+    """
+
+
+@_register("q95_pair_dup_crosstab", _q95_oracle)
+def q95(spark, sf_dir):
+    """DUPLICATE-TYPE crosstab for image+caption pairs — the curator
+    report that decides WHICH dedup to run: 'exact_pair' (both
+    fingerprints shared → q25-style drop), 'recaptioned_image' (same
+    image, different captions → q80 caption consolidation, NOT a drop),
+    'stock_caption' (same caption on different images → a caption-
+    quality signal, the images are fine), 'unique'.  First-match class
+    order is pinned and shared with the oracle.  Plan: three hash
+    aggregates on fingerprint keys + keyed joins back — the standard
+    dedup shuffle shape, group tables ≪ corpus; no window, no UDF.
+    Reference ancestor: A12's duplicate-rows quirk analysis
+    (claim_analysis.py re-aggregation) lifted to the two-modality key
+    lattice."""
+    img, cap = _q95_keys("spark")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(img).alias("img_key"),
+        F.expr(cap).alias("cap_key"),
+    )
+    ni = d.groupBy("img_key").agg(F.count("*").alias("n_img"))
+    nc = d.groupBy("cap_key").agg(F.count("*").alias("n_cap"))
+    np_ = d.groupBy("img_key", "cap_key").agg(F.count("*").alias("n_pair"))
+    labeled = (
+        d.join(ni, "img_key")
+        .join(nc, "cap_key")
+        .join(np_, ["img_key", "cap_key"])
+        .select(
+            "doc_id",
+            "img_key",
+            F.when(F.col("n_pair") > 1, "exact_pair")
+            .when(F.col("n_img") > 1, "recaptioned_image")
+            .when(F.col("n_cap") > 1, "stock_caption")
+            .otherwise("unique")
+            .alias("dup_class"),
+        )
+    )
+    return labeled.groupBy("dup_class").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("img_key").cast("long").alias("n_image_groups"),
+        F.bit_xor("doc_id").alias("id_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
