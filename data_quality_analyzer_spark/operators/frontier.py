@@ -45,6 +45,15 @@ def assign_fetch_slots(
     holds at most ``per_domain_cap`` of the domain's URLs by
     construction.
     """
+    return _slots_with_hash(df, url_col, per_domain_cap).drop("_h")
+
+
+def _slots_with_hash(
+    df: DataFrame, url_col: str, per_domain_cap: int
+) -> DataFrame:
+    """assign_fetch_slots with the ordering hash kept as ``_h`` so
+    downstream aggregates (fetch_plan's checksum) reuse it instead of
+    recomputing md5+conv per URL."""
     if per_domain_cap < 1:
         raise ValueError(
             f"per_domain_cap must be >= 1, got {per_domain_cap}"
@@ -64,7 +73,6 @@ def assign_fetch_slots(
                 "long"
             ),
         )
-        .drop("_h")
     )
 
 
@@ -76,10 +84,10 @@ def fetch_plan(
     ``max_per_domain <= cap`` on every row IS the politeness proof.  The
     per-wave URL-hash checksum value-pins exactly which URLs landed in
     which wave."""
-    slots = assign_fetch_slots(df, url_col, per_domain_cap)
+    slots = _slots_with_hash(df, url_col, per_domain_cap)
     per_dom = slots.groupBy("fetch_slot", "domain").agg(
         F.count("*").alias("_n"),
-        F.bit_xor(F.expr(h60_spark_sql(url_col))).alias("_ck"),
+        F.bit_xor("_h").alias("_ck"),
     )
     return per_dom.groupBy("fetch_slot").agg(
         F.sum("_n").cast("long").alias("n_urls"),

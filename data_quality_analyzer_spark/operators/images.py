@@ -462,17 +462,22 @@ def sniffable(bytes_col):
         pred = pred | (
             F.substring(bytes_col, 1, len(magic)) == F.lit(bytes(magic))
         )
-    return pred
+    # NULL bytes must be False, not NULL: sniff_format(None) is None, and
+    # a three-valued result would silently drop NULL-byte rows from BOTH
+    # sides of a filter/anti-filter pair
+    return F.coalesce(pred, F.lit(False))
 
 
 def structural_gate(df, bytes_col: str, fmt_col: str, out_col: str = "framing"):
     """Annotate ``df`` with a struct<header_ok, trailer_ok, intact>
-    column.  Composition slot: in run_pipeline's cost ordering this sits
-    BETWEEN the q60 metadata gate (no bytes touched at all) and the Arrow
-    decoder (bytes cross the boundary) — mask the decoder's input on
-    ``intact IS NOT FALSE`` to skip Arrow traffic for provably-truncated
-    files while still letting unknown formats through to the sniffing
-    decoder."""
+    column — a REPORTING/triage signal (q90's corruption dashboard), not
+    a decode mask.  Do NOT mask decoder input on ``intact``: decode_png
+    is deliberately lenient about a missing IEND (as libpng is), so a
+    trailer-broken file can still be decodable and an intact-based mask
+    would flip keep verdicts.  The verdict-neutral decode pre-mask is
+    :func:`sniffable` (wired as run_pipeline's ``structural_pregate``),
+    which masks only bytes the decoder provably rejects from the prefix
+    alone."""
     from pyspark.sql import functions as F
 
     flags = structural_flags(F.col(bytes_col), F.col(fmt_col))

@@ -125,8 +125,9 @@ def pagerank(
         "dst_domain",
         (F.col("weight") / F.col("_outdeg")).alias("frac"),
     )
-    if iters > 1:
-        norm = norm.cache()
+    cached = norm.cache() if iters > 1 else None
+    if cached is not None:
+        norm = cached
     scores = nodes.withColumn("pr", F.lit(1.0))
     for _ in range(iters):
         contrib = (
@@ -145,6 +146,12 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("_mass"), F.lit(0.0))
             ).alias("pr"),
         )
+    if cached is not None:
+        # pin the (graph-sized) result eagerly so the cached contribution
+        # relation can be released NOW — a per-crawl refresh loop must not
+        # accrete one dead cached relation per call
+        scores = scores.localCheckpoint()
+        cached.unpersist()
     return scores
 
 
@@ -176,8 +183,9 @@ def authority_from_edges(
     dst_domain, weight) edge list — the entry point the cross-crawl edge
     LEDGER uses, where edges arrive merged from committed batches rather
     than extracted from pages."""
-    if iters > 1:
-        edges = edges.cache()
+    cached = edges.cache() if iters > 1 else None
+    if cached is not None:
+        edges = cached
     indeg = edges.groupBy(F.col("dst_domain").alias("domain")).agg(
         F.sum("weight").cast("long").alias("n_inlinks"),
         F.countDistinct("src_domain").cast("long").alias("n_src_domains"),
@@ -186,7 +194,7 @@ def authority_from_edges(
         F.sum("weight").cast("long").alias("n_outlinks")
     )
     pr = pagerank(edges, iters=iters, damping=damping)
-    return (
+    out = (
         pr.join(indeg, "domain", "left")
         .join(outdeg, "domain", "left")
         .select(
@@ -201,6 +209,12 @@ def authority_from_edges(
             F.round("pr", 6).alias("pr"),
         )
     )
+    if cached is not None:
+        # same lifecycle rule as pagerank: pin the graph-sized report,
+        # release the cached edges before returning
+        out = out.localCheckpoint()
+        cached.unpersist()
+    return out
 
 
 #: anchor capture — href + inner text in ONE pattern so the two

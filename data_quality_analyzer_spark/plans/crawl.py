@@ -12,8 +12,12 @@
      matching rule allows fetching.
   4. **Seen filter** (q82's committed Bloom ledger) — URLs already
      fetched by ANY previous crawl drop out map-only against the packed
-     words literal.  One-sided: a Bloom false positive SKIPS a URL
-     (re-crawled next refresh at worst), never fetches a dup.
+     words literal.  One-sided: a false positive SKIPS a URL, never
+     fetches a dup — and because the probe is deterministic (h60) and
+     the ledger append-only, an FP URL stays skipped on EVERY future
+     refresh, a permanent blind spot.  Size m/k for the frontier's
+     lifetime URL count (not one crawl's) with that cost in mind; the
+     q82 oracle measures the real FP set at a given geometry.
   5. **Politeness waves** (q91) — deterministic per-domain fetch slots,
      at most ``per_domain_cap`` URLs per domain per wave.
 

@@ -4372,7 +4372,9 @@ def q86(spark, sf_dir):
 # backslash ('\\s' -> 's'), silently truncating URLs that end in
 # 's' while DuckDB keeps them — whitespace is handled by the
 # explicit trim on both sides instead
-_Q87_LOC = "<loc>([^<]+)</loc>"
+# the single source of the <loc> capture — plan_crawl's discovery stage
+# and this oracle-certified query must parse identically
+from .crawl import SITEMAP_LOC_PATTERN as _Q87_LOC  # noqa: E402
 
 
 def _q87_sitemap(engine: str) -> str:
@@ -5137,17 +5139,20 @@ def _q95_keys(engine: str) -> tuple[str, str]:
     share BOTH fingerprints (true duplicate pair), {2,3} share only the
     image (re-captioned dup), {4,5} share only the caption (stock
     caption), {6,7} are unique — every crosstab class is planted with
-    known mass.  Unique keys live in disjoint ranges (1e6/2e6 offsets)."""
+    known mass.  Unique keys are NEGATIVE (−1−2·doc_id / −2−2·doc_id):
+    disjoint from the non-negative shared keys AND from each other at
+    EVERY scale factor — a fixed additive offset would collide with
+    block keys once doc_id outgrew it (review finding)."""
     div = "doc_id // 8" if engine == "duck" else "doc_id div 8"
     img = (
         f"CASE WHEN doc_id % 8 IN (0, 1) THEN ({div}) * 10 + 1 "
         f"WHEN doc_id % 8 IN (2, 3) THEN ({div}) * 10 + 2 "
-        "ELSE 1000000 + doc_id END"
+        "ELSE -1 - 2 * doc_id END"
     )
     cap = (
         f"CASE WHEN doc_id % 8 IN (0, 1) THEN ({div}) * 10 + 3 "
         f"WHEN doc_id % 8 IN (4, 5) THEN ({div}) * 10 + 4 "
-        "ELSE 2000000 + doc_id END"
+        "ELSE -2 - 2 * doc_id END"
     )
     return img, cap
 

@@ -131,6 +131,7 @@ def test_sniffable_matches_python_sniff(spark):
         ("empty", b""),
         ("prefix", bytes(C.MAGIC["png"])[:-1]),  # partial magic: not sniffable
         ("jpeg", bytes.fromhex("ffd8ffd9")),  # no jpeg decoder -> not sniffable
+        ("nullb", None),  # NULL bytes: must be False, NOT NULL (3VL trap)
     ]
     df = spark.createDataFrame(rows, "k string, b binary")
     got = {
@@ -141,6 +142,8 @@ def test_sniffable_matches_python_sniff(spark):
     }
     for k, b in rows:
         assert got[k] == (C.sniff_format(b) is not None), k
+    assert got["nullb"] is False  # a NULL here would drop the row from
+    # BOTH sides of a filter/anti-filter pair
 
 
 def test_structural_gate_stays_jvm_side(imgs):
