@@ -1509,11 +1509,17 @@ EDGES_DIR = "link_edges"
 
 
 def read_edges_manifest(store_dir: str) -> dict:
+    """``batches`` is every batch_id EVER committed (the replay guard —
+    it must survive compaction or a replayed old batch would re-commit
+    and double-count); ``segments`` is the list of LIVE data partitions
+    the merged read actually scans (compaction shrinks it to one)."""
     path = os.path.join(store_dir, EDGES_MANIFEST)
     if not os.path.exists(path):
-        return {"batches": []}
+        return {"batches": [], "segments": []}
     with open(path) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("segments", list(m["batches"]))
+    return m
 
 
 def commit_link_edges(
@@ -1542,6 +1548,7 @@ def commit_link_edges(
         shutil.rmtree(batch_dir)
     edges.write.parquet(batch_dir)
     manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    manifest["segments"] = sorted(manifest["segments"] + [batch_id])
     tmp = os.path.join(store_dir, EDGES_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -1550,16 +1557,60 @@ def commit_link_edges(
 
 def link_ledger_edges(spark: SparkSession, store_dir: str) -> DataFrame:
     """The merged (weight-summed) edge list over every committed crawl —
-    one graph-sized hash aggregate over the batch partitions."""
+    one graph-sized hash aggregate over the LIVE segments (post-
+    compaction: a single base partition)."""
     manifest = read_edges_manifest(store_dir)
     if not manifest["batches"]:
         raise ValueError(f"no committed link edges at {store_dir!r}")
     return (
         spark.read.parquet(os.path.join(store_dir, EDGES_DIR))
-        .filter(F.col("batch_id").isin(manifest["batches"]))
+        .filter(F.col("batch_id").isin(manifest["segments"]))
         .groupBy("src_domain", "dst_domain")
         .agg(F.sum("weight").cast("long").alias("weight"))
     )
+
+
+def compact_link_ledger(spark: SparkSession, store_dir: str) -> None:
+    """Fold every live segment into ONE base partition — after N crawls
+    the merged read otherwise lists/scans N directories for the same
+    graph-sized result.  Correctness discipline:
+
+    * the ``batches`` replay-guard list is UNTOUCHED — a replayed old
+      batch_id stays a no-op forever, never a double count;
+    * the base segment's data lands BEFORE the manifest points at it
+      (data-then-manifest, as everywhere);
+    * old segment directories are removed only AFTER the manifest swap —
+      a crash in between leaves unreferenced orphan directories, which
+      are harmless (no reader ever lists them again) and reclaimable by
+      hand; a torn read is impossible.
+
+    The base id derives from the guard-list length, so it is
+    deterministic (no wall clock) and never collides with a SHA-named
+    crawl id; re-running compaction at the same ledger state overwrites
+    its own torn attempt."""
+    manifest = read_edges_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed link edges at {store_dir!r}")
+    if len(manifest["segments"]) <= 1:
+        return  # already compact
+    # materialize BEFORE writing into the same directory tree the lazy
+    # plan would otherwise scan mid-write
+    merged = link_ledger_edges(spark, store_dir).localCheckpoint()
+    base_id = f"__base_{len(manifest['batches'])}__"
+    base_dir = os.path.join(store_dir, EDGES_DIR, f"batch_id={base_id}")
+    if os.path.exists(base_dir):  # torn previous attempt
+        shutil.rmtree(base_dir)
+    merged.write.parquet(base_dir)
+    old_segments = [s for s in manifest["segments"] if s != base_id]
+    manifest["segments"] = [base_id]
+    tmp = os.path.join(store_dir, EDGES_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, EDGES_MANIFEST))
+    for seg in old_segments:
+        seg_dir = os.path.join(store_dir, EDGES_DIR, f"batch_id={seg}")
+        if os.path.exists(seg_dir):
+            shutil.rmtree(seg_dir)
 
 
 def link_ledger_authority(

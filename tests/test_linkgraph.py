@@ -242,6 +242,67 @@ def test_link_edge_ledger_matches_one_shot(spark, tmp_path):
         assert led[dom]["pr"] == pytest.approx(direct[dom]["pr"], abs=1e-9)
 
 
+def test_link_ledger_compaction(spark, tmp_path):
+    """Compaction must fold live segments into one base partition while
+    (a) the merged result stays identical, (b) old segment dirs vanish,
+    (c) replaying a pre-compaction batch stays a no-op (guard list
+    survives), and (d) commits AFTER compaction merge correctly."""
+    import os
+
+    from data_quality_analyzer_spark.plans import lineage as L
+    from data_quality_analyzer_spark.plans.entry_queries import _q89_pages
+
+    store = str(tmp_path / "ledger")
+    d = spark.range(0, 90).withColumnRenamed("id", "doc_id")
+    batches = [
+        _q89_pages(d.filter(F.col("doc_id") % 3 == k)) for k in range(3)
+    ]
+    for k in range(2):
+        L.commit_link_edges(spark, batches[k], store, f"crawl-{k}")
+    before = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in L.link_ledger_edges(spark, store).collect()
+    }
+
+    L.compact_link_ledger(spark, store)
+    m = L.read_edges_manifest(store)
+    assert m["segments"] == ["__base_2__"]
+    assert m["batches"] == ["crawl-0", "crawl-1"]  # guard list intact
+    after = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in L.link_ledger_edges(spark, store).collect()
+    }
+    assert after == before
+    live = set(os.listdir(os.path.join(store, L.EDGES_DIR)))
+    assert live == {"batch_id=__base_2__"}
+
+    # replay of a compacted-away batch must STILL be a no-op
+    L.commit_link_edges(spark, batches[0], store, "crawl-0")
+    assert L.read_edges_manifest(store)["segments"] == ["__base_2__"]
+
+    # a genuinely new commit merges on top of the base
+    L.commit_link_edges(spark, batches[2], store, "crawl-2")
+    full = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in L.link_ledger_edges(spark, store).collect()
+    }
+    one_shot = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in LG.domain_edges(
+            _q89_pages(d), "src_domain", "html"
+        ).collect()
+    }
+    assert full == one_shot
+
+    # idempotence: compacting twice collapses base + crawl-2 again
+    L.compact_link_ledger(spark, store)
+    L.compact_link_ledger(spark, store)  # single segment: no-op
+    assert {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in L.link_ledger_edges(spark, store).collect()
+    } == one_shot
+
+
 def test_link_ledger_empty_raises(spark, tmp_path):
     from data_quality_analyzer_spark.plans import lineage as L
 
