@@ -1114,9 +1114,11 @@ CMS_DIR = "cms_sketches"
 def read_cms_manifest(store_dir: str) -> dict:
     path = os.path.join(store_dir, CMS_MANIFEST)
     if not os.path.exists(path):
-        return {"batches": [], "depth": None, "width": None}
+        return {"batches": [], "segments": [], "depth": None, "width": None}
     with open(path) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("segments", list(m["batches"]))  # pre-compaction manifest
+    return m
 
 
 def commit_cms_sketch(
@@ -1154,6 +1156,7 @@ def commit_cms_sketch(
         shutil.rmtree(batch_dir)
     cells.write.parquet(batch_dir)
     manifest["batches"] = sorted(manifest["batches"] + [batch_id])
+    manifest["segments"] = sorted(manifest["segments"] + [batch_id])
     manifest["depth"], manifest["width"] = depth, width
     tmp = os.path.join(store_dir, CMS_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
@@ -1173,15 +1176,37 @@ def cms_ledger_cells(
     manifest = read_cms_manifest(store_dir)
     if not manifest["batches"]:
         raise ValueError(f"no committed sketches at {store_dir!r}")
-    merged = (
-        spark.read.parquet(os.path.join(store_dir, CMS_DIR))
-        .filter(F.col("batch_id").isin(manifest["batches"]))
-        .groupBy("row_idx", "col")
-        .agg(F.sum("cnt").alias("cnt"))
-        .collect()
-    )
+    merged = _cms_merged_df(spark, store_dir, manifest).collect()
     cells = {(r["row_idx"], r["col"]): r["cnt"] for r in merged}
     return cells, manifest["depth"], manifest["width"]
+
+
+def _cms_merged_df(
+    spark: SparkSession, store_dir: str, manifest: dict
+) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(store_dir, CMS_DIR))
+        .filter(F.col("batch_id").isin(manifest["segments"]))
+        .groupBy("row_idx", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def compact_cms_ledger(spark: SparkSession, store_dir: str) -> None:
+    """Fold the CMS ledger's live segments into one base partition —
+    cell counts are pure sums, so the additive-compaction discipline
+    (see :func:`compact_link_ledger`) applies verbatim; geometry pins
+    ride along untouched in the manifest."""
+    manifest = read_cms_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed sketches at {store_dir!r}")
+    _compact_additive_ledger(
+        manifest,
+        store_dir,
+        CMS_MANIFEST,
+        CMS_DIR,
+        _cms_merged_df(spark, store_dir, manifest),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1299,9 +1324,11 @@ BLOOM_DIR = "bloom_positions"
 def read_bloom_manifest(store_dir: str) -> dict:
     path = os.path.join(store_dir, BLOOM_MANIFEST)
     if not os.path.exists(path):
-        return {"batches": [], "k": None, "m": None}
+        return {"batches": [], "segments": [], "k": None, "m": None}
     with open(path) as f:
-        return json.load(f)
+        m = json.load(f)
+    m.setdefault("segments", list(m["batches"]))  # pre-compaction manifest
+    return m
 
 
 def commit_bloom(
@@ -1335,6 +1362,7 @@ def commit_bloom(
         shutil.rmtree(batch_dir)
     pos.write.parquet(batch_dir)
     manifest["batches"] = sorted(set(manifest["batches"]) | {batch_id})
+    manifest["segments"] = sorted(set(manifest["segments"]) | {batch_id})
     manifest["k"], manifest["m"] = k, m
     tmp = os.path.join(store_dir, BLOOM_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
@@ -1352,15 +1380,37 @@ def bloom_ledger_words(
     manifest = read_bloom_manifest(store_dir)
     if not manifest["batches"]:
         raise ValueError(f"no committed bloom filters at {store_dir!r}")
-    rows = (
-        spark.read.parquet(os.path.join(store_dir, BLOOM_DIR))
-        .filter(F.col("batch_id").isin(manifest["batches"]))
-        .select("pos")
-        .distinct()
-        .collect()
-    )
+    rows = _bloom_merged_df(spark, store_dir, manifest).collect()
     words = SK.bloom_words((r["pos"] for r in rows), m=manifest["m"])
     return words, manifest["k"], manifest["m"]
+
+
+def _bloom_merged_df(
+    spark: SparkSession, store_dir: str, manifest: dict
+) -> DataFrame:
+    return (
+        spark.read.parquet(os.path.join(store_dir, BLOOM_DIR))
+        .filter(F.col("batch_id").isin(manifest["segments"]))
+        .select("pos")
+        .distinct()
+    )
+
+
+def compact_bloom_ledger(spark: SparkSession, store_dir: str) -> None:
+    """Fold the bloom ledger's live segments into one base partition —
+    set positions are a pure union (≤ m rows after distinct), so the
+    additive-compaction discipline (see :func:`compact_link_ledger`)
+    applies verbatim; the k/m geometry pins ride along untouched."""
+    manifest = read_bloom_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed bloom filters at {store_dir!r}")
+    _compact_additive_ledger(
+        manifest,
+        store_dir,
+        BLOOM_MANIFEST,
+        BLOOM_DIR,
+        _bloom_merged_df(spark, store_dir, manifest),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1593,22 +1643,45 @@ def compact_link_ledger(spark: SparkSession, store_dir: str) -> None:
         raise ValueError(f"no committed link edges at {store_dir!r}")
     if len(manifest["segments"]) <= 1:
         return  # already compact
+    _compact_additive_ledger(
+        manifest,
+        store_dir,
+        EDGES_MANIFEST,
+        EDGES_DIR,
+        link_ledger_edges(spark, store_dir),
+    )
+
+
+def _compact_additive_ledger(
+    manifest: dict,
+    store_dir: str,
+    manifest_name: str,
+    data_dir: str,
+    merged: DataFrame,
+) -> None:
+    """Shared fold-to-one-base machinery for the additive ledgers (link
+    edges / CMS cells / bloom positions — anywhere the merged read is a
+    pure sum/union over batch partitions).  Guard-list preservation,
+    data-then-manifest ordering, and post-swap cleanup as documented on
+    :func:`compact_link_ledger`."""
+    if len(manifest["segments"]) <= 1:
+        return  # already compact
     # materialize BEFORE writing into the same directory tree the lazy
     # plan would otherwise scan mid-write
-    merged = link_ledger_edges(spark, store_dir).localCheckpoint()
+    merged = merged.localCheckpoint()
     base_id = f"__base_{len(manifest['batches'])}__"
-    base_dir = os.path.join(store_dir, EDGES_DIR, f"batch_id={base_id}")
+    base_dir = os.path.join(store_dir, data_dir, f"batch_id={base_id}")
     if os.path.exists(base_dir):  # torn previous attempt
         shutil.rmtree(base_dir)
     merged.write.parquet(base_dir)
     old_segments = [s for s in manifest["segments"] if s != base_id]
     manifest["segments"] = [base_id]
-    tmp = os.path.join(store_dir, EDGES_MANIFEST + ".tmp")
+    tmp = os.path.join(store_dir, manifest_name + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(store_dir, EDGES_MANIFEST))
+    os.replace(tmp, os.path.join(store_dir, manifest_name))
     for seg in old_segments:
-        seg_dir = os.path.join(store_dir, EDGES_DIR, f"batch_id={seg}")
+        seg_dir = os.path.join(store_dir, data_dir, f"batch_id={seg}")
         if os.path.exists(seg_dir):
             shutil.rmtree(seg_dir)
 

@@ -255,3 +255,60 @@ def test_bloom_no_false_negatives_and_ledger_union(spark, tmp_path):
         m=512,
     )
     assert words == direct
+
+
+def test_cms_and_bloom_ledger_compaction(spark, tmp_path):
+    """Compacting either additive ledger folds live segments into one
+    base partition with an IDENTICAL merged read, keeps the replay-guard
+    list intact (a compacted-away batch can never re-commit), and merges
+    post-compaction commits correctly."""
+    import os
+
+    from data_quality_analyzer_spark.operators import sketches as SK
+    from data_quality_analyzer_spark.plans import lineage as LN
+
+    a = spark.createDataFrame([(f"w{i % 5}",) for i in range(50)], "tok string")
+    b = spark.createDataFrame([(f"w{i % 9}",) for i in range(90)], "tok string")
+    c = spark.createDataFrame([(f"w{i % 3}",) for i in range(30)], "tok string")
+
+    cms = str(tmp_path / "cms_store")
+    LN.commit_cms_sketch(spark, a, cms, "crawl-a", "tok")
+    LN.commit_cms_sketch(spark, b, cms, "crawl-b", "tok")
+    before = LN.cms_ledger_cells(spark, cms)
+    LN.compact_cms_ledger(spark, cms)
+    m = LN.read_cms_manifest(cms)
+    assert m["segments"] == ["__base_2__"]
+    assert m["batches"] == ["crawl-a", "crawl-b"]
+    assert LN.cms_ledger_cells(spark, cms) == before
+    assert set(os.listdir(os.path.join(cms, LN.CMS_DIR))) == {
+        "batch_id=__base_2__"
+    }
+    LN.commit_cms_sketch(spark, a, cms, "crawl-a", "tok")  # replay: no-op
+    assert LN.read_cms_manifest(cms)["segments"] == ["__base_2__"]
+    LN.commit_cms_sketch(spark, c, cms, "crawl-c", "tok")
+    cells, _, _ = LN.cms_ledger_cells(spark, cms)
+    direct = {
+        (r["row_idx"], r["col"]): r["cnt"]
+        for r in SK.count_min_sketch(
+            a.unionByName(b).unionByName(c), "tok"
+        ).collect()
+    }
+    assert cells == direct
+
+    bl = str(tmp_path / "bloom_store")
+    ka = spark.createDataFrame([(f"u-{i}",) for i in range(80)], "k string")
+    kb = spark.createDataFrame([(f"v-{i}",) for i in range(60)], "k string")
+    LN.commit_bloom(spark, ka, bl, "crawl-a", "k", m=512)
+    LN.commit_bloom(spark, kb, bl, "crawl-b", "k", m=512)
+    w_before = LN.bloom_ledger_words(spark, bl)
+    LN.compact_bloom_ledger(spark, bl)
+    assert LN.read_bloom_manifest(bl)["segments"] == ["__base_2__"]
+    assert LN.bloom_ledger_words(spark, bl) == w_before
+    # no false negatives survive compaction
+    words, k, mbits = LN.bloom_ledger_words(spark, bl)
+    assert (
+        SK.bloom_probe(ka.unionByName(kb), "k", words, k=k, m=mbits)
+        .filter("NOT bloom_hit")
+        .count()
+        == 0
+    )
