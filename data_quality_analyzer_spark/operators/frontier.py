@@ -97,6 +97,91 @@ def fetch_plan(
     )
 
 
+#: change-count → recrawl tier, for n snapshots the top tier is n−1
+#: transitions (changed every time we looked).  Integer-exact: no rate
+#: division ever happens, so the twins can never drift.
+RECRAWL_TIERS = ("static", "slow", "medium", "fast")
+
+
+def estimate_change_rates(
+    snapshots: DataFrame,
+    url_col: str = "url",
+    order_col: str = "crawl_idx",
+    fp_col: str = "content_fp",
+) -> DataFrame:
+    """Per-URL change statistics from consecutive crawl snapshots — the
+    adaptive-recrawl signal (Cho & Garcia-Molina 2000: revisit pages at
+    their observed change rate, not uniformly).  ``n_changes`` counts
+    consecutive-snapshot fingerprint transitions; ``recrawl_tier`` maps
+    the EXACT integer count onto :data:`RECRAWL_TIERS` by interval
+    index (count · (tiers−1)) div (snapshots−1) — never a rounded rate,
+    so the q76 integer-band rule holds.  One hash-by-URL exchange
+    serves the lag window and the per-URL aggregate (the q74 shape);
+    URLs seen once are 'static' by definition (no transition observed).
+    """
+    w = Window.partitionBy(url_col).orderBy(order_col)
+    t = len(RECRAWL_TIERS) - 1
+    changed = (
+        F.lag(fp_col).over(w).isNotNull()
+        & (F.col(fp_col) != F.lag(fp_col).over(w))
+    ).cast("int")
+    per = (
+        snapshots.withColumn("_chg", changed)
+        .groupBy(url_col)
+        .agg(
+            F.count("*").cast("long").alias("n_snapshots"),
+            F.sum("_chg").cast("long").alias("n_changes"),
+        )
+    )
+    tier_idx = F.when(F.col("n_snapshots") <= 1, F.lit(0)).otherwise(
+        F.expr(f"(n_changes * {t}) div (n_snapshots - 1)")
+    )
+    tiers = F.array(*[F.lit(x) for x in RECRAWL_TIERS])
+    # tier_idx is never NULL (the when/otherwise is total) — element_at
+    # with a NULL index constant-folds to the LAST element (round-5
+    # gotcha), so totality matters here
+    return per.withColumn(
+        "recrawl_tier", F.element_at(tiers, tier_idx.cast("int") + 1)
+    )
+
+
+def estimate_change_rates_duck_sql(
+    snapshots_rel: str,
+    url_col: str = "url",
+    order_col: str = "crawl_idx",
+    fp_col: str = "content_fp",
+) -> str:
+    """DuckDB twin of :func:`estimate_change_rates` (lag in its own CTE —
+    DuckDB windows cannot nest inside aggregates)."""
+    t = len(RECRAWL_TIERS) - 1
+    tier_arms = " ".join(
+        f"WHEN {i} THEN '{name}'" for i, name in enumerate(RECRAWL_TIERS)
+    )
+    return f"""
+    SELECT {url_col}, n_snapshots, n_changes,
+           CASE (CASE WHEN n_snapshots <= 1 THEN 0
+                 ELSE (n_changes * {t}) // (n_snapshots - 1) END)
+                {tier_arms} END AS recrawl_tier
+    FROM (
+      SELECT {url_col},
+             CAST(COUNT(*) AS BIGINT) AS n_snapshots,
+             CAST(SUM(chg) AS BIGINT) AS n_changes
+      FROM (
+        SELECT {url_col},
+               CASE WHEN lag({fp_col}) OVER (
+                      PARTITION BY {url_col} ORDER BY {order_col}
+                    ) IS NOT NULL
+                    AND {fp_col} <> lag({fp_col}) OVER (
+                      PARTITION BY {url_col} ORDER BY {order_col}
+                    )
+                    THEN 1 ELSE 0 END AS chg
+        FROM {snapshots_rel}
+      )
+      GROUP BY 1
+    )
+    """
+
+
 def fetch_plan_duck_sql(
     urls_rel: str, url_col: str, per_domain_cap: int
 ) -> str:

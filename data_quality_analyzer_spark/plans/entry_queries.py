@@ -5232,6 +5232,74 @@ def q95(spark, sf_dir):
     )
 
 
+_Q96_SNAPSHOTS = 4  # crawls observed per URL
+
+
+def _q96_oracle() -> str:
+    from ..operators import frontier as FR
+
+    n = _Q96_SNAPSHOTS
+    snaps = f"""
+      SELECT 'https://' || source || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             k AS crawl_idx,
+             (k * (doc_id % 5)) // 4 AS content_fp
+      FROM documents, range(0, {n}) t(k)
+    """
+    rates = FR.estimate_change_rates_duck_sql("snaps")
+    return f"""
+    WITH snaps AS ({snaps}),
+    rates AS ({rates})
+    SELECT recrawl_tier,
+           COUNT(*) AS n_urls,
+           CAST(SUM(n_changes) AS BIGINT) AS total_changes,
+           bit_xor({FR.h60_sql('url')}) AS url_checksum
+    FROM rates GROUP BY 1
+    """
+
+
+@_register("q96_recrawl_schedule", _q96_oracle)
+def q96(spark, sf_dir):
+    """ADAPTIVE RECRAWL scheduling (operators/frontier.py:
+    estimate_change_rates): per-URL content-fingerprint transitions
+    across consecutive crawl snapshots → an EXACT-integer recrawl tier
+    (static/slow/medium/fast) — revisit pages at their observed change
+    rate, not uniformly (Cho & Garcia-Molina 2000); the tier feeds
+    wave priority in plan_crawl.  The synthesis plants every rate:
+    version(k) = (k · (doc_id mod 5)) div 4 gives 0–3 transitions over
+    4 snapshots.  Tier index = (changes · 3) div (snapshots − 1) — the
+    q76 integer-band rule, never a rounded rate, so the twins cannot
+    drift.  Plan: ONE hash-by-URL exchange serves the lag window and
+    the per-URL aggregate (the q74 shape), then a tier-sized report
+    agg.  Reference ancestor: F11 staleness (q18's date-diff freshness
+    check) upgraded from 'how old' to 'how fast does it change'."""
+    from ..operators import frontier as FR
+
+    d = _t(spark, sf_dir, "documents")
+    snaps = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_Q96_SNAPSHOTS - 1))
+        ).alias("crawl_idx"),
+        "doc_id",
+    ).select(
+        "url",
+        "crawl_idx",
+        F.expr("(crawl_idx * (doc_id % 5)) div 4").alias("content_fp"),
+    )
+    rates = FR.estimate_change_rates(snaps)
+    return rates.groupBy("recrawl_tier").agg(
+        F.count("*").alias("n_urls"),
+        F.sum("n_changes").cast("long").alias("total_changes"),
+        F.bit_xor(F.expr(FR.h60_spark_sql("url"))).alias("url_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

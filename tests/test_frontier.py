@@ -71,6 +71,66 @@ def test_assignment_invariant_to_layout_and_row_order(spark, urls):
     assert base == again
 
 
+SNAPS = (
+    [("A", k, 1) for k in range(4)]  # never changes -> static
+    + [("B", 0, 1), ("B", 1, 1), ("B", 2, 2), ("B", 3, 2)]  # 1 chg -> slow
+    + [("C", k, k) for k in range(4)]  # changes every crawl -> fast
+    + [("D", 0, 9)]  # seen once -> static by definition
+    + [("E", 0, 1), ("E", 1, 2), ("E", 2, 2), ("E", 3, 3)]  # 2 -> medium
+)
+
+
+def test_estimate_change_rates_planted(spark):
+    import random
+
+    rows = list(SNAPS)
+    random.Random(7).shuffle(rows)  # snapshot arrival order must not matter
+    snaps = spark.createDataFrame(
+        rows, "url string, crawl_idx int, content_fp long"
+    ).repartition(5)
+    from data_quality_analyzer_spark.operators.frontier import (
+        estimate_change_rates,
+    )
+
+    got = {
+        r["url"]: (r["n_snapshots"], r["n_changes"], r["recrawl_tier"])
+        for r in estimate_change_rates(snaps).collect()
+    }
+    assert got == {
+        "A": (4, 0, "static"),
+        "B": (4, 1, "slow"),
+        "C": (4, 3, "fast"),
+        "D": (1, 0, "static"),
+        "E": (4, 2, "medium"),
+    }
+
+
+def test_estimate_change_rates_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    con = duckdb.connect()
+    con.register(
+        "snaps", pd.DataFrame(SNAPS, columns=["url", "crawl_idx", "content_fp"])
+    )
+    duck = {
+        u: (int(n), int(c), t)
+        for u, n, c, t in con.execute(
+            FR.estimate_change_rates_duck_sql("snaps")
+        ).fetchall()
+    }
+    snaps = spark.createDataFrame(
+        SNAPS, "url string, crawl_idx int, content_fp long"
+    )
+    got = {
+        r["url"]: (r["n_snapshots"], r["n_changes"], r["recrawl_tier"])
+        for r in FR.estimate_change_rates(snaps).collect()
+    }
+    assert got == duck
+
+
 def test_cap_contract(urls):
     with pytest.raises(ValueError):
         FR.assign_fetch_slots(urls, "url", 0)
