@@ -120,7 +120,6 @@ def estimate_change_rates(
     URLs seen once are 'static' by definition (no transition observed).
     """
     w = Window.partitionBy(url_col).orderBy(order_col)
-    t = len(RECRAWL_TIERS) - 1
     changed = (
         F.lag(fp_col).over(w).isNotNull()
         & (F.col(fp_col) != F.lag(fp_col).over(w))
@@ -133,16 +132,22 @@ def estimate_change_rates(
             F.sum("_chg").cast("long").alias("n_changes"),
         )
     )
+    return per.withColumn("recrawl_tier", recrawl_tier_col())
+
+
+def recrawl_tier_col():
+    """The tier Column over (n_snapshots, n_changes) columns — shared by
+    the batch estimator and the incremental ledger so the two can never
+    disagree on a tier boundary.  tier_idx is never NULL (the
+    when/otherwise is total) — element_at with a NULL index
+    constant-folds to the LAST element (round-5 gotcha), so totality
+    matters here."""
+    t = len(RECRAWL_TIERS) - 1
     tier_idx = F.when(F.col("n_snapshots") <= 1, F.lit(0)).otherwise(
         F.expr(f"(n_changes * {t}) div (n_snapshots - 1)")
     )
     tiers = F.array(*[F.lit(x) for x in RECRAWL_TIERS])
-    # tier_idx is never NULL (the when/otherwise is total) — element_at
-    # with a NULL index constant-folds to the LAST element (round-5
-    # gotcha), so totality matters here
-    return per.withColumn(
-        "recrawl_tier", F.element_at(tiers, tier_idx.cast("int") + 1)
-    )
+    return F.element_at(tiers, tier_idx.cast("int") + 1)
 
 
 def estimate_change_rates_duck_sql(

@@ -1699,3 +1699,128 @@ def link_ledger_authority(
     return LG.authority_from_edges(
         link_ledger_edges(spark, store_dir), iters=iters, damping=damping
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-crawl RECRAWL-STATE ledger (12th ledger): the incremental form of
+# operators/frontier.estimate_change_rates.  The batch operator needs a
+# URL's full snapshot history in one frame; this needs only |urls| rows
+# of committed state — (last_fp, n_snapshots, n_changes) per URL — and
+# each crawl updates it with one broadcast-shaped join.  Batches must be
+# time-ordered (append-only crawl log contract, as the session ledger)
+# and each batch is ONE crawl: a URL may appear at most once per batch
+# (enforced loudly — two fingerprints for one URL in one crawl is a
+# corrupt feed, and silently picking one would corrupt change counts
+# forever).  Atomic data-then-manifest rule as everywhere; replaying a
+# committed batch is a no-op.
+# ---------------------------------------------------------------------------
+
+RECRAWL_MANIFEST = "_recrawl_manifest.json"
+RECRAWL_STATE_DIR = "recrawl_state"
+
+
+def read_recrawl_manifest(store_dir: str) -> dict:
+    path = os.path.join(store_dir, RECRAWL_MANIFEST)
+    if not os.path.exists(path):
+        return {"batches": []}
+    with open(path) as f:
+        return json.load(f)
+
+
+def recrawl_incremental(
+    spark: SparkSession,
+    snapshot: DataFrame,
+    store_dir: str,
+    batch_id: str,
+    url_col: str = "url",
+    fp_col: str = "content_fp",
+) -> None:
+    """Fold one crawl's (url, content_fp) snapshot into the committed
+    per-URL change state.  New URLs start at (1 snapshot, 0 changes);
+    revisited URLs bump n_snapshots and bump n_changes iff the
+    fingerprint moved; URLs absent from this crawl carry forward
+    untouched."""
+    manifest = read_recrawl_manifest(store_dir)
+    if batch_id in manifest["batches"]:
+        return
+    os.makedirs(store_dir, exist_ok=True)
+
+    snap = snapshot.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("last_fp")
+    )
+    dup = snap.groupBy("url").count().filter(F.col("count") > 1)
+    if dup.limit(1).count():
+        raise ValueError(
+            f"batch {batch_id!r} contains a URL more than once — one "
+            "crawl must carry one fingerprint per URL"
+        )
+
+    batches = manifest["batches"]
+    if batches:
+        prev = (
+            spark.read.parquet(os.path.join(store_dir, RECRAWL_STATE_DIR))
+            .filter(F.col("state_batch") == batches[-1])
+            .select("url", "last_fp", "n_snapshots", "n_changes")
+        )
+    else:
+        prev = spark.createDataFrame(
+            [], "url string, last_fp long, n_snapshots long, n_changes long"
+        )
+
+    joined = snap.join(
+        prev.withColumnsRenamed(
+            {"last_fp": "_prev_fp", "n_snapshots": "_ns", "n_changes": "_nc"}
+        ),
+        "url",
+        "full_outer",
+    )
+    new_state = joined.select(
+        "url",
+        F.coalesce("last_fp", "_prev_fp").alias("last_fp"),
+        (
+            F.coalesce("_ns", F.lit(0))
+            + F.when(F.col("last_fp").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_snapshots"),
+        (
+            F.coalesce("_nc", F.lit(0))
+            + F.when(
+                F.col("last_fp").isNotNull()
+                & F.col("_prev_fp").isNotNull()
+                & (F.col("last_fp") != F.col("_prev_fp")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_changes"),
+    )
+    state_dir = os.path.join(
+        store_dir, RECRAWL_STATE_DIR, f"state_batch={batch_id}"
+    )
+    if os.path.exists(state_dir):  # torn previous attempt
+        shutil.rmtree(state_dir)
+    new_state.write.parquet(state_dir)
+    manifest["batches"] = manifest["batches"] + [batch_id]
+    tmp = os.path.join(store_dir, RECRAWL_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(store_dir, RECRAWL_MANIFEST))
+
+
+def recrawl_ledger_rates(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The committed per-URL state with the same recrawl tier the batch
+    operator assigns — (url, n_snapshots, n_changes, recrawl_tier)."""
+    from ..operators.frontier import recrawl_tier_col
+
+    manifest = read_recrawl_manifest(store_dir)
+    if not manifest["batches"]:
+        raise ValueError(f"no committed recrawl state at {store_dir!r}")
+    state = (
+        spark.read.parquet(os.path.join(store_dir, RECRAWL_STATE_DIR))
+        .filter(F.col("state_batch") == manifest["batches"][-1])
+        .select("url", "n_snapshots", "n_changes")
+    )
+    # the SAME tier expression as the batch estimator — the two forms
+    # can never disagree on a boundary
+    return state.withColumn("recrawl_tier", recrawl_tier_col())

@@ -131,6 +131,62 @@ def test_estimate_change_rates_duck_twin(spark):
     assert got == duck
 
 
+def test_recrawl_ledger_matches_batch(spark, tmp_path):
+    """Three committed crawls must yield EXACTLY the batch estimator's
+    per-URL stats and tiers over the concatenated snapshots — including
+    a URL that skips a crawl (carried forward, transition counted
+    against the last OBSERVED fingerprint); replay is a no-op, a
+    duplicate URL within one crawl is rejected loudly."""
+    from data_quality_analyzer_spark.operators import frontier as FR
+    from data_quality_analyzer_spark.plans import lineage as L
+
+    crawls = [
+        [("A", 1), ("B", 1), ("C", 1)],
+        [("A", 1), ("C", 2)],  # B skips this crawl
+        [("A", 2), ("B", 9), ("C", 2)],  # B: 1 vs 9 across the gap
+    ]
+    store = str(tmp_path / "recrawl")
+    for k, rows in enumerate(crawls):
+        snap = spark.createDataFrame(rows, "url string, content_fp long")
+        L.recrawl_incremental(spark, snap, store, f"crawl-{k}")
+    # replay no-op
+    L.recrawl_incremental(
+        spark,
+        spark.createDataFrame(crawls[0], "url string, content_fp long"),
+        store,
+        "crawl-0",
+    )
+    led = {
+        r["url"]: (r["n_snapshots"], r["n_changes"], r["recrawl_tier"])
+        for r in L.recrawl_ledger_rates(spark, store).collect()
+    }
+    flat = [
+        (u, k, fp) for k, rows in enumerate(crawls) for u, fp in rows
+    ]
+    batch = {
+        r["url"]: (r["n_snapshots"], r["n_changes"], r["recrawl_tier"])
+        for r in FR.estimate_change_rates(
+            spark.createDataFrame(
+                flat, "url string, crawl_idx int, content_fp long"
+            )
+        ).collect()
+    }
+    assert led == batch
+    assert led["B"] == (2, 1, "fast")  # gap-spanning transition counted
+
+    with pytest.raises(ValueError, match="more than once"):
+        L.recrawl_incremental(
+            spark,
+            spark.createDataFrame(
+                [("A", 1), ("A", 2)], "url string, content_fp long"
+            ),
+            store,
+            "crawl-9",
+        )
+    with pytest.raises(ValueError, match="no committed"):
+        L.recrawl_ledger_rates(spark, str(tmp_path / "empty"))
+
+
 def test_cap_contract(urls):
     with pytest.raises(ValueError):
         FR.assign_fetch_slots(urls, "url", 0)
