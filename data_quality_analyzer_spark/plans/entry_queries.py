@@ -5300,6 +5300,78 @@ def q96(spark, sf_dir):
     )
 
 
+def _q97_oracle() -> str:
+    content = (
+        "CASE WHEN doc_id % 4 < 2 "
+        "THEN 'shared-' || CAST(doc_id // 4 AS VARCHAR) "
+        "ELSE text END"
+    )
+    return f"""
+    WITH rows_ AS (
+      SELECT doc_id, {content} AS content
+      FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (
+      SELECT md5(content) AS fp,
+             COUNT(*) AS cnt,
+             CAST(SUM(length(content)) AS BIGINT) AS chars_total,
+             CAST(MIN(length(content)) AS BIGINT) AS chars_one,
+             MIN(doc_id) AS winner
+      FROM rows_ GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dup_groups,
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS rows_removed,
+           CAST(COALESCE(SUM(chars_total - chars_one), 0) AS BIGINT)
+             AS chars_saved,
+           CAST(COALESCE(MAX(cnt), 0) AS BIGINT) AS biggest_group,
+           bit_xor(winner) AS winner_checksum
+    FROM g WHERE cnt > 1
+    """
+
+
+@_register("q97_dedup_savings", _q97_oracle)
+def q97(spark, sf_dir):
+    """DEDUP SAVINGS accounting — the capacity-planning report behind
+    every dedup decision: how many rows AND how many content bytes does
+    exact dedup reclaim, how pathological is the worst group, and
+    (checksummed) which winners survive under the keep-lowest-id rule.
+    At 100 TB this number IS the business case for running q25 at all.
+    Synthesis plants a 2-of-4 duplication pattern over the corpus so
+    the savings are nonzero at every SF.  One md5-groupBy (the q25
+    shuffle) + a single-row report agg; all outputs exact integers.
+    Reference ancestor: quirk-5 duplicate-row counting
+    (claim_analysis.py:225-247) extended to byte accounting."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    content = F.when(
+        F.col("doc_id") % 4 < 2,
+        F.concat(
+            F.lit("shared-"), F.expr("doc_id div 4").cast("string")
+        ),
+    ).otherwise(F.col("text"))
+    g = (
+        d.select("doc_id", content.alias("content"))
+        .groupBy(F.md5("content").alias("fp"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.length("content")).cast("long").alias("chars_total"),
+            F.min(F.length("content")).cast("long").alias("chars_one"),
+            F.min("doc_id").alias("winner"),
+        )
+        .filter(F.col("cnt") > 1)
+    )
+    return g.agg(
+        F.count("*").cast("long").alias("n_dup_groups"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+        .cast("long")
+        .alias("rows_removed"),
+        F.coalesce(F.sum(F.col("chars_total") - F.col("chars_one")), F.lit(0))
+        .cast("long")
+        .alias("chars_saved"),
+        F.coalesce(F.max("cnt"), F.lit(0)).cast("long").alias("biggest_group"),
+        F.bit_xor("winner").alias("winner_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
