@@ -40,6 +40,59 @@ def parse_robots(
 ) -> DataFrame:
     """robots.txt text → rules table ``(domain, allow boolean, prefix)``
     for the ``User-agent: *`` groups (see module docstring)."""
+    blocked, star_blocks = _star_blocks(df, domain_col, txt_col)
+    dirs = blocked.filter(F.col("key").isin("allow", "disallow")).join(
+        star_blocks, ["domain", "block_id"]
+    )
+    allow = F.col("key") == "allow"
+    # conservative wildcard/anchor handling (module docstring); empty
+    # directives (Disallow: = allow-all) are dropped FIRST so that a
+    # leading-wildcard Disallow truncating to '' maps to the
+    # block-everything prefix '/' instead of vanishing
+    dirs = dirs.filter(F.col("value") != "")
+    trunc = F.substring_index(
+        F.regexp_replace("value", r"\$$", ""), "*", 1
+    )
+    prefix = F.when(
+        allow,
+        F.when(
+            ~F.col("value").contains("*") & ~F.col("value").contains("$"),
+            F.col("value"),
+        ),
+    ).otherwise(F.when(trunc == "", F.lit("/")).otherwise(trunc))
+    return (
+        dirs.select("domain", allow.alias("allow"), prefix.alias("prefix"))
+        .filter(F.col("prefix").isNotNull())
+    )
+
+
+def parse_crawl_delays(
+    df: DataFrame, domain_col: str = "domain", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(domain, crawl_delay_s) from ``Crawl-delay:`` lines in the
+    ``User-agent: *`` groups — the de-facto extension most large sites
+    ship even though RFC 9309 left it out.  Conservative on every
+    ambiguity: non-numeric or negative values are dropped, and when a
+    domain states several delays the MAX wins (politeness errs slow).
+    Same group-scoping machinery as :func:`parse_robots`, so a delay
+    inside a non-star group is ignored exactly like its directives."""
+    blocked, star_blocks = _star_blocks(df, domain_col, txt_col)
+    delays = blocked.filter(F.col("key") == "crawl-delay").join(
+        star_blocks, ["domain", "block_id"]
+    )
+    v = F.expr("try_cast(value AS DOUBLE)")
+    return (
+        delays.select("domain", v.alias("_d"))
+        .filter(F.col("_d").isNotNull() & (F.col("_d") >= 0))
+        .groupBy("domain")
+        .agg(F.max("_d").alias("crawl_delay_s"))
+    )
+
+
+def _star_blocks(df: DataFrame, domain_col: str, txt_col: str):
+    """Shared robots group scoping: the typed key/value lines annotated
+    with UA header-run block ids, plus the block ids governed by
+    ``User-agent: *``."""
     lines = df.select(
         F.col(domain_col).alias("domain"),
         F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"),
@@ -77,29 +130,7 @@ def parse_robots(
         .select("domain", "block_id")
         .distinct()
     )
-    dirs = blocked.filter(F.col("key").isin("allow", "disallow")).join(
-        star_blocks, ["domain", "block_id"]
-    )
-    allow = F.col("key") == "allow"
-    # conservative wildcard/anchor handling (module docstring); empty
-    # directives (Disallow: = allow-all) are dropped FIRST so that a
-    # leading-wildcard Disallow truncating to '' maps to the
-    # block-everything prefix '/' instead of vanishing
-    dirs = dirs.filter(F.col("value") != "")
-    trunc = F.substring_index(
-        F.regexp_replace("value", r"\$$", ""), "*", 1
-    )
-    prefix = F.when(
-        allow,
-        F.when(
-            ~F.col("value").contains("*") & ~F.col("value").contains("$"),
-            F.col("value"),
-        ),
-    ).otherwise(F.when(trunc == "", F.lit("/")).otherwise(trunc))
-    return (
-        dirs.select("domain", allow.alias("allow"), prefix.alias("prefix"))
-        .filter(F.col("prefix").isNotNull())
-    )
+    return blocked, star_blocks
 
 
 #: strips `scheme://host`, protocol-relative `//host`, or a bare host

@@ -67,6 +67,7 @@ def plan_crawl(
     seen_store: str | None = None,
     xml_col: str = "sitemap_xml",
     per_domain_cap: int = 8,
+    default_delay_s: float = 1.0,
     funnel: list | None = None,
 ) -> DataFrame:
     """Sitemap corpus → politeness-scheduled fetch plan.
@@ -75,7 +76,12 @@ def plan_crawl(
     ``robots``: optional (domain, robots_txt) frame — omitted ⇒ every
     URL is allowed (RFC 9309's no-robots default).  ``seen_store``:
     optional q82 Bloom-ledger directory of previously fetched canonical
-    URLs.  Returns (domain, url, rank_in_domain, fetch_slot).
+    URLs.  Returns (domain, url, rank_in_domain, fetch_slot) plus, when
+    ``robots`` is given, pacing columns: ``crawl_delay_s`` (the domain's
+    ``Crawl-delay`` from its star group, ``default_delay_s`` when
+    unstated) and ``wave_start_s`` = slot · cap · delay — wave k of a
+    domain cannot begin before its previous wave's cap sequential
+    fetches, each ``delay`` apart, have had time to finish.
     """
 
     def boundary(df: DataFrame, stage: str, prev_rows: int | None):
@@ -124,5 +130,20 @@ def plan_crawl(
     fresh, n = boundary(fresh, "seen_filter", n)
 
     plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
+    if robots is not None:
+        delays = RB.parse_crawl_delays(robots).select(
+            DM.extract_domain(F.col("domain")).alias("domain"),
+            "crawl_delay_s",
+        )
+        plan = plan.join(F.broadcast(delays), "domain", "left").withColumns(
+            {
+                "crawl_delay_s": F.coalesce(
+                    "crawl_delay_s", F.lit(float(default_delay_s))
+                ),
+                "wave_start_s": F.col("fetch_slot")
+                * per_domain_cap
+                * F.coalesce("crawl_delay_s", F.lit(float(default_delay_s))),
+            }
+        )
     plan, _ = boundary(plan, "fetch_waves", n)
     return plan

@@ -45,7 +45,7 @@ def scenario(spark, tmp_path_factory):
         "sitemap_xml string",
     )
     robots = spark.createDataFrame(
-        [("a.com", "User-agent: *\nDisallow: /private/\n")],
+        [("a.com", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n")],
         "domain string, robots_txt string",
     )
     store = str(tmp_path_factory.mktemp("crawl") / "seen_bloom")
@@ -73,9 +73,18 @@ def test_plan_crawl_funnel_and_waves(spark, scenario):
         per_domain_cap=2,
         funnel=funnel,
     )
-    rows = {
-        r["url"]: (r["domain"], r["fetch_slot"]) for r in plan.collect()
+    collected = plan.collect()
+    rows = {r["url"]: (r["domain"], r["fetch_slot"]) for r in collected}
+    # pacing: a.com's stated Crawl-delay: 2 vs b.org's default 1.0;
+    # wave k starts at k * cap * delay
+    pacing = {
+        r["url"]: (r["crawl_delay_s"], r["wave_start_s"]) for r in collected
     }
+    assert pacing["a.com/page1"] == (2.0, 0.0)
+    assert pacing["b.org/new1"][0] == 1.0
+    assert {
+        pacing[u][1] for u in pacing if u.startswith("b.org")
+    } == {0.0, 2.0}  # slot 1 starts after cap(2) * delay(1.0)
     # survivors in canonical (scheme-stripped) form: a.com page1
     # (variant collapsed) + page2; b.org new1..new3
     assert set(rows) == {

@@ -87,3 +87,29 @@ def test_apply_robots_preserves_columns_and_bare_urls(spark):
     assert out[1]["robots_allowed"] is False   # bare URL still blocked
     assert out[2]["robots_allowed"] is True
     assert out[1]["text"] == "payload"         # payload column preserved
+
+
+def test_parse_crawl_delays(spark):
+    """Star-group scoping, non-numeric/negative dropped, MAX on
+    conflict, absent domains absent from the output."""
+    from data_quality_analyzer_spark.operators import robots as RB
+
+    rows = [
+        ("a.com", "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"),
+        # delay inside a NON-star group must be ignored; the star group
+        # states two delays -> max wins
+        (
+            "b.com",
+            "User-agent: gptbot\nCrawl-delay: 30\n\n"
+            "User-agent: *\nCrawl-delay: 1.5\nCrawl-delay: 4\n",
+        ),
+        ("c.com", "User-agent: *\nCrawl-delay: soon\n"),  # non-numeric
+        ("d.com", "User-agent: *\nCrawl-delay: -3\n"),  # negative
+        ("e.com", "User-agent: *\nDisallow: /\n"),  # no delay line
+    ]
+    df = spark.createDataFrame(rows, "domain string, robots_txt string")
+    got = {
+        r["domain"]: r["crawl_delay_s"]
+        for r in RB.parse_crawl_delays(df).collect()
+    }
+    assert got == {"a.com": 2.0, "b.com": 4.0}
