@@ -217,6 +217,31 @@ def authority_from_edges(
     return out
 
 
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-source reciprocity: of a domain's distinct outbound
+    neighbors, how many link BACK — the classic link-farm signal
+    (organic linking is largely asymmetric; paired exchange rings are
+    not).  One self-join of the distinct edge list on the reversed key
+    (graph-sized, weights irrelevant) + one hash aggregate.  Exact
+    integers only — banding/thresholds are the caller's policy."""
+    pairs = edges.select("src_domain", "dst_domain").distinct()
+    rev = pairs.select(
+        F.col("dst_domain").alias("src_domain"),
+        F.col("src_domain").alias("dst_domain"),
+        F.lit(1).alias("_back"),
+    )
+    return (
+        pairs.join(rev, ["src_domain", "dst_domain"], "left")
+        .groupBy(F.col("src_domain").alias("domain"))
+        .agg(
+            F.count("*").cast("long").alias("n_neighbors"),
+            F.sum(F.coalesce("_back", F.lit(0)))
+            .cast("long")
+            .alias("n_reciprocal"),
+        )
+    )
+
+
 #: anchor capture — href + inner text in ONE pattern so the two
 #: regexp_extract_all calls (group 1, group 2) see the SAME match set
 #: and zip positionally without drift; backslash-free (SQL-literal rule).

@@ -5372,6 +5372,59 @@ def q97(spark, sf_dir):
     )
 
 
+def _q98_oracle() -> str:
+    from ..operators import domains as DM
+    from ..operators import linkgraph as LG
+
+    def url(e: str) -> str:
+        return (
+            f"'https://site' || CAST({e} AS VARCHAR) || '.example.com/p' "
+            "|| CAST(doc_id AS VARCHAR)"
+        )
+
+    frags = " || ".join(
+        f"""CASE WHEN (doc_id % 4) + 1 >= {j}
+             THEN '<a href="' || {url(f"(doc_id * 7 + {j} * 13) % {_Q89_SITES}")} || '">x</a>'
+             ELSE '' END"""
+        for j in (1, 2, 3, 4)
+    )
+    return f"""
+    WITH pages AS (
+      SELECT {DM.extract_domain_sql(url(f"doc_id % {_Q89_SITES}"))} AS src_domain,
+             {frags} AS html
+      FROM documents
+    ),
+    edges AS ({LG.domain_edges_duck_sql("pages")}),
+    pairs AS (SELECT DISTINCT src_domain, dst_domain FROM edges)
+    SELECT p.src_domain AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+           CAST(SUM(CASE WHEN r.src_domain IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reciprocal
+    FROM pairs p
+    LEFT JOIN pairs r
+      ON r.src_domain = p.dst_domain AND r.dst_domain = p.src_domain
+    GROUP BY 1
+    """
+
+
+@_register("q98_link_reciprocity", _q98_oracle)
+def q98(spark, sf_dir):
+    """LINK RECIPROCITY per domain (operators/linkgraph.py:reciprocity):
+    of each domain's distinct outbound neighbors, how many link back —
+    the classic link-farm/exchange-ring spam signal that complements
+    q89's authority (a farm inflates PageRank; reciprocity exposes the
+    ring).  One self-join of the distinct edge list on the reversed key
+    + one hash aggregate, all graph-sized; exact integers so the twins
+    cannot drift.  Reference ancestor: P6's column-vs-column θ
+    (claim_analysis.py cross-field consistency) lifted to the edge
+    relation joined against its own transpose."""
+    from ..operators import linkgraph as LG
+
+    d = _t(spark, sf_dir, "documents")
+    edges = LG.domain_edges(_q89_pages(d), "src_domain", "html")
+    return LG.reciprocity(edges)
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -199,6 +199,24 @@ def test_anchor_text_profile_election(spark):
     assert (u["n_anchors"], u["top_text"], u["top_text_n"]) == (1, "only", 1)
 
 
+def test_reciprocity_planted(spark):
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 5),  # a<->b exchange ring
+            ("b", "a", 1),
+            ("a", "c", 2),  # one-way
+            ("c", "d", 1),  # one-way; d never links out
+        ],
+        "src_domain string, dst_domain string, weight long",
+    )
+    got = {
+        r["domain"]: (r["n_neighbors"], r["n_reciprocal"])
+        for r in LG.reciprocity(edges).collect()
+    }
+    # sources only — d has no outbound edges, so it has no reciprocity row
+    assert got == {"a": (2, 1), "b": (1, 1), "c": (1, 0)}
+
+
 def test_link_edge_ledger_matches_one_shot(spark, tmp_path):
     """Three committed crawls must merge to EXACTLY the edges (and
     therefore the authority report) of one-shot extraction over the
