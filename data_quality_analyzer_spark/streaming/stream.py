@@ -580,3 +580,68 @@ def streaming_session_stats(
             "session_value",
         )
     )
+
+
+def streaming_link_edges(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    src_domain_col: str = "src_domain",
+    html_col: str = "html",
+    batch_prefix: str = "epoch",
+):
+    """Crawl pages arrive as a stream; each micro-batch's domain→domain
+    edges fold into the cross-crawl edge LEDGER (plans/lineage.py:
+    commit_link_edges) inside ``foreachBatch``.  Exactly-once WITHOUT an
+    epoch-partitioned sink: the ledger's batch_id replay guard IS the
+    idempotence mechanism — a replayed epoch re-presents batch_id
+    'epoch-K', which the manifest already lists, and commits nothing
+    (the additive merge would double-count otherwise, so the guard is
+    correctness, not hygiene — same argument as the CMS ledger).  The
+    merged graph and its q89 authority report stay queryable mid-stream
+    via link_ledger_edges / link_ledger_authority.
+
+    CAUTION: the guard keys on (prefix, epoch id).  Epoch ids restart at
+    0 under a fresh checkpoint, so a DIFFERENT stream reusing the same
+    store would collide with committed ids and silently skip its data —
+    give each logical stream its own ``batch_prefix`` (or its own
+    store), and keep a stream's checkpoint and store together."""
+    from ..plans import lineage as LN
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        LN.commit_link_edges(
+            spark,
+            batch_df,
+            store_dir,
+            f"{batch_prefix}-{epoch_id}",
+            src_domain_col=src_domain_col,
+            html_col=html_col,
+        )
+
+    return (
+        pages_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def run_streaming_link_edges_once(
+    spark: SparkSession,
+    input_dir: str,
+    schema: str,
+    store_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drive :func:`streaming_link_edges` over the files in ``input_dir``
+    (one file per micro-batch) to completion."""
+    pages = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+    )
+    q = streaming_link_edges(spark, pages, store_dir, checkpoint_dir)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

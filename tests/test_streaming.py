@@ -432,3 +432,51 @@ def test_streaming_session_stats_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 2 + 3 + 4  # user u → u+1 sessions
+
+
+def test_streaming_link_edges_matches_batch(spark, tmp_path):
+    """Pages streamed one file per micro-batch must leave the edge
+    ledger EXACTLY equal to one-shot extraction over all pages, and
+    re-running the stream over the same input (fresh checkpoint, same
+    store) must not double-count — the ledger's batch_id guard is the
+    exactly-once mechanism."""
+    from pyspark.sql import functions as F
+
+    from data_quality_analyzer_spark.operators import linkgraph as LG
+    from data_quality_analyzer_spark.plans import lineage as LN
+    from data_quality_analyzer_spark.plans.entry_queries import _q89_pages
+    from data_quality_analyzer_spark.streaming import stream as ST
+
+    d = spark.range(0, 120).withColumnRenamed("id", "doc_id")
+    pages = _q89_pages(d)
+    in_dir = str(tmp_path / "pages_in")
+    for k in range(3):
+        pages.filter(F.col("doc_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+    store = str(tmp_path / "edge_store")
+
+    ST.run_streaming_link_edges_once(
+        spark, in_dir, "src_domain string, html string",
+        store, str(tmp_path / "ckpt1"),
+    )
+    got = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in LN.link_ledger_edges(spark, store).collect()
+    }
+    want = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in LG.domain_edges(pages, "src_domain", "html").collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay the whole input against the same store: guarded no-op
+    ST.run_streaming_link_edges_once(
+        spark, in_dir, "src_domain string, html string",
+        store, str(tmp_path / "ckpt2"),
+    )
+    again = {
+        (r["src_domain"], r["dst_domain"]): r["weight"]
+        for r in LN.link_ledger_edges(spark, store).collect()
+    }
+    assert again == want
