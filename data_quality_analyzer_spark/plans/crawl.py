@@ -131,9 +131,23 @@ def plan_crawl(
 
     plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
     if robots is not None:
-        delays = RB.parse_crawl_delays(robots).select(
-            DM.extract_domain(F.col("domain")).alias("domain"),
-            "crawl_delay_s",
+        # robots is parsed again here (parse_crawl_delays shares
+        # parse_robots' _star_blocks machinery); both relations are
+        # domain-sized and lazy, so "parse once" would need a persist to
+        # mean anything — not worth pinning executor memory for.
+        # Re-aggregate AFTER extract_domain normalization: 'www.ex.com'
+        # and 'ex.com' robots rows both govern 'ex.com', and a left join
+        # on a duplicated key would fan every ex.com URL into two plan
+        # rows (duplicate fetches — the exact thing the cap forbids);
+        # MAX wins across the merged rows, same rule as within one file.
+        delays = (
+            RB.parse_crawl_delays(robots)
+            .select(
+                DM.extract_domain(F.col("domain")).alias("domain"),
+                "crawl_delay_s",
+            )
+            .groupBy("domain")
+            .agg(F.max("crawl_delay_s").alias("crawl_delay_s"))
         )
         plan = plan.join(F.broadcast(delays), "domain", "left").withColumns(
             {

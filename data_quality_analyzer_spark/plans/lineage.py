@@ -1754,6 +1754,15 @@ def recrawl_incremental(
             f"batch {batch_id!r} contains a URL more than once — one "
             "crawl must carry one fingerprint per URL"
         )
+    # a NULL fingerprint (failed refetch) is not a snapshot, and the
+    # batch estimator and this ledger would DISAGREE about it (the lag
+    # window counts the row; carry-forward state cannot) — reject loudly
+    # rather than silently desynchronize the equivalence contract
+    if snap.filter(F.col("last_fp").isNull()).limit(1).count():
+        raise ValueError(
+            f"batch {batch_id!r} contains NULL content fingerprints — "
+            "drop failed fetches before committing a crawl snapshot"
+        )
 
     batches = manifest["batches"]
     if batches:
@@ -1763,8 +1772,13 @@ def recrawl_incremental(
             .select("url", "last_fp", "n_snapshots", "n_changes")
         )
     else:
+        # fingerprint type follows the CALLER's column (md5 strings are
+        # the repo's standard fingerprint; int64 works too) — a
+        # hard-coded type here would ANSI-cast-crash the first commit
+        fp_t = snap.schema["last_fp"].dataType.simpleString()
         prev = spark.createDataFrame(
-            [], "url string, last_fp long, n_snapshots long, n_changes long"
+            [],
+            f"url string, last_fp {fp_t}, n_snapshots long, n_changes long",
         )
 
     joined = snap.join(
@@ -1801,11 +1815,21 @@ def recrawl_incremental(
     if os.path.exists(state_dir):  # torn previous attempt
         shutil.rmtree(state_dir)
     new_state.write.parquet(state_dir)
+    superseded = manifest["batches"]
     manifest["batches"] = manifest["batches"] + [batch_id]
     tmp = os.path.join(store_dir, RECRAWL_MANIFEST + ".tmp")
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(store_dir, RECRAWL_MANIFEST))
+    # only batches[-1] is ever read — GC superseded state partitions
+    # AFTER the swap (compaction's crash ordering), else the store holds
+    # |urls| x N rows while claiming "|urls| rows of state"
+    for old in superseded:
+        old_dir = os.path.join(
+            store_dir, RECRAWL_STATE_DIR, f"state_batch={old}"
+        )
+        if os.path.exists(old_dir):
+            shutil.rmtree(old_dir)
 
 
 def recrawl_ledger_rates(spark: SparkSession, store_dir: str) -> DataFrame:

@@ -602,11 +602,14 @@ def streaming_link_edges(
     merged graph and its q89 authority report stay queryable mid-stream
     via link_ledger_edges / link_ledger_authority.
 
-    CAUTION: the guard keys on (prefix, epoch id).  Epoch ids restart at
-    0 under a fresh checkpoint, so a DIFFERENT stream reusing the same
-    store would collide with committed ids and silently skip its data —
-    give each logical stream its own ``batch_prefix`` (or its own
-    store), and keep a stream's checkpoint and store together."""
+    CAUTION: the guard keys on (prefix, epoch id), and epoch ids restart
+    at 0 under a fresh checkpoint — a different SEQUENTIAL stream
+    reusing the store needs its own ``batch_prefix`` or its epochs
+    silently no-op against the committed ids.  CONCURRENT streams must
+    use SEPARATE stores regardless of prefix: the manifest commit is a
+    read-modify-write with no lock, so two simultaneous writers would
+    lose each other's batches (data present but never scanned, replay
+    guard gone).  Keep one stream, one checkpoint, one store."""
     from ..plans import lineage as LN
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:

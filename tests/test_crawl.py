@@ -109,6 +109,29 @@ def test_plan_crawl_funnel_and_waves(spark, scenario):
     ]
 
 
+def test_plan_crawl_delay_join_never_fans_out(spark, scenario):
+    """Two robots rows that NORMALIZE to the same domain (www. variant)
+    must not duplicate plan rows — delays re-aggregate (MAX wins) after
+    extract_domain, or every a.com URL would be scheduled twice."""
+    sitemaps, _, _ = scenario
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nCrawl-delay: 2\n"),
+            ("www.a.com", "User-agent: *\nCrawl-delay: 5\n"),
+        ],
+        "domain string, robots_txt string",
+    )
+    plan = CW.plan_crawl(spark, sitemaps, robots=robots, per_domain_cap=2)
+    rows = plan.filter(plan.domain == "a.com").collect()
+    urls = [r["url"] for r in rows]
+    assert sorted(urls) == sorted(set(urls)) == [
+        "a.com/page1",
+        "a.com/page2",
+        "a.com/private/secret",  # these robots have no Disallow
+    ]
+    assert {r["crawl_delay_s"] for r in rows} == {5.0}  # max wins
+
+
 def test_plan_crawl_defaults_allow_everything(spark, scenario):
     """No robots, no seen ledger: every canonical URL is scheduled."""
     sitemaps, _, _ = scenario

@@ -140,19 +140,21 @@ def test_recrawl_ledger_matches_batch(spark, tmp_path):
     from data_quality_analyzer_spark.operators import frontier as FR
     from data_quality_analyzer_spark.plans import lineage as L
 
+    # STRING fingerprints — the repo's standard (md5) form; a ledger
+    # that only took int64 would crash on the first real commit
     crawls = [
-        [("A", 1), ("B", 1), ("C", 1)],
-        [("A", 1), ("C", 2)],  # B skips this crawl
-        [("A", 2), ("B", 9), ("C", 2)],  # B: 1 vs 9 across the gap
+        [("A", "fp1"), ("B", "fp1"), ("C", "fp1")],
+        [("A", "fp1"), ("C", "fp2")],  # B skips this crawl
+        [("A", "fp2"), ("B", "fp9"), ("C", "fp2")],  # B changes over gap
     ]
     store = str(tmp_path / "recrawl")
     for k, rows in enumerate(crawls):
-        snap = spark.createDataFrame(rows, "url string, content_fp long")
+        snap = spark.createDataFrame(rows, "url string, content_fp string")
         L.recrawl_incremental(spark, snap, store, f"crawl-{k}")
     # replay no-op
     L.recrawl_incremental(
         spark,
-        spark.createDataFrame(crawls[0], "url string, content_fp long"),
+        spark.createDataFrame(crawls[0], "url string, content_fp string"),
         store,
         "crawl-0",
     )
@@ -167,18 +169,35 @@ def test_recrawl_ledger_matches_batch(spark, tmp_path):
         r["url"]: (r["n_snapshots"], r["n_changes"], r["recrawl_tier"])
         for r in FR.estimate_change_rates(
             spark.createDataFrame(
-                flat, "url string, crawl_idx int, content_fp long"
+                flat, "url string, crawl_idx int, content_fp string"
             )
         ).collect()
     }
     assert led == batch
     assert led["B"] == (2, 1, "fast")  # gap-spanning transition counted
 
+    # superseded state partitions are GC'd: only the newest survives
+    import os
+
+    live = set(os.listdir(os.path.join(store, L.RECRAWL_STATE_DIR)))
+    assert live == {"state_batch=crawl-2"}
+
     with pytest.raises(ValueError, match="more than once"):
         L.recrawl_incremental(
             spark,
             spark.createDataFrame(
-                [("A", 1), ("A", 2)], "url string, content_fp long"
+                [("A", "x"), ("A", "y")], "url string, content_fp string"
+            ),
+            store,
+            "crawl-9",
+        )
+    # NULL fingerprint (failed refetch): loud reject — the batch lag
+    # and carry-forward state would otherwise disagree on the tier
+    with pytest.raises(ValueError, match="NULL content fingerprints"):
+        L.recrawl_incremental(
+            spark,
+            spark.createDataFrame(
+                [("A", None)], "url string, content_fp string"
             ),
             store,
             "crawl-9",
