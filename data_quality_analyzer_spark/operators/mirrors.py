@@ -1,0 +1,162 @@
+"""Site-mirror detection: domains that serve the same content.
+
+Web corpora are full of mirrors — the same site under several hosts
+(CDN aliases, country TLDs, scrapers).  Document-level dedup removes
+the copies one fingerprint at a time, but the SITE-level signal is
+worth surfacing on its own: a curator wants to see "these two domains
+share 90% of their content" and pick a canonical host before the next
+crawl even fetches the mirror.
+
+Construction: fingerprint → the set of domains carrying it → one row
+per unordered domain PAIR per shared fingerprint → count per pair,
+joined against each domain's document count so the overlap is a
+fraction of the SMALLER side (containment, not Jaccard — a small
+mirror fully contained in a big portal should score 1.0, the q49
+asymmetric-containment argument).
+
+Skew discipline: a boilerplate fingerprint carried by THOUSANDS of
+domains would explode into a quadratic pair blow-up — exactly the
+q37/q43 hot-band problem — so fingerprint groups larger than
+``max_group`` are EXCLUDED with a loud log.  That is the same recall
+contract as the banded-LSH cap: boilerplate shared by everyone is not
+mirror evidence anyway (it's the opposite — evidence the fingerprint
+is not discriminative).
+
+Scale shape: one hash aggregate to domain-sets (collect_set bounded by
+``max_group``), one explode of C(k,2) pairs per surviving group
+(k ≤ max_group, so per-group work is bounded), one pair-level hash
+aggregate.  Never corpus × corpus.  Reference ancestor: A13's
+distinct-claims-with-issue existence analysis (claim_analysis.py) on
+the (fingerprint, domain) incidence relation.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
+
+#: default cap on how many domains may share one fingerprint before the
+#: group is dropped as boilerplate (quadratic-pair guard)
+MAX_FP_GROUP = 50
+
+
+def mirror_pairs(
+    df: DataFrame,
+    domain_col: str = "source",
+    fp_col: str = "fp",
+    max_group: int = MAX_FP_GROUP,
+) -> DataFrame:
+    """(domain_a, domain_b, n_shared, n_docs_a, n_docs_b, containment)
+    for every unordered domain pair sharing at least one fingerprint,
+    with domain_a < domain_b and containment = n_shared / min(distinct
+    fingerprints of either side), rounded to 4 dp on both engines.
+    Fingerprints carried by more than ``max_group`` domains are dropped
+    loudly (boilerplate guard — see module docstring)."""
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    inc = df.select(
+        F.col(domain_col).alias("domain"), F.col(fp_col).alias("_fp")
+    ).filter(F.col("_fp").isNotNull()).distinct()
+    groups = inc.groupBy("_fp").agg(
+        F.sort_array(F.collect_set("domain")).alias("domains")
+    )
+    hot = groups.filter(F.size("domains") > max_group)
+    n_hot = hot.count()
+    if n_hot:
+        log.warning(
+            "mirror_pairs: dropping %d fingerprint group(s) carried by "
+            "more than %d domains (boilerplate guard — not mirror "
+            "evidence, and a quadratic pair blow-up)",
+            n_hot,
+            max_group,
+        )
+    usable = groups.filter(
+        (F.size("domains") >= 2) & (F.size("domains") <= max_group)
+    )
+    # C(k,2) unordered pairs per group, k bounded by max_group
+    pairs = usable.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(domains, (a, i) -> "
+                "transform(slice(domains, i + 2, size(domains)), "
+                "b -> struct(a AS domain_a, b AS domain_b))))"
+            )
+        ).alias("p")
+    ).select("p.domain_a", "p.domain_b")
+    shared = pairs.groupBy("domain_a", "domain_b").agg(
+        F.count("*").cast("long").alias("n_shared")
+    )
+    per_dom = inc.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_fps")
+    )
+    return (
+        shared.join(
+            per_dom.withColumnsRenamed(
+                {"domain": "domain_a", "n_fps": "n_fps_a"}
+            ),
+            "domain_a",
+        )
+        .join(
+            per_dom.withColumnsRenamed(
+                {"domain": "domain_b", "n_fps": "n_fps_b"}
+            ),
+            "domain_b",
+        )
+        .select(
+            "domain_a",
+            "domain_b",
+            "n_shared",
+            "n_fps_a",
+            "n_fps_b",
+            F.round(
+                F.col("n_shared") / F.least("n_fps_a", "n_fps_b"), 4
+            ).alias("containment"),
+        )
+    )
+
+
+def mirror_pairs_duck_sql(
+    rel: str,
+    domain_col: str = "source",
+    fp_col: str = "fp",
+    max_group: int = MAX_FP_GROUP,
+) -> str:
+    """DuckDB twin of :func:`mirror_pairs` — an independent SELF-JOIN
+    decomposition (incidence ⋈ incidence on the fingerprint with
+    a < b) instead of the Spark side's set-explode, so the pair
+    construction itself is value-proven."""
+    if max_group < 2:
+        raise ValueError(f"max_group must be >= 2, got {max_group}")
+    return f"""
+    WITH inc AS (
+      SELECT DISTINCT {domain_col} AS domain, {fp_col} AS fp
+      FROM {rel} WHERE {fp_col} IS NOT NULL
+    ),
+    ok AS (
+      SELECT fp FROM inc GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND {max_group}
+    ),
+    pairs AS (
+      SELECT a.domain AS domain_a, b.domain AS domain_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM inc a
+      JOIN inc b ON a.fp = b.fp AND a.domain < b.domain
+      JOIN ok ON ok.fp = a.fp
+      GROUP BY 1, 2
+    ),
+    per_dom AS (
+      SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_fps
+      FROM inc GROUP BY 1
+    )
+    SELECT p.domain_a, p.domain_b, p.n_shared,
+           da.n_fps AS n_fps_a, db.n_fps AS n_fps_b,
+           ROUND(CAST(p.n_shared AS DOUBLE)
+                 / least(da.n_fps, db.n_fps), 4) AS containment
+    FROM pairs p
+    JOIN per_dom da ON da.domain = p.domain_a
+    JOIN per_dom db ON db.domain = p.domain_b
+    """

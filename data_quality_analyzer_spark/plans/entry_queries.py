@@ -5425,6 +5425,60 @@ def q98(spark, sf_dir):
     return LG.reciprocity(edges)
 
 
+_Q99_MAX_GROUP = 10  # boilerplate guard: >10 domains sharing one fp
+
+
+def _q99_fp_sql(engine: str) -> str:
+    """Shared fingerprint synthesis: page 2 is sitewide boilerplate
+    (every domain carries it → dropped by the guard), src0/src1 mirror
+    each other on every other page, src2/src3 share only even pages
+    (partial mirror), everything else is unique."""
+    div = "doc_id // 20" if engine == "duck" else "doc_id div 20"
+    cast = "VARCHAR" if engine == "duck" else "STRING"
+    return (
+        f"CASE WHEN {div} = 2 THEN 'boiler' "
+        f"WHEN doc_id % 20 IN (0, 1) THEN 'm-' || CAST({div} AS {cast}) "
+        f"WHEN doc_id % 20 IN (2, 3) AND ({div}) % 2 = 0 "
+        f"THEN 'h-' || CAST({div} AS {cast}) "
+        f"ELSE 'u-' || CAST(doc_id AS {cast}) END"
+    )
+
+
+def _q99_oracle() -> str:
+    from ..operators import mirrors as MI
+
+    # the twin opens its own WITH, so the synthesis rides in as an
+    # inline subquery relation
+    rel = f"(SELECT source, {_q99_fp_sql('duck')} AS fp FROM documents)"
+    return MI.mirror_pairs_duck_sql(rel, "source", "fp", _Q99_MAX_GROUP)
+
+
+@_register("q99_site_mirrors", _q99_oracle)
+def q99(spark, sf_dir):
+    """SITE-MIRROR detection (operators/mirrors.py): domain pairs
+    sharing content fingerprints, scored by containment of the SMALLER
+    side (the q49 asymmetric rule: a mirror fully inside a portal is
+    1.0) — the curator report that picks a canonical host before the
+    next crawl fetches the copy.  Fingerprints carried by more than
+    max_group domains are dropped LOUDLY (the q37/q43 hot-band
+    discipline: sitewide boilerplate is a quadratic pair blow-up and
+    anti-evidence of mirroring — the synthesis plants exactly such a
+    page).  Plan: incidence distinct → bounded collect_set per fp →
+    C(k,2) explode (k ≤ max_group) → pair hash agg; never corpus².
+    Oracle: an independent SELF-JOIN decomposition of the pair
+    construction.  Reference ancestor: A13 distinct-entity existence
+    analysis (claim_analysis.py) on the (fingerprint, domain)
+    incidence."""
+    from ..operators import mirrors as MI
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.expr(_q99_fp_sql("spark")).alias("fp")
+    )
+    return MI.mirror_pairs(
+        d, domain_col="source", fp_col="fp", max_group=_Q99_MAX_GROUP
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

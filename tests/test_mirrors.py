@@ -1,0 +1,60 @@
+"""Site-mirror detection: containment scoring, boilerplate guard,
+incidence-distinct semantics, and contracts."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_quality_analyzer_spark.operators import mirrors as MI
+
+ROWS = (
+    # portal carries pages p1..p4; mirror carries p1..p2 only ->
+    # containment vs the SMALLER side = 2/2 = 1.0
+    [("portal.com", f"p{i}") for i in range(1, 5)]
+    + [("mirror.net", "p1"), ("mirror.net", "p2")]
+    + [("mirror.net", "p1")]  # duplicate doc: incidence is DISTINCT
+    # half.org shares one of its two pages with portal
+    + [("half.org", "p1"), ("half.org", "own")]
+    # boilerplate fingerprint on every domain incl. two otherwise-unrelated
+    + [(d, "boiler") for d in ("portal.com", "mirror.net", "half.org", "x.io", "y.io")]
+    + [("x.io", "ux"), ("y.io", "uy")]
+    + [("z.dev", None)]  # NULL fp ignored
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "source string, fp string")
+
+
+def test_mirror_pairs_containment_and_guard(docs):
+    got = {
+        (r["domain_a"], r["domain_b"]): (
+            r["n_shared"],
+            r["n_fps_a"],
+            r["n_fps_b"],
+            r["containment"],
+        )
+        for r in MI.mirror_pairs(docs, max_group=4).collect()
+    }
+    # boiler spans 5 domains > max_group=4: dropped, so x.io/y.io pair
+    # with nothing else in common must NOT appear
+    assert ("x.io", "y.io") not in got
+    # full mirror: 2 shared real pages; mirror.net has fps {p1,p2,boiler}=3
+    assert got[("mirror.net", "portal.com")] == (2, 3, 5, round(2 / 3, 4))
+    assert got[("half.org", "portal.com")] == (1, 3, 5, round(1 / 3, 4))
+    assert got[("half.org", "mirror.net")] == (1, 3, 3, round(1 / 3, 4))
+    assert len(got) == 3
+
+
+def test_mirror_pairs_guard_off_includes_boiler(docs):
+    """Raising the cap readmits the boilerplate group: every domain pair
+    it spans appears — C(5,2)=10 pairs at minimum."""
+    got = MI.mirror_pairs(docs, max_group=50).collect()
+    keys = {(r["domain_a"], r["domain_b"]) for r in got}
+    assert ("x.io", "y.io") in keys and len(keys) == 10
+
+
+def test_mirror_pairs_contract():
+    with pytest.raises(ValueError):
+        MI.mirror_pairs_duck_sql("t", max_group=1)
