@@ -50,7 +50,7 @@ def mirror_pairs(
     fp_col: str = "fp",
     max_group: int = MAX_FP_GROUP,
 ) -> DataFrame:
-    """(domain_a, domain_b, n_shared, n_docs_a, n_docs_b, containment)
+    """(domain_a, domain_b, n_shared, n_fps_a, n_fps_b, containment)
     for every unordered domain pair sharing at least one fingerprint,
     with domain_a < domain_b and containment = n_shared / min(distinct
     fingerprints of either side), rounded to 4 dp on both engines.
@@ -159,4 +159,121 @@ def mirror_pairs_duck_sql(
     FROM pairs p
     JOIN per_dom da ON da.domain = p.domain_a
     JOIN per_dom db ON db.domain = p.domain_b
+    """
+
+
+def collapse_mirrors(
+    df: DataFrame,
+    domain_col: str = "source",
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_group: int = MAX_FP_GROUP,
+) -> DataFrame:
+    """One-round mirror COLLAPSE action: for every pair whose (4 dp)
+    containment clears ``threshold``, the domain with FEWER distinct
+    fingerprints loses (tie → lexicographically larger name loses), and
+    each losing doc whose fingerprint the canonical side also carries is
+    dropped.  Returns the per-domain action report
+    (domain, n_docs, n_dropped, dropped_checksum) — a curator reviews
+    this before the drop is applied, exactly like the q45/q48 keep-one
+    actions.  The rule is ONE round, not transitive: an A→B→C mirror
+    chain collapses fully only on iteration (documented; chains are rare
+    and a second pass is cheap on the already-shrunk corpus).
+    Thresholding happens on the ROUNDED containment (the q86 grid rule),
+    so both engines decide every pair identically."""
+    pairs = mirror_pairs(
+        df, domain_col=domain_col, fp_col=fp_col, max_group=max_group
+    ).filter(F.col("containment") >= threshold)
+    a_wins = (F.col("n_fps_a") > F.col("n_fps_b")) | (
+        (F.col("n_fps_a") == F.col("n_fps_b"))
+        & (F.col("domain_a") < F.col("domain_b"))
+    )
+    losers = pairs.select(
+        F.when(a_wins, F.col("domain_b")).otherwise(F.col("domain_a")).alias(
+            "loser"
+        ),
+        F.when(a_wins, F.col("domain_a")).otherwise(F.col("domain_b")).alias(
+            "canon"
+        ),
+    )
+    rows = df.select(
+        F.col(domain_col).alias("domain"),
+        F.col(fp_col).alias("_fp"),
+        F.col(id_col).alias("_id"),
+    )
+    canon_inc = (
+        rows.select(F.col("domain").alias("canon"), "_fp").distinct()
+    )
+    # a doc is dropped iff ANY canonical of its domain carries its fp
+    doomed = (
+        rows.join(
+            F.broadcast(losers), rows["domain"] == losers["loser"]
+        )
+        .join(canon_inc, ["canon", "_fp"], "left_semi")
+        .select("domain", "_id")
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        rows.join(doomed, ["domain", "_id"], "left")
+        .groupBy("domain")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("_dropped"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.bit_xor(
+                F.when(F.col("_dropped"), F.col("_id")).otherwise(0)
+            ).alias("dropped_checksum"),
+        )
+    )
+
+
+def collapse_mirrors_duck_sql(
+    rel: str,
+    domain_col: str = "source",
+    fp_col: str = "fp",
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+    max_group: int = MAX_FP_GROUP,
+) -> str:
+    """DuckDB twin of :func:`collapse_mirrors` (same rounded-grid
+    threshold, same loser rule, EXISTS-decomposed drop predicate)."""
+    base = mirror_pairs_duck_sql(
+        rel, domain_col=domain_col, fp_col=fp_col, max_group=max_group
+    )
+    return f"""
+    WITH pairs_full AS ({base}),
+    losers AS (
+      SELECT CASE WHEN n_fps_a > n_fps_b
+                  OR (n_fps_a = n_fps_b AND domain_a < domain_b)
+             THEN domain_b ELSE domain_a END AS loser,
+             CASE WHEN n_fps_a > n_fps_b
+                  OR (n_fps_a = n_fps_b AND domain_a < domain_b)
+             THEN domain_a ELSE domain_b END AS canon
+      FROM pairs_full WHERE containment >= {threshold}
+    ),
+    rows_ AS (
+      SELECT {domain_col} AS domain, {fp_col} AS _fp, {id_col} AS _id
+      FROM {rel}
+    ),
+    doomed AS (
+      SELECT DISTINCT r.domain, r._id
+      FROM rows_ r
+      JOIN losers l ON l.loser = r.domain
+      WHERE EXISTS (
+        SELECT 1 FROM rows_ c
+        WHERE c.domain = l.canon AND c._fp = r._fp
+      )
+    )
+    SELECT r.domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d._id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped,
+           bit_xor(CASE WHEN d._id IS NOT NULL THEN r._id ELSE 0 END)
+             AS dropped_checksum
+    FROM rows_ r
+    LEFT JOIN doomed d ON d.domain = r.domain AND d._id = r._id
+    GROUP BY 1
     """

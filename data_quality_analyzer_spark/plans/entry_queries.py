@@ -5479,6 +5479,53 @@ def q99(spark, sf_dir):
     )
 
 
+_Q100_THRESHOLD = 0.9
+
+
+def _q100_oracle() -> str:
+    from ..operators import mirrors as MI
+
+    rel = f"(SELECT doc_id, source, {_q99_fp_sql('duck')} AS fp FROM documents)"
+    return MI.collapse_mirrors_duck_sql(
+        rel,
+        "source",
+        "fp",
+        "doc_id",
+        threshold=_Q100_THRESHOLD,
+        max_group=_Q99_MAX_GROUP,
+    )
+
+
+@_register("q100_mirror_collapse", _q100_oracle)
+def q100(spark, sf_dir):
+    """Mirror COLLAPSE action report (operators/mirrors.py:
+    collapse_mirrors): q99's detected pairs above the (rounded-grid)
+    containment threshold elect a canonical host — more distinct
+    fingerprints wins, ties to the lexicographically smaller name — and
+    every losing doc whose fingerprint the canonical side carries is
+    marked dropped; per-domain kept/dropped counts plus the dropped-id
+    checksum value-prove exactly WHICH docs each engine would remove,
+    the same action discipline as q45/q48.  One-round rule (chains
+    collapse on iteration, documented).  On the shared synthesis the
+    full mirror pair fires (src0 keeps, src1 drops its shared pages);
+    the partial src2/src3 pair sits BELOW the threshold and must drop
+    nothing.  Reference ancestor: the A10/A12 duplicate-resolution
+    family lifted from rows to SITES."""
+    from ..operators import mirrors as MI
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(_q99_fp_sql("spark")).alias("fp")
+    )
+    return MI.collapse_mirrors(
+        d,
+        domain_col="source",
+        fp_col="fp",
+        id_col="doc_id",
+        threshold=_Q100_THRESHOLD,
+        max_group=_Q99_MAX_GROUP,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -58,3 +58,46 @@ def test_mirror_pairs_guard_off_includes_boiler(docs):
 def test_mirror_pairs_contract():
     with pytest.raises(ValueError):
         MI.mirror_pairs_duck_sql("t", max_group=1)
+
+
+def test_collapse_mirrors_action(spark):
+    rows = [
+        (1, "portal.com", "p1"),
+        (2, "portal.com", "p2"),
+        (3, "portal.com", "p3"),
+        (8, "portal.com", "p4"),
+        (4, "mirror.net", "p1"),
+        (5, "mirror.net", "p2"),
+        (6, "mirror.net", "own"),
+        (7, "solo.org", "s1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, fp string")
+    got = {
+        r["domain"]: (r["n_docs"], r["n_dropped"], r["dropped_checksum"])
+        for r in MI.collapse_mirrors(df, threshold=0.6).collect()
+    }
+    # containment(mirror, portal) = 2/min(3,4) = 0.6667 >= 0.6; portal
+    # has more fps -> canonical; mirror loses exactly its shared pages
+    assert got["portal.com"] == (4, 0, 0)
+    assert got["mirror.net"] == (3, 2, 4 ^ 5)
+    assert got["solo.org"] == (1, 0, 0)
+    # below-threshold: nothing drops anywhere
+    none = MI.collapse_mirrors(df, threshold=0.7).collect()
+    assert all(r["n_dropped"] == 0 for r in none)
+
+
+def test_collapse_mirrors_tie_rule(spark):
+    """Equal fingerprint counts: the lexicographically SMALLER name is
+    canonical — deterministic on both engines."""
+    rows = [
+        (1, "a.com", "x"),
+        (2, "a.com", "y"),
+        (3, "b.com", "x"),
+        (4, "b.com", "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, fp string")
+    got = {
+        r["domain"]: r["n_dropped"]
+        for r in MI.collapse_mirrors(df, threshold=0.9).collect()
+    }
+    assert got == {"a.com": 0, "b.com": 2}
