@@ -32,12 +32,8 @@ the (fingerprint, domain) incidence relation.
 
 from __future__ import annotations
 
-import logging
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-log = logging.getLogger(__name__)
 
 #: default cap on how many domains may share one fingerprint before the
 #: group is dropped as boilerplate (quadratic-pair guard)
@@ -58,25 +54,23 @@ def mirror_pairs(
     loudly (boilerplate guard — see module docstring)."""
     if max_group < 2:
         raise ValueError(f"max_group must be >= 2, got {max_group}")
+    from .dedup import exclude_hot_band_buckets
+
     inc = df.select(
         F.col(domain_col).alias("domain"), F.col(fp_col).alias("_fp")
     ).filter(F.col("_fp").isNotNull()).distinct()
+    # the SAME loud hot-key guard as the banded-LSH paths (one census
+    # pass, worst offenders logged, broadcast anti-join) — and, crucially,
+    # the DENOMINATOR below is computed over this same guarded incidence:
+    # a true mirror carrying sitewide boilerplate must still score 1.0,
+    # so guard-excluded fingerprints count in NEITHER numerator NOR
+    # denominator (review finding: a numerator-only guard silently
+    # deflated every boilerplate-carrying mirror below the threshold)
+    inc = exclude_hot_band_buckets(inc, ["_fp"], max_group, "mirror_pairs")
     groups = inc.groupBy("_fp").agg(
         F.sort_array(F.collect_set("domain")).alias("domains")
     )
-    hot = groups.filter(F.size("domains") > max_group)
-    n_hot = hot.count()
-    if n_hot:
-        log.warning(
-            "mirror_pairs: dropping %d fingerprint group(s) carried by "
-            "more than %d domains (boilerplate guard — not mirror "
-            "evidence, and a quadratic pair blow-up)",
-            n_hot,
-            max_group,
-        )
-    usable = groups.filter(
-        (F.size("domains") >= 2) & (F.size("domains") <= max_group)
-    )
+    usable = groups.filter(F.size("domains") >= 2)
     # C(k,2) unordered pairs per group, k bounded by max_group
     pairs = usable.select(
         F.explode(
@@ -132,14 +126,19 @@ def mirror_pairs_duck_sql(
     if max_group < 2:
         raise ValueError(f"max_group must be >= 2, got {max_group}")
     return f"""
-    WITH inc AS (
+    WITH inc0 AS (
       SELECT DISTINCT {domain_col} AS domain, {fp_col} AS fp
       FROM {rel} WHERE {fp_col} IS NOT NULL
     ),
-    ok AS (
-      SELECT fp FROM inc GROUP BY fp
-      HAVING COUNT(*) BETWEEN 2 AND {max_group}
+    grp AS (SELECT fp, COUNT(*) AS c FROM inc0 GROUP BY fp),
+    -- guarded incidence: hot (boilerplate) fps out of BOTH numerator
+    -- and denominator, matching the Spark side
+    inc AS (
+      SELECT inc0.* FROM inc0
+      JOIN grp ON grp.fp = inc0.fp
+      WHERE grp.c <= {max_group}
     ),
+    ok AS (SELECT fp FROM grp WHERE c BETWEEN 2 AND {max_group}),
     pairs AS (
       SELECT a.domain AS domain_a, b.domain AS domain_b,
              CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -175,9 +174,10 @@ def collapse_mirrors(
     fingerprints loses (tie → lexicographically larger name loses), and
     each losing doc whose fingerprint the canonical side also carries is
     dropped.  Returns the per-domain action report
-    (domain, n_docs, n_dropped, dropped_checksum) — a curator reviews
-    this before the drop is applied, exactly like the q45/q48 keep-one
-    actions.  The rule is ONE round, not transitive: an A→B→C mirror
+    (domain, n_docs, n_dropped, dropped_checksum), counted over
+    DISTINCT (domain, id) docs — duplicate input rows and
+    multi-fingerprint docs count once — which a curator reviews before
+    the drop is applied, exactly like the q45/q48 keep-one actions.  The rule is ONE round, not transitive: an A→B→C mirror
     chain collapses fully only on iteration (documented; chains are rare
     and a second pass is cheap on the already-shrunk corpus).
     Thresholding happens on the ROUNDED containment (the q86 grid rule),
@@ -205,7 +205,11 @@ def collapse_mirrors(
     canon_inc = (
         rows.select(F.col("domain").alias("canon"), "_fp").distinct()
     )
-    # a doc is dropped iff ANY canonical of its domain carries its fp
+    # a doc is dropped iff ANY canonical of its domain carries any of
+    # its fps; the REPORT is per DOC, not per row — duplicate input rows
+    # or multi-fingerprint docs must count once, or the XOR checksum
+    # folds ids in twice and cancels them (review finding)
+    docs = rows.select("domain", "_id").distinct()
     doomed = (
         rows.join(
             F.broadcast(losers), rows["domain"] == losers["loser"]
@@ -216,7 +220,7 @@ def collapse_mirrors(
         .withColumn("_dropped", F.lit(True))
     )
     return (
-        rows.join(doomed, ["domain", "_id"], "left")
+        docs.join(doomed, ["domain", "_id"], "left")
         .groupBy("domain")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -258,6 +262,9 @@ def collapse_mirrors_duck_sql(
       SELECT {domain_col} AS domain, {fp_col} AS _fp, {id_col} AS _id
       FROM {rel}
     ),
+    docs_ AS (
+      SELECT DISTINCT domain, _id FROM rows_
+    ),
     doomed AS (
       SELECT DISTINCT r.domain, r._id
       FROM rows_ r
@@ -273,7 +280,7 @@ def collapse_mirrors_duck_sql(
                 AS BIGINT) AS n_dropped,
            bit_xor(CASE WHEN d._id IS NOT NULL THEN r._id ELSE 0 END)
              AS dropped_checksum
-    FROM rows_ r
+    FROM docs_ r
     LEFT JOIN doomed d ON d.domain = r.domain AND d._id = r._id
     GROUP BY 1
     """

@@ -40,10 +40,11 @@ def test_mirror_pairs_containment_and_guard(docs):
     # boiler spans 5 domains > max_group=4: dropped, so x.io/y.io pair
     # with nothing else in common must NOT appear
     assert ("x.io", "y.io") not in got
-    # full mirror: 2 shared real pages; mirror.net has fps {p1,p2,boiler}=3
-    assert got[("mirror.net", "portal.com")] == (2, 3, 5, round(2 / 3, 4))
-    assert got[("half.org", "portal.com")] == (1, 3, 5, round(1 / 3, 4))
-    assert got[("half.org", "mirror.net")] == (1, 3, 3, round(1 / 3, 4))
+    # guard-consistent denominators: boiler is out of n_fps too, so the
+    # TRUE full mirror scores exactly 1.0 despite carrying boilerplate
+    assert got[("mirror.net", "portal.com")] == (2, 2, 4, 1.0)
+    assert got[("half.org", "portal.com")] == (1, 2, 4, 0.5)
+    assert got[("half.org", "mirror.net")] == (1, 2, 2, 0.5)
     assert len(got) == 3
 
 
@@ -55,9 +56,13 @@ def test_mirror_pairs_guard_off_includes_boiler(docs):
     assert ("x.io", "y.io") in keys and len(keys) == 10
 
 
-def test_mirror_pairs_contract():
+def test_mirror_pairs_contract(docs):
     with pytest.raises(ValueError):
         MI.mirror_pairs_duck_sql("t", max_group=1)
+    with pytest.raises(ValueError):
+        MI.mirror_pairs(docs, max_group=1)  # Spark-side guard parity
+    with pytest.raises(ValueError):
+        MI.collapse_mirrors_duck_sql("t", max_group=0)
 
 
 def test_collapse_mirrors_action(spark):
@@ -67,20 +72,26 @@ def test_collapse_mirrors_action(spark):
         (3, "portal.com", "p3"),
         (8, "portal.com", "p4"),
         (4, "mirror.net", "p1"),
+        (4, "mirror.net", "p1"),  # duplicate ROW: doc 4 counts once
         (5, "mirror.net", "p2"),
+        (5, "mirror.net", "own2"),  # multi-fp doc: one fp shared suffices
         (6, "mirror.net", "own"),
         (7, "solo.org", "s1"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, fp string")
     got = {
         r["domain"]: (r["n_docs"], r["n_dropped"], r["dropped_checksum"])
-        for r in MI.collapse_mirrors(df, threshold=0.6).collect()
+        for r in MI.collapse_mirrors(df, threshold=0.5).collect()
     }
-    # containment(mirror, portal) = 2/min(3,4) = 0.6667 >= 0.6; portal
-    # has more fps -> canonical; mirror loses exactly its shared pages
-    assert got["portal.com"] == (4, 0, 0)
-    assert got["mirror.net"] == (3, 2, 4 ^ 5)
+    # containment(mirror, portal) = 2/min(4,4) = 0.5 >= 0.5; portal has
+    # equal fps but the tie... portal has 4 vs mirror 4 -> tie ->
+    # lexicographically smaller wins: 'mirror.net' < 'portal.com', so
+    # MIRROR is canonical and PORTAL loses its shared pages p1, p2
+    assert got["mirror.net"] == (3, 0, 0)
+    assert got["portal.com"] == (4, 2, 1 ^ 2)
     assert got["solo.org"] == (1, 0, 0)
+    # duplicate rows / multi-fp docs never double-fold the checksum:
+    # dropped ids are {1, 2}, each exactly once
     # below-threshold: nothing drops anywhere
     none = MI.collapse_mirrors(df, threshold=0.7).collect()
     assert all(r["n_dropped"] == 0 for r in none)
