@@ -220,3 +220,76 @@ def fetch_plan_duck_sql(
     )
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# URL-template mining: crawler-trap detection.  Infinite URL spaces
+# (calendars, session ids, faceted search) all collapse to a handful of
+# path TEMPLATES once variable segments are normalized away; a template
+# exploding into a disproportionate URL count is the classic spider-trap
+# signal a frontier must throttle before it drowns the fetch budget.
+# Rules are ordered (hex before digits — a hex run contains digit runs)
+# and backslash-free (the SQL-literal rule).  DuckDB's regexp_replace
+# needs the 'g' flag for global replacement; Spark's is global already.
+# ---------------------------------------------------------------------------
+
+#: ordered (pattern, placeholder) normalization rules — shared by twins
+TEMPLATE_RULES = (
+    ("[0-9a-f]{8,}", "{hex}"),  # long hex runs: session/content ids
+    ("[0-9]+", "{d}"),          # any digit run: dates, pages, offsets
+)
+
+#: a template carrying at least this many URLs on one domain is a trap
+TRAP_MIN_URLS = 50
+
+
+def url_templates(
+    df: DataFrame, url_col: str, trap_min_urls: int = TRAP_MIN_URLS
+) -> DataFrame:
+    """(domain, template, n_urls, is_trap) per distinct URL: the path is
+    lowercased and variable segments are normalized by
+    :data:`TEMPLATE_RULES`; ``is_trap`` flags templates whose URL count
+    on one domain reaches ``trap_min_urls``.  One distinct + one hash
+    aggregate, both map-side-combining; NULL-domain URLs are excluded
+    as everywhere in the frontier stack."""
+    from .robots import url_path
+
+    tpl = F.lower(url_path(F.col(url_col)))
+    for pat, rep in TEMPLATE_RULES:
+        tpl = F.regexp_replace(tpl, pat, rep)
+    return (
+        df.select(
+            extract_domain(F.col(url_col)).alias("domain"),
+            F.col(url_col),
+            tpl.alias("template"),
+        )
+        .filter(F.col("domain").isNotNull())
+        .distinct()
+        .groupBy("domain", "template")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+        .withColumn("is_trap", F.col("n_urls") >= trap_min_urls)
+    )
+
+
+def url_templates_duck_sql(
+    urls_rel: str, url_col: str, trap_min_urls: int = TRAP_MIN_URLS
+) -> str:
+    """DuckDB twin of :func:`url_templates` (regexp_replace needs the
+    'g' flag there — single-replacement is the default, unlike Spark)."""
+    from .robots import url_path_sql
+
+    tpl = f"lower({url_path_sql(url_col)})"
+    for pat, rep in TEMPLATE_RULES:
+        tpl = f"regexp_replace({tpl}, '{pat}', '{rep}', 'g')"
+    return f"""
+    SELECT domain, template,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           (COUNT(*) >= {trap_min_urls}) AS is_trap
+    FROM (
+      SELECT DISTINCT {extract_domain_sql(url_col)} AS domain,
+             {url_col}, {tpl} AS template
+      FROM {urls_rel}
+    )
+    WHERE domain IS NOT NULL
+    GROUP BY 1, 2
+    """

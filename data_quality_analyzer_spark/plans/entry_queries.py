@@ -5526,6 +5526,78 @@ def q100(spark, sf_dir):
     )
 
 
+def _q101_oracle() -> str:
+    from ..operators import frontier as FR
+
+    urls = """
+      SELECT 'https://' || source || '.example.com/page/'
+               || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/s/'
+               || md5(COALESCE(text, ''))
+      FROM documents WHERE doc_id % 4 = 3
+      UNION ALL
+      SELECT 'https://' || source || '.example.com/cal/'
+               || CAST(2000 + doc_id % 25 AS VARCHAR)
+               || '/' || CAST(k AS VARCHAR)
+      FROM documents, range(0, 6) t(k) WHERE source = 'src3'
+    """
+    return f"WITH urls AS ({urls})\n" + FR.url_templates_duck_sql(
+        "urls", "url"
+    )
+
+
+@_register("q101_url_templates", _q101_oracle)
+def q101(spark, sf_dir):
+    """URL-TEMPLATE mining / crawler-trap detection (operators/
+    frontier.py:url_templates): variable path segments (digit runs,
+    long hex ids) normalize to placeholders, and a template exploding
+    into a disproportionate per-domain URL count is the spider-trap
+    signal (calendars, session ids, faceted search — infinite URL
+    spaces) a frontier must throttle before it drowns the fetch budget.
+    The synthesis plants all three shapes: /page/{d} (benign, one per
+    doc), /s/{hex} (session ids — md5 runs collapse to ONE template),
+    and a /cal/{d}/{d} calendar on a single domain fanned 6× per doc so
+    only IT crosses the trap threshold.  One distinct + one hash agg,
+    map-side combining; DuckDB regexp_replace 'g'-flag gotcha pinned in
+    the twin.  Reference ancestor: A14 group-count distribution
+    (payer_analysis.py) on the normalized-path axis."""
+    from ..operators import frontier as FR
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    base = d.select(
+        F.concat(host, F.lit("/page/"), F.col("doc_id").cast("string")).alias(
+            "url"
+        )
+    )
+    sess = d.filter(F.col("doc_id") % 4 == 3).select(
+        F.concat(
+            host, F.lit("/s/"), F.md5(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("url")
+    )
+    trap = (
+        d.filter(F.col("source") == "src3")
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(5))).alias("k"),
+        )
+        .select(
+            F.concat(
+                F.lit("https://"),
+                F.col("source"),
+                F.lit(".example.com/cal/"),
+                (F.lit(2000) + F.col("doc_id") % 25).cast("string"),
+                F.lit("/"),
+                F.col("k").cast("string"),
+            ).alias("url")
+        )
+    )
+    return FR.url_templates(base.unionByName(sess).unionByName(trap), "url")
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------

@@ -211,3 +211,58 @@ def test_cap_contract(urls):
         FR.assign_fetch_slots(urls, "url", 0)
     with pytest.raises(ValueError):
         FR.fetch_plan_duck_sql("urls", "url", 0)
+
+
+def test_url_templates_planted(spark):
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = (
+        [(f"https://a.com/page/{i}",) for i in range(3)]
+        + [("https://a.com/page/1",)]  # duplicate URL: counted once
+        + [(f"https://a.com/s/{'%032x' % (i + 1)}",) for i in range(2)]
+        + [(f"https://trap.io/cal/20{i:02d}/{j}",) for i in range(2) for j in range(2)]
+        + [(None,), ("   ",)]
+    )
+    got = {
+        (r["domain"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in FR.url_templates(
+            spark.createDataFrame(rows, "url string"), "url",
+            trap_min_urls=4,
+        ).collect()
+    }
+    assert got == {
+        ("a.com", "/page/{d}"): (3, False),
+        ("a.com", "/s/{hex}"): (2, False),
+        ("trap.io", "/cal/{d}/{d}"): (4, True),  # exactly AT threshold
+    }
+
+
+def test_url_templates_duck_twin(spark):
+    import duckdb
+    import pandas as pd
+
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = [
+        ("https://a.com/page/7",),
+        ("https://a.com/page/8",),
+        ("https://b.net/x/deadbeef01/y/3",),  # hex AND digit segments
+        ("https://b.net/x/deadbeef01/y/3",),  # dup
+    ]
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame(rows, columns=["url"]))
+    duck = {
+        (d, t): (int(n), bool(f))
+        for d, t, n, f in con.execute(
+            FR.url_templates_duck_sql("urls", "url", trap_min_urls=2)
+        ).fetchall()
+    }
+    got = {
+        (r["domain"], r["template"]): (r["n_urls"], r["is_trap"])
+        for r in FR.url_templates(
+            spark.createDataFrame(rows, "url string"), "url",
+            trap_min_urls=2,
+        ).collect()
+    }
+    assert got == duck
+    assert got[("b.net", "/x/{hex}/y/{d}")] == (1, False)
