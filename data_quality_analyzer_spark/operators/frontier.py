@@ -293,3 +293,53 @@ def url_templates_duck_sql(
     WHERE domain IS NOT NULL
     GROUP BY 1, 2
     """
+
+
+def throttle_traps(
+    df: DataFrame,
+    url_col: str,
+    trap_min_urls: int = TRAP_MIN_URLS,
+    keep_per_template: int | None = None,
+) -> DataFrame:
+    """Trap ACTION for the frontier: URLs of a trap template (per
+    :func:`url_templates`) are capped to ``keep_per_template`` per
+    (domain, template) — deterministic keep set via the same (h60, url)
+    order as the fetch waves, so retries and cluster sizes agree.
+    Benign templates pass through untouched.  Default keep =
+    ``trap_min_urls`` (crawl AT the evidence threshold, never past it).
+    One window per (domain, template); trap groups are few by
+    definition, and the window only runs over rows JOINED to a trap
+    template — benign URLs never enter it."""
+    keep = trap_min_urls if keep_per_template is None else keep_per_template
+    if keep < 1:
+        raise ValueError(f"keep_per_template must be >= 1, got {keep}")
+    from .robots import url_path
+
+    tpl = F.lower(url_path(F.col(url_col)))
+    for pat, rep in TEMPLATE_RULES:
+        tpl = F.regexp_replace(tpl, pat, rep)
+    urls = df.select(F.col(url_col)).withColumns(
+        {
+            "_dom": extract_domain(F.col(url_col)),
+            "_tpl": tpl,
+        }
+    )
+    traps = (
+        urls.filter(F.col("_dom").isNotNull())
+        .select("_dom", "_tpl", url_col)
+        .distinct()
+        .groupBy("_dom", "_tpl")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= trap_min_urls)
+        .select("_dom", "_tpl")
+    )
+    marked = urls.join(F.broadcast(traps), ["_dom", "_tpl"], "left_semi")
+    benign = urls.join(F.broadcast(traps), ["_dom", "_tpl"], "left_anti")
+    w = Window.partitionBy("_dom", "_tpl").orderBy("_h", url_col)
+    kept_trap = (
+        marked.withColumn("_h", F.expr(h60_spark_sql(url_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep)
+        .drop("_h", "_rk")
+    )
+    return benign.unionByName(kept_trap).select(url_col)

@@ -68,6 +68,7 @@ def plan_crawl(
     xml_col: str = "sitemap_xml",
     per_domain_cap: int = 8,
     default_delay_s: float = 1.0,
+    trap_cap: int | None = None,
     funnel: list | None = None,
 ) -> DataFrame:
     """Sitemap corpus → politeness-scheduled fetch plan.
@@ -82,6 +83,8 @@ def plan_crawl(
     unstated) and ``wave_start_s`` = slot · cap · delay — wave k of a
     domain cannot begin before its previous wave's cap sequential
     fetches, each ``delay`` apart, have had time to finish.
+    ``trap_cap``: when set, q101-style crawler-trap templates are capped
+    to that many URLs each before wave assignment.
     """
 
     def boundary(df: DataFrame, stage: str, prev_rows: int | None):
@@ -128,6 +131,15 @@ def plan_crawl(
     else:
         fresh = gated
     fresh, n = boundary(fresh, "seen_filter", n)
+
+    if trap_cap is not None:
+        # q101's trap ACTION: templates at/over the evidence threshold
+        # are capped to trap_cap URLs each (deterministic keep set) —
+        # calendars and session-id spaces stop eating the fetch budget
+        fresh = FR.throttle_traps(
+            fresh, "url", keep_per_template=trap_cap
+        )
+    fresh, n = boundary(fresh, "trap_throttle", n)
 
     plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
     if robots is not None:

@@ -105,6 +105,7 @@ def test_plan_crawl_funnel_and_waves(spark, scenario):
         ("canonical_distinct", 7, 1),  # the utm variant collapsed
         ("robots_gate", 6, 1),  # /private/ rejected
         ("seen_filter", 5, 1),  # /old already crawled
+        ("trap_throttle", 5, 0),  # trap_cap unset: pass-through
         ("fetch_waves", 5, 0),
     ]
 

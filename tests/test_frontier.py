@@ -266,3 +266,39 @@ def test_url_templates_duck_twin(spark):
     }
     assert got == duck
     assert got[("b.net", "/x/{hex}/y/{d}")] == (1, False)
+
+
+def test_throttle_traps_action(spark):
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = (
+        [(f"https://trap.io/cal/{i}/x",) for i in range(6)]  # one template
+        + [(f"https://ok.com/page/{i}",) for i in range(3)]  # under threshold
+    )
+    df = spark.createDataFrame(rows, "url string")
+    kept = {
+        r["url"]
+        for r in FR.throttle_traps(
+            df, "url", trap_min_urls=5, keep_per_template=2
+        ).collect()
+    }
+    trap_kept = {u for u in kept if u.startswith("https://trap.io")}
+    assert len(trap_kept) == 2
+    # benign template untouched
+    assert {u for u in kept if u.startswith("https://ok.com")} == {
+        f"https://ok.com/page/{i}" for i in range(3)
+    }
+    # deterministic keep set: shuffled input yields the same survivors
+    again = {
+        r["url"]
+        for r in FR.throttle_traps(
+            spark.createDataFrame(list(reversed(rows)), "url string")
+            .repartition(4),
+            "url",
+            trap_min_urls=5,
+            keep_per_template=2,
+        ).collect()
+    }
+    assert again == kept
+    with pytest.raises(ValueError):
+        FR.throttle_traps(df, "url", keep_per_template=0)
