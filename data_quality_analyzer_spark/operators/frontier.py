@@ -36,20 +36,32 @@ from .domains import extract_domain, extract_domain_sql
 
 
 def assign_fetch_slots(
-    df: DataFrame, url_col: str, per_domain_cap: int
+    df: DataFrame,
+    url_col: str,
+    per_domain_cap: int,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """(domain, url, rank_in_domain, fetch_slot) for every parseable URL.
 
     ``rank_in_domain`` is 1-based within the domain under the
     deterministic (h60(url), url) order; ``fetch_slot`` is 0-based and
     holds at most ``per_domain_cap`` of the domain's URLs by
-    construction.
+    construction.  ``priority_col`` (optional, numeric, higher = fetch
+    sooner) prepends a DESC key to the order — e.g. a q96 recrawl-tier
+    index, so fast-changing URLs land in the early waves — while the
+    (h60, url) tail keeps the full order deterministic; NULL priority
+    sorts last (nulls_last), the conservative default for unknowns.
     """
-    return _slots_with_hash(df, url_col, per_domain_cap).drop("_h")
+    return _slots_with_hash(
+        df, url_col, per_domain_cap, priority_col=priority_col
+    ).drop("_h")
 
 
 def _slots_with_hash(
-    df: DataFrame, url_col: str, per_domain_cap: int
+    df: DataFrame,
+    url_col: str,
+    per_domain_cap: int,
+    priority_col: str | None = None,
 ) -> DataFrame:
     """assign_fetch_slots with the ordering hash kept as ``_h`` so
     downstream aggregates (fetch_plan's checksum) reuse it instead of
@@ -58,11 +70,16 @@ def _slots_with_hash(
         raise ValueError(
             f"per_domain_cap must be >= 1, got {per_domain_cap}"
         )
-    w = Window.partitionBy("domain").orderBy("_h", url_col)
+    order = [F.col("_h").asc(), F.col(url_col).asc()]
+    keep = [F.col(url_col)]
+    if priority_col is not None:
+        order.insert(0, F.col(priority_col).desc_nulls_last())
+        keep.append(F.col(priority_col))
+    w = Window.partitionBy("domain").orderBy(*order)
     return (
         df.select(
             extract_domain(F.col(url_col)).alias("domain"),
-            F.col(url_col),
+            *keep,
             F.expr(h60_spark_sql(url_col)).alias("_h"),
         )
         .filter(F.col("domain").isNotNull())

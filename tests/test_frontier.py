@@ -302,3 +302,28 @@ def test_throttle_traps_action(spark):
     assert again == kept
     with pytest.raises(ValueError):
         FR.throttle_traps(df, "url", keep_per_template=0)
+
+
+def test_priority_aware_fetch_slots(spark):
+    """A numeric priority prepends a DESC key to the wave order: high-
+    priority URLs land in the earliest waves, NULLs last, and the cap
+    invariant is untouched."""
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = (
+        [(f"https://d.com/hot{i}", 3) for i in range(2)]
+        + [(f"https://d.com/warm{i}", 2) for i in range(2)]
+        + [(f"https://d.com/cold{i}", 1) for i in range(2)]
+        + [("https://d.com/unk", None)]
+    )
+    df = spark.createDataFrame(rows, "url string, prio int")
+    got = {
+        r["url"]: r["fetch_slot"]
+        for r in FR.assign_fetch_slots(
+            df, "url", per_domain_cap=2, priority_col="prio"
+        ).collect()
+    }
+    assert {got[f"https://d.com/hot{i}"] for i in range(2)} == {0}
+    assert {got[f"https://d.com/warm{i}"] for i in range(2)} == {1}
+    assert {got[f"https://d.com/cold{i}"] for i in range(2)} == {2}
+    assert got["https://d.com/unk"] == 3  # NULL priority: last wave
