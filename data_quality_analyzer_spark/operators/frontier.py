@@ -250,11 +250,33 @@ def fetch_plan_duck_sql(
 # needs the 'g' flag for global replacement; Spark's is global already.
 # ---------------------------------------------------------------------------
 
+#: a >=8-char [0-9a-f] run CONTAINING at least one letter — a pure-digit
+#: run must fall through to the {d} rule or an 8+-digit page id would
+#: split one logical template into /x/{d} and /x/{hex} halves, diluting
+#: trap counts below the threshold (review finding).  Lookahead-free
+#: (DuckDB is RE2): alternation over the first letter's position.
+_HEX_RUN = "(?:" + "|".join(
+    ["[0-9]{%d}[a-f][0-9a-f]{%d}[0-9a-f]*" % (k, 7 - k) for k in range(8)]
+    + ["[0-9]{8,}[a-f][0-9a-f]*"]
+) + ")"
+
 #: ordered (pattern, placeholder) normalization rules — shared by twins
 TEMPLATE_RULES = (
-    ("[0-9a-f]{8,}", "{hex}"),  # long hex runs: session/content ids
-    ("[0-9]+", "{d}"),          # any digit run: dates, pages, offsets
+    (_HEX_RUN, "{hex}"),  # long hex ids (must contain a letter)
+    ("[0-9]+", "{d}"),    # any digit run: dates, pages, offsets
 )
+
+
+def _template_expr(url_col: str):
+    """The normalized path-template Column — the SINGLE source both
+    detection (url_templates) and action (throttle_traps) render from,
+    so the two can never drift."""
+    from .robots import url_path
+
+    tpl = F.lower(url_path(F.col(url_col)))
+    for pat, rep in TEMPLATE_RULES:
+        tpl = F.regexp_replace(tpl, pat, rep)
+    return tpl
 
 #: a template carrying at least this many URLs on one domain is a trap
 TRAP_MIN_URLS = 50
@@ -269,16 +291,11 @@ def url_templates(
     on one domain reaches ``trap_min_urls``.  One distinct + one hash
     aggregate, both map-side-combining; NULL-domain URLs are excluded
     as everywhere in the frontier stack."""
-    from .robots import url_path
-
-    tpl = F.lower(url_path(F.col(url_col)))
-    for pat, rep in TEMPLATE_RULES:
-        tpl = F.regexp_replace(tpl, pat, rep)
     return (
         df.select(
             extract_domain(F.col(url_col)).alias("domain"),
             F.col(url_col),
-            tpl.alias("template"),
+            _template_expr(url_col).alias("template"),
         )
         .filter(F.col("domain").isNotNull())
         .distinct()
@@ -319,44 +336,44 @@ def throttle_traps(
     keep_per_template: int | None = None,
 ) -> DataFrame:
     """Trap ACTION for the frontier: URLs of a trap template (per
-    :func:`url_templates`) are capped to ``keep_per_template`` per
-    (domain, template) — deterministic keep set via the same (h60, url)
-    order as the fetch waves, so retries and cluster sizes agree.
-    Benign templates pass through untouched.  Default keep =
-    ``trap_min_urls`` (crawl AT the evidence threshold, never past it).
-    One window per (domain, template); trap groups are few by
-    definition, and the window only runs over rows JOINED to a trap
-    template — benign URLs never enter it."""
+    :func:`url_templates` — detection is DERIVED from it, so the two can
+    never drift) are capped to ``keep_per_template`` per
+    (domain, template), deterministic keep set via the same (h60, url)
+    order as the fetch waves.  Benign templates pass through untouched.
+    Default keep = ``trap_min_urls`` (crawl AT the evidence threshold,
+    never past it).  Output is DISTINCT parseable URLs — duplicates are
+    collapsed before ranking (a duplicate must not consume a keep slot)
+    and NULL-domain URLs are excluded, as everywhere in the frontier
+    stack.  Plan: the input is scanned once for detection (url_templates
+    aggregate) and once for the marked rank — the trap set rides back as
+    a broadcast, and the rank window runs over every (domain, template)
+    group in ONE pass (no semi/anti double-probe of the upstream
+    lineage)."""
     keep = trap_min_urls if keep_per_template is None else keep_per_template
     if keep < 1:
         raise ValueError(f"keep_per_template must be >= 1, got {keep}")
-    from .robots import url_path
-
-    tpl = F.lower(url_path(F.col(url_col)))
-    for pat, rep in TEMPLATE_RULES:
-        tpl = F.regexp_replace(tpl, pat, rep)
-    urls = df.select(F.col(url_col)).withColumns(
-        {
-            "_dom": extract_domain(F.col(url_col)),
-            "_tpl": tpl,
-        }
-    )
     traps = (
-        urls.filter(F.col("_dom").isNotNull())
-        .select("_dom", "_tpl", url_col)
+        url_templates(df, url_col, trap_min_urls=trap_min_urls)
+        .filter(F.col("is_trap"))
+        .select(
+            F.col("domain").alias("_dom"), F.col("template").alias("_tpl")
+        )
+        .withColumn("_trap", F.lit(True))
+    )
+    urls = (
+        df.select(
+            F.col(url_col),
+            extract_domain(F.col(url_col)).alias("_dom"),
+            _template_expr(url_col).alias("_tpl"),
+        )
+        .filter(F.col("_dom").isNotNull())
         .distinct()
-        .groupBy("_dom", "_tpl")
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= trap_min_urls)
-        .select("_dom", "_tpl")
     )
-    marked = urls.join(F.broadcast(traps), ["_dom", "_tpl"], "left_semi")
-    benign = urls.join(F.broadcast(traps), ["_dom", "_tpl"], "left_anti")
     w = Window.partitionBy("_dom", "_tpl").orderBy("_h", url_col)
-    kept_trap = (
-        marked.withColumn("_h", F.expr(h60_spark_sql(url_col)))
+    return (
+        urls.join(F.broadcast(traps), ["_dom", "_tpl"], "left")
+        .withColumn("_h", F.expr(h60_spark_sql(url_col)))
         .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= keep)
-        .drop("_h", "_rk")
+        .filter(F.col("_trap").isNull() | (F.col("_rk") <= keep))
+        .select(url_col)
     )
-    return benign.unionByName(kept_trap).select(url_col)

@@ -69,6 +69,7 @@ def plan_crawl(
     per_domain_cap: int = 8,
     default_delay_s: float = 1.0,
     trap_cap: int | None = None,
+    trap_min_urls: int | None = None,
     funnel: list | None = None,
 ) -> DataFrame:
     """Sitemap corpus → politeness-scheduled fetch plan.
@@ -84,7 +85,11 @@ def plan_crawl(
     domain cannot begin before its previous wave's cap sequential
     fetches, each ``delay`` apart, have had time to finish.
     ``trap_cap``: when set, q101-style crawler-trap templates are capped
-    to that many URLs each before wave assignment.
+    to that many URLs each before wave assignment; ``trap_min_urls``
+    overrides the trap EVIDENCE threshold (default
+    ``frontier.TRAP_MIN_URLS``) — without it a ``trap_cap`` above the
+    default threshold would leave a dead zone of 50..cap-URL templates
+    classified as traps but never actually capped.
     """
 
     def boundary(df: DataFrame, stage: str, prev_rows: int | None):
@@ -137,7 +142,12 @@ def plan_crawl(
         # are capped to trap_cap URLs each (deterministic keep set) —
         # calendars and session-id spaces stop eating the fetch budget
         fresh = FR.throttle_traps(
-            fresh, "url", keep_per_template=trap_cap
+            fresh,
+            "url",
+            trap_min_urls=(
+                FR.TRAP_MIN_URLS if trap_min_urls is None else trap_min_urls
+            ),
+            keep_per_template=trap_cap,
         )
     fresh, n = boundary(fresh, "trap_throttle", n)
 

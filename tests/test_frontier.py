@@ -219,7 +219,7 @@ def test_url_templates_planted(spark):
     rows = (
         [(f"https://a.com/page/{i}",) for i in range(3)]
         + [("https://a.com/page/1",)]  # duplicate URL: counted once
-        + [(f"https://a.com/s/{'%032x' % (i + 1)}",) for i in range(2)]
+        + [(f"https://a.com/s/cafe{i:028x}",) for i in range(2)]
         + [(f"https://trap.io/cal/20{i:02d}/{j}",) for i in range(2) for j in range(2)]
         + [(None,), ("   ",)]
     )
@@ -327,3 +327,49 @@ def test_priority_aware_fetch_slots(spark):
     assert {got[f"https://d.com/warm{i}"] for i in range(2)} == {1}
     assert {got[f"https://d.com/cold{i}"] for i in range(2)} == {2}
     assert got["https://d.com/unk"] == 3  # NULL priority: last wave
+
+
+def test_hex_rule_requires_a_letter(spark):
+    """A >=8 char PURE-DIGIT run must stay {d} — otherwise one logical
+    id space splits into /x/{d} and /x/{hex} halves and a trap's count
+    dilutes below the threshold (review finding)."""
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = [
+        ("https://a.com/item/9999999",),    # 7 digits -> {d}
+        ("https://a.com/item/10000000",),   # 8 digits, hex-charset -> {d}!
+        ("https://a.com/cal/20260817",),    # 8-digit date -> {d}
+        ("https://a.com/s/deadbeef01",),    # real hex (has letters) -> {hex}
+        ("https://a.com/s/1234567a",),      # letter at the end -> {hex}
+        ("https://a.com/s/a1234567",),      # letter first -> {hex}
+    ]
+    got = {
+        r["template"]: r["n_urls"]
+        for r in FR.url_templates(
+            spark.createDataFrame(rows, "url string"), "url"
+        ).collect()
+    }
+    assert got == {"/item/{d}": 2, "/cal/{d}": 1, "/s/{hex}": 3}
+
+
+def test_throttle_traps_duplicates_and_nulls(spark):
+    """Duplicate URLs must not consume keep slots (output is distinct),
+    and unparseable URLs are excluded like everywhere in the stack."""
+    from data_quality_analyzer_spark.operators import frontier as FR
+
+    rows = (
+        [(f"https://t.io/cal/{i}/x",) for i in range(5)]
+        + [("https://t.io/cal/0/x",)] * 3  # duplicates of a trap URL
+        + [(None,), ("   ",)]
+    )
+    kept = [
+        r["url"]
+        for r in FR.throttle_traps(
+            spark.createDataFrame(rows, "url string"),
+            "url",
+            trap_min_urls=5,
+            keep_per_template=2,
+        ).collect()
+    ]
+    assert len(kept) == 2 and len(set(kept)) == 2  # two DISTINCT survivors
+    assert all(u and u.startswith("https://t.io") for u in kept)
