@@ -5598,6 +5598,73 @@ def q101(spark, sf_dir):
     return FR.url_templates(base.unionByName(sess).unionByName(trap), "url")
 
 
+_Q102_CAP = 6
+
+
+def _q102_oracle() -> str:
+    from ..functions.hashing import h60_sql
+
+    h = h60_sql("url")
+    return f"""
+    WITH urls AS (
+      SELECT 'https://' || source || '.example.com/p'
+               || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 3 AS BIGINT) AS prio
+      FROM documents
+    ),
+    slots AS (
+      SELECT prio,
+             CAST((ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY prio DESC, {h}, url
+             ) - 1) // {_Q102_CAP} AS BIGINT) AS fetch_slot,
+             url
+      FROM (SELECT url, prio,
+                   regexp_extract(url, 'https://([^/]+)', 1) AS source
+            FROM urls)
+    )
+    SELECT fetch_slot, prio,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           bit_xor({h}) AS url_checksum
+    FROM slots GROUP BY 1, 2
+    """
+
+
+@_register("q102_priority_fetch_plan", _q102_oracle)
+def q102(spark, sf_dir):
+    """PRIORITY-AWARE dispatch (assign_fetch_slots(priority_col=...)):
+    the q96 recrawl-tier style priority prepends a DESC key to the
+    deterministic wave order, so fast-changing URLs land in the earliest
+    waves while the (h60, url) tail keeps every wave reproducible on any
+    cluster size/retry/engine.  The report crosses wave × priority with
+    a per-cell URL-hash checksum, value-proving not just wave SIZES but
+    exactly which priority tier occupies which wave.  Same plan as q91:
+    one hash-by-domain exchange feeding the ordered window, then one
+    hash agg.  Reference ancestor: T4 rank assignment
+    (charge_analysis_checks.py severity-ordered processing) on the
+    dispatch axis."""
+    from ..functions.hashing import h60_spark_sql
+    from ..operators import frontier as FR
+
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("doc_id") % 3).cast("long").alias("prio"),
+    )
+    slots = FR.assign_fetch_slots(
+        urls, "url", _Q102_CAP, priority_col="prio"
+    )
+    return slots.groupBy("fetch_slot", "prio").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.bit_xor(F.expr(h60_spark_sql("url"))).alias("url_checksum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public API consumed by __spark_entry__.py
 # ---------------------------------------------------------------------------
