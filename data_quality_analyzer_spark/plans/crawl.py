@@ -70,6 +70,7 @@ def plan_crawl(
     default_delay_s: float = 1.0,
     trap_cap: int | None = None,
     trap_min_urls: int | None = None,
+    priorities: DataFrame | None = None,
     funnel: list | None = None,
 ) -> DataFrame:
     """Sitemap corpus → politeness-scheduled fetch plan.
@@ -90,6 +91,10 @@ def plan_crawl(
     ``frontier.TRAP_MIN_URLS``) — without it a ``trap_cap`` above the
     default threshold would leave a dead zone of 50..cap-URL templates
     classified as traps but never actually capped.
+    ``priorities``: optional (url, priority) frame — e.g. the q96
+    recrawl ledger's tiers mapped to integers — left-joined on the
+    CANONICAL url; higher priority lands in earlier waves, URLs without
+    a row (first sighting) sort last, the conservative default.
     """
 
     def boundary(df: DataFrame, stage: str, prev_rows: int | None):
@@ -151,7 +156,15 @@ def plan_crawl(
         )
     fresh, n = boundary(fresh, "trap_throttle", n)
 
-    plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
+    if priorities is not None:
+        fresh = fresh.join(
+            priorities.select("url", "priority"), "url", "left"
+        )
+        plan = FR.assign_fetch_slots(
+            fresh, "url", per_domain_cap, priority_col="priority"
+        ).drop("priority")
+    else:
+        plan = FR.assign_fetch_slots(fresh, "url", per_domain_cap)
     if robots is not None:
         # robots is parsed again here (parse_crawl_delays shares
         # parse_robots' _star_blocks machinery); both relations are

@@ -138,3 +138,24 @@ def test_plan_crawl_defaults_allow_everything(spark, scenario):
     sitemaps, _, _ = scenario
     plan = CW.plan_crawl(spark, sitemaps, per_domain_cap=8)
     assert plan.count() == 7  # 8 locs minus the collapsed variant
+
+
+def test_plan_crawl_priorities_reorder_waves(spark, scenario):
+    """A (url, priority) frame — the q96 recrawl-tier feed — reorders a
+    domain's waves: high-priority URLs fetch first, unprioritized URLs
+    (first sightings) last."""
+    sitemaps, _, _ = scenario
+    prios = spark.createDataFrame(
+        [("b.org/new2", 9)], "url string, priority int"
+    )
+    plan = CW.plan_crawl(
+        spark, sitemaps, per_domain_cap=1, priorities=prios
+    )
+    b = {
+        r["url"]: r["fetch_slot"]
+        for r in plan.filter(plan.domain == "b.org").collect()
+    }
+    # cap=1: one URL per wave; the prioritized URL must take wave 0
+    assert b["b.org/new2"] == 0
+    assert set(b.values()) == {0, 1, 2, 3}  # old+new1..new3: 4 waves
+    assert "priority" not in plan.columns
