@@ -24,10 +24,11 @@
 Pass ``funnel=[]`` to collect per-stage (rows, dropped) audit entries
 (same contract as prep_text_corpus; each boundary costs one count job).
 
-Scale shape: stages 1–4 are map-only or broadcast-joined — the only
-required shuffles are the canonical distinct and the per-domain window
-of stage 5.  Nothing here reads page bodies; the whole plan runs on
-URL-sized rows.
+Scale shape: stages 1–4 are map-only or broadcast-joined — the required
+shuffles are the canonical distinct, the per-domain window of stage 5,
+and (only when a ``priorities`` feed is supplied) one url-keyed join
+against it, which is frontier-sized and NOT broadcastable.  Nothing
+here reads page bodies; the whole plan runs on URL-sized rows.
 """
 
 from __future__ import annotations
@@ -157,9 +158,17 @@ def plan_crawl(
     fresh, n = boundary(fresh, "trap_throttle", n)
 
     if priorities is not None:
-        fresh = fresh.join(
-            priorities.select("url", "priority"), "url", "left"
+        # re-aggregate per url (MAX wins) before joining — a duplicated
+        # url key would fan URLs into multiple plan rows, the same
+        # duplicate-fetch hazard the delays join guards against.  NOTE:
+        # this join is a real shuffle when the feed is frontier-sized
+        # (the module docstring's shuffle inventory includes it).
+        dedup_prio = (
+            priorities.select("url", "priority")
+            .groupBy("url")
+            .agg(F.max("priority").alias("priority"))
         )
+        fresh = fresh.join(dedup_prio, "url", "left")
         plan = FR.assign_fetch_slots(
             fresh, "url", per_domain_cap, priority_col="priority"
         ).drop("priority")

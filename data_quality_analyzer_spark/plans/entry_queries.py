@@ -5603,6 +5603,7 @@ _Q102_CAP = 6
 
 def _q102_oracle() -> str:
     from ..functions.hashing import h60_sql
+    from ..operators.domains import extract_domain_sql
 
     h = h60_sql("url")
     return f"""
@@ -5615,12 +5616,12 @@ def _q102_oracle() -> str:
     slots AS (
       SELECT prio,
              CAST((ROW_NUMBER() OVER (
-               PARTITION BY source
+               PARTITION BY domain
                ORDER BY prio DESC, {h}, url
              ) - 1) // {_Q102_CAP} AS BIGINT) AS fetch_slot,
              url
       FROM (SELECT url, prio,
-                   regexp_extract(url, 'https://([^/]+)', 1) AS source
+                   {extract_domain_sql('url')} AS domain
             FROM urls)
     )
     SELECT fetch_slot, prio,
@@ -5640,10 +5641,13 @@ def q102(spark, sf_dir):
     a per-cell URL-hash checksum, value-proving not just wave SIZES but
     exactly which priority tier occupies which wave.  Same plan as q91:
     one hash-by-domain exchange feeding the ordered window, then one
-    hash agg.  Reference ancestor: T4 rank assignment
+    hash agg.  The oracle partitions by the SAME extract_domain twin as
+    every frontier oracle (a hand-rolled host regex would drift on
+    www/case normalization), and the checksum reuses the window's _h
+    column rather than re-hashing every URL (frontier's bind-once
+    rule).  Reference ancestor: T4 rank assignment
     (charge_analysis_checks.py severity-ordered processing) on the
     dispatch axis."""
-    from ..functions.hashing import h60_spark_sql
     from ..operators import frontier as FR
 
     d = _t(spark, sf_dir, "documents")
@@ -5656,12 +5660,12 @@ def q102(spark, sf_dir):
         ).alias("url"),
         (F.col("doc_id") % 3).cast("long").alias("prio"),
     )
-    slots = FR.assign_fetch_slots(
+    slots = FR._slots_with_hash(
         urls, "url", _Q102_CAP, priority_col="prio"
     )
     return slots.groupBy("fetch_slot", "prio").agg(
         F.count("*").cast("long").alias("n_urls"),
-        F.bit_xor(F.expr(h60_spark_sql("url"))).alias("url_checksum"),
+        F.bit_xor("_h").alias("url_checksum"),
     )
 
 

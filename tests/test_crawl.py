@@ -159,3 +159,20 @@ def test_plan_crawl_priorities_reorder_waves(spark, scenario):
     assert b["b.org/new2"] == 0
     assert set(b.values()) == {0, 1, 2, 3}  # old+new1..new3: 4 waves
     assert "priority" not in plan.columns
+
+
+def test_plan_crawl_duplicate_priority_rows_never_fan_out(spark, scenario):
+    """A url appearing twice in the priorities feed (two-crawl tier
+    export) must not schedule the URL twice — priorities re-aggregate
+    MAX per url before the join, like the delays join."""
+    sitemaps, _, _ = scenario
+    prios = spark.createDataFrame(
+        [("b.org/new2", 2), ("b.org/new2", 9)], "url string, priority int"
+    )
+    plan = CW.plan_crawl(
+        spark, sitemaps, per_domain_cap=1, priorities=prios
+    )
+    b = [r for r in plan.collect() if r["domain"] == "b.org"]
+    urls = [r["url"] for r in b]
+    assert sorted(urls) == sorted(set(urls))  # no duplicate plan rows
+    assert {r["url"]: r["fetch_slot"] for r in b}["b.org/new2"] == 0
