@@ -364,7 +364,14 @@ def pairwise_topk_within_buckets(
     b = with_lsh_bucket(
         df.filter(F.col(vec_col).isNotNull()), vec_col, bits
     ).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        "bucket",
+        # per-ROW norm (N evaluations, not N² — guide §2.3/§4: hoist the
+        # two self-dot HOF folds out of the pair projection; the division
+        # sequence round(dot / sqrt(na) / sqrt(nb), 6) is unchanged, so
+        # every pair's cosine is bit-identical to the three-fold form)
+        F.expr(f"sqrt({_DOT.format(a='_v', b='_v')})").alias("_nrm"),
     )
     if max_bucket_size is not None:
         b = DD.exclude_hot_band_buckets(
@@ -372,12 +379,13 @@ def pairwise_topk_within_buckets(
             what="pairwise_topk_within_buckets",
         )
     a, c = b.alias("a"), b.alias("c")
+    dot = _DOT.format(a="a._v", b="c._v")
     pairs = (
         a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a._id") < F.col("c._id")))
         .select(
             F.col("a._id").alias("id_a"),
             F.col("c._id").alias("id_b"),
-            cosine_expr("a._v", "c._v").alias("cos_sim"),
+            F.expr(f"round({dot} / a._nrm / c._nrm, 6)").alias("cos_sim"),
         )
     )
     return pairs.orderBy(F.desc("cos_sim"), F.asc("id_a"), F.asc("id_b")).limit(k)

@@ -52,6 +52,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk size of a table, or 'huge' when it cannot be cheaply
+    stat'ed (remote filesystem) — callers treat unknown as big."""
+    import os
+
+    p = f"{sf_dir}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 60
+
+
+def _spread(spark: SparkSession, sf_dir: str, name: str, *cols) -> DataFrame:
+    """Read a table for a heavy-per-row map stage, round-robin
+    repartitioned to the session parallelism WHEN the scan itself cannot
+    reach it (small single-row-group files: one parquet row group = one
+    scan task no matter how many cores are idle — guide §2.5 input skew).
+    Scale-adaptive: a table already big enough to scan wide
+    (>= parallelism x 128 MB split size) passes through untouched, so on
+    a production cluster this is a no-op and the payload is never
+    shuffled.  ``cols`` projects before the exchange (guide §2.3: shuffle
+    only the columns the stage needs)."""
+    df = _t(spark, sf_dir, name)
+    if cols:
+        df = df.select(*cols)
+    par = spark.sparkContext.defaultParallelism
+    if _table_bytes(sf_dir, name) < par * 128 * 1024 * 1024:
+        df = df.repartition(par)
+    return df
+
+
 def _dsum(col, alias: str):
     """Order-independent exact sum of a 2-decimal money column → double."""
     return F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
@@ -628,7 +665,7 @@ def q21(spark, sf_dir):
 def q22(spark, sf_dir):
     """Token counting + quality scoring aggregates (north-star text
     analysis; A6 shape). All heuristics are JVM column expressions."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "lang", "text")
     c = F.col("text")
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -651,7 +688,7 @@ def q22(spark, sf_dir):
 def q23(spark, sf_dir):
     """The keep/drop verdict aggregate — Gopher/C4 heuristic conjunction
     (F14 _validate_stats shape, additional_charge_checks.py:840-868)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "lang", "text")
     keep = F.coalesce(TX.keep_verdict(F.col("text")), F.lit(False))
     return d.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -685,7 +722,7 @@ def q24(spark, sf_dir):
     """North-star PII scrub as native regexp_replace (JVM codegen, zero
     Python); per-source hit counts + order-independent XOR checksum of the
     scrubbed text proves byte-exact scrubbing."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "source", "text")
     c = F.col("text")
     scrubbed = SC.scrub(c)
     flags = SC.pii_flags(c)
@@ -1013,7 +1050,7 @@ def q33(spark, sf_dir):
     """The fused rule-metrics pass: every registry rule evaluated as a
     conditional aggregate in ONE scan (vs the reference's ~60 sequential
     count_documents calls, main.py:20-25; SURVEY §4.2)."""
-    return RU.rule_metrics(_t(spark, sf_dir, "documents"), "text")
+    return RU.rule_metrics(_spread(spark, sf_dir, "documents", "text"), "text")
 
 
 @_register(
@@ -1038,7 +1075,9 @@ def q33(spark, sf_dir):
 def q34(spark, sf_dir):
     """Severity-weighted readiness score + band (base_standalone.py:300-376:
     failed→severity weight, passed→0.2, ≥80 Ready / ≥50 Partial)."""
-    metrics = RU.rule_metrics(_t(spark, sf_dir, "documents"), "text")
+    metrics = RU.rule_metrics(
+        _spread(spark, sf_dir, "documents", "text"), "text"
+    )
     return RU.readiness_score(metrics)
 
 
@@ -1703,7 +1742,7 @@ def q47(spark, sf_dir):
     exactly like the minhash band count (q37).  Mirrors the reference's
     duplicate detection intent (claim_analysis.py:225-247) on the embedding
     payload."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _spread(spark, sf_dir, "embeddings", "vec_id", "embedding")
     return SIM.pairwise_topk_within_buckets(
         e, k=20, id_col="vec_id", vec_col="embedding", bits=6
     )
@@ -1998,7 +2037,9 @@ def q51(spark, sf_dir):
     upgraded from hand-written rules to a trained model."""
     from ..functions import quality_clf as QC
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents", "doc_id", "lang", "text").filter(
+        F.col("text").isNotNull()
+    )
     q = QC.quality_udf(spark)
     scored = d.select("doc_id", "lang", q(F.col("text")).alias("s"))
     return scored.groupBy(
@@ -2247,7 +2288,7 @@ def q56(spark, sf_dir):
     exact rows to phrase statistics."""
     from ..operators import repetition as RP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "doc_id", "lang", "text")
     # lang rides through the metric aggregations as a group key — no
     # corpus-to-corpus join at any scale
     m = RP.token_ngram_metrics(d, carry_cols=("lang",))
@@ -2443,7 +2484,7 @@ def q59(spark, sf_dir):
     ancestor: A15 quality bands (payer_analysis.py) on the domain axis."""
     from ..operators import domains as DM
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "source", "text")
     return DM.domain_reputation(d, TX.keep_verdict(F.col("text")), "source")
 
 
@@ -2736,7 +2777,7 @@ def q63(spark, sf_dir):
     from ..functions import hashing as HH
     from ..operators import html as HT
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "source", "doc_id", "text")
     m = F.col("doc_id") % 3
     frag = (
         F.when(m == 0, "<script>var x = 1 < 2;</script>")
@@ -3345,7 +3386,9 @@ def q73(spark, sf_dir):
     from ..functions import hashing as HH
     from ..operators import alignment as AL
 
-    d = _t(spark, sf_dir, "documents").withColumn(
+    d = _spread(
+        spark, sf_dir, "documents", "doc_id", "source", "text"
+    ).withColumn(
         "img_hash",
         F.expr(HH.h60_spark_sql("concat('img:', CAST(doc_id AS STRING))")),
     )
@@ -3668,7 +3711,7 @@ def q79(spark, sf_dir):
     (payer_analysis.py) on the mixture axis."""
     from ..operators import sampling as SP
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "lang", "text")
     return SP.plan_mixture(
         d, _Q79_PARTS, "lang", TX.bpe_token_count(F.col("text"))
     )
@@ -3883,7 +3926,7 @@ def q81(spark, sf_dir):
     every malformation class AND on the extracted values (sum + id
     checksum).  Malformation detection is get_json_object(s, '$') IS
     NULL (the whole-document probe), identical to json_valid."""
-    e = _t(spark, sf_dir, "events").select(
+    e = _spread(spark, sf_dir, "events", "event_id", "event_type").select(
         "event_id", "event_type", F.expr(_q81_json("spark")).alias("s")
     )
     valid = F.expr("get_json_object(s, '$') IS NOT NULL")
@@ -4102,7 +4145,7 @@ def q84(spark, sf_dir):
     from ..functions import normalize as NZ
 
     d = (
-        _t(spark, sf_dir, "documents")
+        _spread(spark, sf_dir, "documents", "text")
         .filter(F.col("text").isNotNull())
         .withColumn("raw", F.concat(F.col("text"), F.lit(_Q84_SUFFIX)))
     )
@@ -4337,7 +4380,9 @@ def q86(spark, sf_dir):
     One scan, one ArrowEvalPython (the classifier), one exchange."""
     from ..functions import quality_clf as QC
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents", "doc_id", "lang", "text").filter(
+        F.col("text").isNotNull()
+    )
     q = QC.quality_udf(spark)
     v = d.select(
         "doc_id",
@@ -4437,7 +4482,7 @@ def q87(spark, sf_dir):
     unnest over derived arrays."""
     from ..operators import domains as DM
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "doc_id", "source")
     maps = d.select(
         "doc_id", "source", F.expr(_q87_sitemap("spark")).alias("xml")
     )
