@@ -345,48 +345,125 @@ def semantic_dedup(
     v = _valid(vectors, vec_col, dim)
     if use_arrow:
         tau = float(cos_threshold)
+        # Parallelize the Σ|cluster|² pair scan beyond k tasks (guide
+        # §2.5/§2.6: one group per cluster leaves cores idle whenever
+        # k < cores).  Each cluster's members are hash-chunked into C
+        # id-buckets; every unordered chunk pair (ga ≤ gb) becomes an
+        # independent applyInPandas group, so the scan runs as
+        # k·C(C+1)/2 tasks.  A row joins exactly C groups, so shuffle
+        # duplication is C× the (id, vec) rows — bounded and chosen
+        # from the session parallelism.  Pair verdicts are unchanged:
+        # every (i, j) pair is examined exactly once (in the block
+        # owning its two chunks) with the same dim-sequential fold.
+        par = vectors.sparkSession.sparkContext.defaultParallelism
+        C = 1
+        while C * (C + 1) // 2 * max(k, 1) < 2 * par and C < 12:
+            C += 1
+        TI = TJ = 512  # cache-resident cosine tiles (TI×TJ float64)
 
-        def _dropped(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("_id").reset_index(drop=True)
-            X = _to_mat(pdf["_v"], dim)
-            m = X.shape[0]
-            ids = pdf["_id"].to_numpy()
-            nrm2 = np.zeros(m, dtype=np.float64)
-            for d in range(dim):
+        def _nrm(X: np.ndarray) -> np.ndarray:
+            nrm2 = np.zeros(X.shape[0], dtype=np.float64)
+            for d in range(X.shape[1]):
                 nrm2 += X[:, d] * X[:, d]
-            nrm = np.sqrt(nrm2)
-            dropped = np.zeros(m, dtype=bool)
-            BLK = 2048
-            for j0 in range(1, m, BLK):
-                j1 = min(j0 + BLK, m)
-                acc = np.zeros((m, j1 - j0), dtype=np.float64)
-                tmp = np.empty((m, j1 - j0), dtype=np.float64)
-                for d in range(dim):
-                    np.multiply(
-                        X[:, d, None], X[None, j0:j1, d], out=tmp
+            return np.sqrt(nrm2)
+
+        def _cos_tile(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+            """A·Bᵀ with the dim-sequential (bit-exact) fold order."""
+            acc = np.zeros((A.shape[0], B.shape[0]), dtype=np.float64)
+            tmp = np.empty_like(acc)
+            for d in range(A.shape[1]):
+                np.multiply(A[:, d, None], B[None, :, d], out=tmp)
+                acc += tmp
+            return acc
+
+        def _dropped(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            ga, gb = int(key[1]), int(key[2])
+            if ga == gb:  # diagonal block: triangular scan within chunk
+                pdf = pdf.sort_values("_id").reset_index(drop=True)
+                X = _to_mat(pdf["_v"], dim)
+                m = X.shape[0]
+                ids = pdf["_id"].to_numpy()
+                nrm = _nrm(X)
+                dropped = np.zeros(m, dtype=bool)
+                for j0 in range(1, m, TJ):
+                    j1 = min(j0 + TJ, m)
+                    bn = nrm[j0:j1]
+                    for i0 in range(0, j1, TI):
+                        i1 = min(i0 + TI, j1)
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            cos = _cos_tile(X[i0:i1], X[j0:j1]) / np.outer(
+                                nrm[i0:i1], bn
+                            )
+                        ok = (
+                            (np.arange(i0, i1)[:, None]
+                             < np.arange(j0, j1)[None, :])
+                            & (nrm[i0:i1, None] > 0)
+                            & (bn[None, :] > 0)
+                        )
+                        dropped[j0:j1] |= (ok & (cos >= tau)).any(axis=0)
+                return pd.DataFrame({"_id": ids[dropped]})
+            A = pdf[pdf["_side"] == 0]
+            B = pdf[pdf["_side"] == 1]
+            XA = _to_mat(A["_v"], dim)
+            XB = _to_mat(B["_v"], dim)
+            ia = A["_id"].to_numpy()
+            ib = B["_id"].to_numpy()
+            na = _nrm(XA)
+            nb = _nrm(XB)
+            da = np.zeros(len(ia), dtype=bool)
+            db = np.zeros(len(ib), dtype=bool)
+            for i0 in range(0, XA.shape[0], TI):
+                i1 = min(i0 + TI, XA.shape[0])
+                for j0 in range(0, XB.shape[0], TJ):
+                    j1 = min(j0 + TJ, XB.shape[0])
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        cos = _cos_tile(XA[i0:i1], XB[j0:j1]) / np.outer(
+                            na[i0:i1], nb[j0:j1]
+                        )
+                    qual = (
+                        (na[i0:i1, None] > 0)
+                        & (nb[None, j0:j1] > 0)
+                        & (cos >= tau)
                     )
-                    acc += tmp
-                denom = np.outer(nrm, nrm[j0:j1])
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    cos = acc / denom
-                ok = (
-                    (np.arange(m)[:, None] < np.arange(j0, j1)[None, :])
-                    & (nrm[:, None] > 0)
-                    & (nrm[j0:j1][None, :] > 0)
-                )
-                dropped[j0:j1] |= (ok & (cos >= tau)).any(axis=0)
-            return pd.DataFrame({"_id": ids[dropped]})
+                    lt = ia[i0:i1, None] < ib[None, j0:j1]
+                    db[j0:j1] |= (qual & lt).any(axis=0)
+                    da[i0:i1] |= (qual & ~lt).any(axis=1)
+            return pd.DataFrame(
+                {"_id": np.concatenate([ia[da], ib[db]])}
+            )
 
         members = v.join(assigned, id_col).select(
             F.col(id_col).alias("_id"),
             F.col("cluster"),
             F.col(vec_col).alias("_v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(C)).alias("_c"),
+        )
+        blocks = members.select(
+            "_id",
+            "cluster",
+            "_v",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {C - 1}), x -> "
+                    "IF(x >= _c, named_struct('ga', _c, 'gb', bigint(x), 'side', 0), "
+                    "named_struct('ga', bigint(x), 'gb', _c, 'side', 1)))"
+                )
+            ).alias("_blk"),
+        ).select(
+            "_id",
+            "cluster",
+            "_v",
+            F.col("_blk.ga").alias("_ga"),
+            F.col("_blk.gb").alias("_gb"),
+            F.col("_blk.side").alias("_side"),
         )
         dropped = (
-            members.groupBy("cluster")
+            blocks.groupBy("cluster", "_ga", "_gb")
             .applyInPandas(_dropped, schema="_id long")
             .select(F.col("_id").alias(id_col))
         )
+        # a node may be dropped by several blocks — the anti join is
+        # duplicate-insensitive, no distinct needed
         return vectors.join(dropped, id_col, "left_anti")
     norm = F.sqrt(
         F.aggregate(

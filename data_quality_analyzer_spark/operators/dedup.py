@@ -573,23 +573,26 @@ def fingerprint_near_duplicates(
         )
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    pairs = (
+    # verify (popcount) BEFORE the dedup exchange, not after (guide §2.3:
+    # shuffle fewer bytes): the raw band join can emit orders of magnitude
+    # more candidate rows than true near-dups (low-entropy bands — e.g.
+    # 4-bit bands of a 16-bit fingerprint), and the old
+    # groupBy(id_a, id_b, fp_a, fp_b) shuffled every one of them just to
+    # deduplicate.  Hamming is a function of the pair, so
+    # filter-then-distinct returns exactly the same (id_a, id_b, hamming)
+    # set while the exchange carries only verified pairs.
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bb") == F.col("b.bb")))
         .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(
+        .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._fp").alias("fp_a"),
-            F.col("b._fp").alias("fp_b"),
-        )
-        .agg(F.count("*").alias("n_bands_shared"))
-    )
-    return (
-        pairs.withColumn(
-            "hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+            F.bit_count(F.col("a._fp").bitwiseXOR(F.col("b._fp"))).alias(
+                "hamming"
+            ),
         )
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

@@ -420,9 +420,18 @@ def crossdoc_dup_metrics(
     phrases.
     """
     from . import decontam as DC
+    from ..exec_utils import materialize
 
-    grams = docs.select(
-        F.col(id_col), DC.word_gram_hashes(text_col, n).alias("_grams")
+    # materialize the (id, gram-hash array) relation: it feeds the size
+    # projection, the gram-frequency aggregate AND the dup join-back —
+    # without this the tokenize+gram+hash derivation (the expensive
+    # codegen chain over the full text) runs three times in the physical
+    # plan (the two downstream exchanges differ, so nothing is reused).
+    # The checkpointed rows are hashes + ids, far smaller than the text.
+    grams = materialize(
+        docs.select(
+            F.col(id_col), DC.word_gram_hashes(text_col, n).alias("_grams")
+        )
     )
     sizes = grams.select(
         id_col, F.size("_grams").alias("n_grams")

@@ -423,12 +423,27 @@ def embedding_near_duplicates(
     pairs = DD.fingerprint_near_duplicates(
         fp, "_efp", id_col, bands=bands, bits=bits, max_hamming=max_hamming
     )
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    # per-ROW norms (the q47 hoist): candidate volume can be large when
+    # the fingerprint is coarse, and the naive cosine_expr pays three
+    # interpreted HOF folds per PAIR; with sqrt(Σv²) precomputed per side
+    # each pair costs one dot fold, and round(dot / na / nb, 6) keeps the
+    # exact division sequence — bit-identical cos_sim.
+    nrm = "sqrt({n})"
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        F.expr(nrm.format(n=_DOT.format(a=vec_col, b=vec_col))).alias("_na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        F.expr(nrm.format(n=_DOT.format(a=vec_col, b=vec_col))).alias("_nb"),
+    )
+    dot = _DOT.format(a="_va", b="_vb")
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
-        .withColumn("cos_sim", cosine_expr("_va", "_vb"))
+        .withColumn("cos_sim", F.expr(f"round({dot} / _na / _nb, 6)"))
         .filter(F.col("cos_sim") >= min_cos)
         .select("id_a", "id_b", "hamming", "cos_sim")
     )

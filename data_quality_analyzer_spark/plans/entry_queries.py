@@ -1122,7 +1122,7 @@ def q35(spark, sf_dir):
 def q36(spark, sf_dir):
     """Per-record verdict + scrubbed-caption fingerprint — the strongest
     oracle check: row-level equality of the whole filter+scrub surface."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents", "doc_id", "text")
     c = F.col("text")
     return d.select(
         "doc_id",
