@@ -378,16 +378,25 @@ def dsir_weights(
         )
         for r in counts
     }
-    pairs = []
-    for b in sorted(ratio):
-        pairs += [F.lit(int(b)), F.lit(float(ratio[b]))]
-    m = F.create_map(*pairs) if pairs else F.create_map()
+    # dense ARRAY literal indexed by bucket, not a literal map:
+    # GetMapValue on a 512-entry literal map is a linear key scan per
+    # TOKEN (512 comparisons each — measured as the dominant cost of
+    # pass 2), while element_at on a constant-folded array is one O(1)
+    # index.  Absent buckets hold the same 0.0 the old coalesce
+    # supplied, so every token contributes the identical 6 dp value.
+    dense = [0.0] * num_buckets
+    for b in ratio:
+        dense[int(b)] = float(ratio[b])
+    m = F.array(*[F.lit(v) for v in dense])
     dec = "decimal(28,6)"
     w_sum = F.aggregate(
         F.transform(
             toks,
             lambda t: F.coalesce(
-                F.element_at(m, _dsir_bucket(t, num_buckets)), F.lit(0.0)
+                F.element_at(
+                    m, (_dsir_bucket(t, num_buckets) + 1).cast("int")
+                ),
+                F.lit(0.0),
             ).cast(dec),
         ),
         F.lit(0).cast(dec),

@@ -862,7 +862,7 @@ _BOW_SQL = (
 def q28(spark, sf_dir):
     """Document fingerprinting: prefix hash + sorted bag-of-words hash
     (rolling-hash analogue; n-gram Jaccard prefilter for dedup)."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = TX.tokens(F.col("text"))
     toks_l = TX.tokens(F.lower(F.col("text")))
     bow = F.array_join(F.array_sort(F.array_distinct(toks_l)), " ")
@@ -2357,7 +2357,7 @@ def q57(spark, sf_dir):
     value-hashes the per-source valid/invalid split.  Reference ancestor:
     U1 row validator (additional_charge_checks.py) as one boolean
     column."""
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     digits18 = F.lpad(
         ((F.col("doc_id") * 7919 + 11) % F.lit(10**18)).cast("string"),
         18,
@@ -3241,7 +3241,7 @@ def q70(spark, sf_dir):
     from ..operators import sampling as SP
     from ..operators import sketches as SK
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = (
         d.select(
             "source",
@@ -3520,7 +3520,7 @@ def q76(spark, sf_dir):
     "stats now vs stats expected"."""
     from ..operators import drift as DR
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     keep = TX.keep_verdict(F.col("text"))
     return DR.stats_drift(
         d.filter(F.col("doc_id") % 2 == 1),
@@ -3586,7 +3586,7 @@ def q77(spark, sf_dir):
     from ..operators import images as IM
     from ..plans import shards as SH
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, sf_dir, "documents").select(
         "doc_id",
         (F.lit(16) + (F.col("doc_id") * 37) % 1200).alias("w"),
         (F.lit(16) + (F.col("doc_id") * 61) % 1200).alias("h"),
@@ -3658,7 +3658,7 @@ def q78(spark, sf_dir):
 
     from ..exec_utils import materialize
 
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     # materialized: the token relation feeds BOTH the sketch build and
     # the exact top-20 — without the cut the corpus tokenizes twice
     toks = materialize(
@@ -3802,7 +3802,7 @@ def q80(spark, sf_dir):
     from ..operators import dedup as DD
 
     base = (
-        _t(spark, sf_dir, "documents")
+        _spread(spark, sf_dir, "documents")
         .filter(F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
         .select(
             "doc_id", "text", F.expr(HH.h60_spark_sql("text")).alias("fp")
@@ -4717,7 +4717,7 @@ def q89(spark, sf_dir):
     prior; Page et al. 1999 for the recurrence."""
     from ..operators import linkgraph as LG
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     return LG.domain_authority(_q89_pages(d), "src_domain", "html", iters=1)
 
 
@@ -5006,7 +5006,7 @@ def q92(spark, sf_dir):
     (claim_analysis.py:196-205) lifted to the link graph's text axis."""
     from ..operators import linkgraph as LG
 
-    d = _t(spark, sf_dir, "documents")
+    d = _spread(spark, sf_dir, "documents")
     return LG.anchor_text_profile(_q92_pages(d), "src_domain", "html")
 
 
@@ -5142,7 +5142,7 @@ def q94(spark, sf_dir):
     domain's vocabulary.  Reference ancestor: A14 group-count
     distribution (payer_analysis.py) lifted to the term axis with an
     inverse-document weight."""
-    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    d = _spread(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = d.select(
         "source",
         F.explode(F.expr(TX.WS_TOKENS_SPARK.format(c="text"))).alias("term"),
@@ -5516,7 +5516,7 @@ def q99(spark, sf_dir):
     incidence."""
     from ..operators import mirrors as MI
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, sf_dir, "documents").select(
         "source", F.expr(_q99_fp_sql("spark")).alias("fp")
     )
     return MI.mirror_pairs(
@@ -5558,7 +5558,7 @@ def q100(spark, sf_dir):
     family lifted from rows to SITES."""
     from ..operators import mirrors as MI
 
-    d = _t(spark, sf_dir, "documents").select(
+    d = _spread(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_q99_fp_sql("spark")).alias("fp")
     )
     return MI.collapse_mirrors(
