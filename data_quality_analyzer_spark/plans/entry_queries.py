@@ -3586,7 +3586,7 @@ def q77(spark, sf_dir):
     from ..operators import images as IM
     from ..plans import shards as SH
 
-    d = _spread(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         (F.lit(16) + (F.col("doc_id") * 37) % 1200).alias("w"),
         (F.lit(16) + (F.col("doc_id") * 61) % 1200).alias("h"),
@@ -5516,7 +5516,7 @@ def q99(spark, sf_dir):
     incidence."""
     from ..operators import mirrors as MI
 
-    d = _spread(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
         "source", F.expr(_q99_fp_sql("spark")).alias("fp")
     )
     return MI.mirror_pairs(
@@ -5558,7 +5558,7 @@ def q100(spark, sf_dir):
     family lifted from rows to SITES."""
     from ..operators import mirrors as MI
 
-    d = _spread(spark, sf_dir, "documents").select(
+    d = _t(spark, sf_dir, "documents").select(
         "doc_id", "source", F.expr(_q99_fp_sql("spark")).alias("fp")
     )
     return MI.collapse_mirrors(

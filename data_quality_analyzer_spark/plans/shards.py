@@ -134,9 +134,17 @@ def assign_token_shards(
     }
     bases, acc = [], 0
     for b in range(num_buckets):
-        bases += [F.lit(b), F.lit(acc)]
+        bases.append(acc)
         acc += int(totals.get(b, 0))
-    base = F.element_at(F.create_map(*bases), F.col("_ts_bkt"))
+    # dense ARRAY literal indexed by bucket (buckets are exactly
+    # 0..num_buckets-1): element_at on a constant-folded array is one
+    # O(1) index per row, where GetMapValue on the literal map scanned
+    # its keys linearly (the DSIR literal-map lesson).  Same value per
+    # row.
+    base = F.element_at(
+        F.array(*[F.lit(v) for v in bases]),
+        (F.col("_ts_bkt") + 1).cast("int"),
+    )
     from pyspark.sql import Window
 
     w = (
@@ -217,20 +225,29 @@ def bucket_batches(
         .collect()
     }
     groups = sorted({g for g, _ in counts})
-    base_entries, total_entries = [], []
+    base_rows, total_rows = [], []
     for g in groups:
         acc = 0
         for sub in range(num_buckets):
             n = int(counts.get((g, sub), 0))
             if n:
-                base_entries += [F.lit(f"{g}{sub}"), F.lit(acc)]
+                base_rows.append((g, int(sub), int(acc)))
             acc += n
-        total_entries += [F.lit(g), F.lit(acc)]
-    base = F.element_at(
-        F.create_map(*base_entries),
-        F.concat_ws("", F.col("_bb_g"), F.col("_bb_sub")),
+        total_rows.append((g, int(acc)))
+    # offsets ride back as BROADCAST hash joins, not literal maps:
+    # GetMapValue on a literal map is a linear key scan per ROW, and
+    # with |groups|*num_buckets string keys the lookup dominated the
+    # stage (the DSIR literal-map lesson; string keys rule out the
+    # dense-array form -- the broadcast hash relation is the O(1)
+    # equivalent).  Per-row values are identical; both relations are
+    # driver-built and tiny by construction.
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        base_rows, "_bb_g string, _bb_sub bigint, _bb_base bigint"
     )
-    total = F.element_at(F.create_map(*total_entries), F.col("_bb_g"))
+    total_df = spark.createDataFrame(
+        total_rows, "_bb_g string, _bb_tot bigint"
+    )
     from pyspark.sql import Window
 
     w = (
@@ -240,8 +257,10 @@ def bucket_batches(
     )
     before = F.count("*").over(w) - 1
     return (
-        bucketed.withColumn("_bb_pos", base + before)
-        .withColumn("_bb_tot", total)
+        bucketed.join(F.broadcast(base_df), ["_bb_g", "_bb_sub"], "left")
+        .join(F.broadcast(total_df), ["_bb_g"], "left")
+        .withColumn("_bb_pos", F.col("_bb_base") + before)
+        .drop("_bb_base")
         .withColumn(
             "batch_idx", F.expr(f"CAST(_bb_pos div {int(batch_size)} AS INT)")
         )

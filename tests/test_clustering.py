@@ -161,6 +161,36 @@ def test_arrow_and_hof_paths_bit_identical(spark):
     assert 900 not in ids_fast and 901 not in ids_fast  # drops happened
 
 
+def test_semantic_dedup_chunked_blocks_match_hof(spark):
+    """Round-6 optimization: the Arrow pair scan splits each cluster into
+    C id-hash chunks and scans chunk-pair blocks as independent groups.
+    With k=1 every pair crosses the chunking (C is maximal), so this
+    pins the off-diagonal drop-the-larger-id rule and the diagonal
+    triangle against the unchunked interpreted HOF self-join."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=DIM).astype("float32")])
+        for i in range(60)
+    ]
+    # planted near-pairs spread across the id space so blocks of every
+    # (chunk_a, chunk_b) combination carry real drops
+    for j, src in enumerate((0, 7, 21, 33, 44, 59)):
+        rows.append((800 + j, [x * 1.0001 for x in rows[src][1]]))
+        rows.append((900 + j, list(rows[src][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    k_fast = CL.semantic_dedup(df, k=1, iters=1, cos_threshold=0.99, dim=DIM)
+    k_slow = CL.semantic_dedup(
+        df, k=1, iters=1, cos_threshold=0.99, dim=DIM, use_arrow=False
+    )
+    ids_fast = {r["vec_id"] for r in k_fast.select("vec_id").collect()}
+    ids_slow = {r["vec_id"] for r in k_slow.select("vec_id").collect()}
+    assert ids_fast == ids_slow
+    # every planted twin lost to its (lower-id) source
+    assert ids_fast.isdisjoint(set(range(800, 806)) | set(range(900, 906)))
+
+
 def test_prep_embedding_corpus(spark):
     """The composed embedding pipeline: invalid vectors dropped and
     counted, planted near-dups removed by either method, cluster quota
