@@ -159,12 +159,21 @@ def minhash_signature_poly_udf(
     if k > HH.POLY_MAX_K:
         raise ValueError(f"k must be ≤ {HH.POLY_MAX_K} for the poly family")
 
+    # chunk-global batching (the simhash/_SIMHASH_CHUNK_TOKENS idiom):
+    # per-doc numpy calls on ~300-window docs are call-overhead bound, so
+    # docs are concatenated and hashed in one sliding-window pass per
+    # chunk, boundary-crossing windows dropped by index, and the per-seed
+    # minima taken with one reduceat.  All-integer ops on identical
+    # inputs — signatures are bit-identical to the per-doc form.
+    MAXW = 200_000  # windows per numpy slab — bounds (num_hashes × MAXW) temporaries
+
     @F.pandas_udf("array<long>")
     def _mh(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
+        out = [None] * len(texts)
+        idxs: list[int] = []
+        cps_list: list[np.ndarray] = []
+        for i, t in enumerate(texts):
             if not isinstance(t, str) or len(t) < k:
-                out.append(None)
                 continue
             try:
                 cps = np.frombuffer(
@@ -172,8 +181,30 @@ def minhash_signature_poly_udf(
                 ).astype(np.int64)
             except UnicodeEncodeError:  # lone surrogates: slow exact path
                 cps = np.fromiter(map(ord, t), dtype=np.int64, count=len(t))
-            hs = HH.poly60_np(cps, k)
-            out.append(HH.mix_np(hs, num_hashes).min(axis=1))
+            idxs.append(i)
+            cps_list.append(cps)
+        j = 0
+        while j < len(idxs):
+            j2, tot = j, 0
+            while j2 < len(idxs) and (
+                tot == 0 or tot + len(cps_list[j2]) - k + 1 <= MAXW
+            ):
+                tot += len(cps_list[j2]) - k + 1
+                j2 += 1
+            chunk = cps_list[j:j2]
+            lens = np.array([len(c) for c in chunk], dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            nw = lens - k + 1
+            hs_all = HH.poly60_np(np.concatenate(chunk), k)
+            valid = np.concatenate(
+                [np.arange(o, o + n) for o, n in zip(offs, nw)]
+            )
+            mixed = HH.mix_np(hs_all[valid], num_hashes)
+            starts = np.concatenate(([0], np.cumsum(nw)[:-1]))
+            sigs = np.minimum.reduceat(mixed, starts, axis=1)
+            for d in range(j2 - j):
+                out[idxs[j + d]] = sigs[:, d]
+            j = j2
         return pd.Series(out, dtype=object)
 
     return _mh
