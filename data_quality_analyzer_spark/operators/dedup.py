@@ -952,30 +952,31 @@ def connected_components(
     iterative plan would otherwise grow exponentially).
     """
     edges = pairs.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
-    # materialize the (tiny) edge list ONCE: it feeds a join in EVERY
-    # round, and without the checkpoint each round would re-execute the
-    # whole upstream pair-producing pipeline (measured: q44 8.1 s → 3.7 s)
-    sym = (
-        edges.unionByName(
-            edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
-        )
-        .distinct()
-        .transform(materialize)
-    )
+    sym_plan = edges.unionByName(
+        edges.select(F.col("_d").alias("_s"), F.col("_s").alias("_d"))
+    ).distinct()
     if driver_max_edges:
-        # count the MATERIALIZED relation first (cheap — blocks already
-        # computed); collect only when actually under the cap, so a big
-        # graph never ships 10^6 Row objects to the driver just to
-        # discard them
-        if sym.count() <= driver_max_edges:
+        # ONE probe job decides AND feeds the fast path:
+        # limit(cap+1).collect() replaces the old
+        # materialize → count → collect sequence (three driver-sequenced
+        # jobs) for the common small-graph case — verified near-dup edge
+        # lists are tiny by construction.  Driver memory bound is
+        # unchanged (the old path collected up to the same cap); an
+        # over-cap graph discards the probe and falls through to the
+        # checkpointed distributed loop, paying one extra job — the
+        # rare case by design.
+        probe = sym_plan.limit(driver_max_edges + 1).collect()
+        if len(probe) <= driver_max_edges:
             spark = pairs.sparkSession
-            rows = _driver_union_find(
-                (r["_s"], r["_d"]) for r in sym.collect()
-            )
-            schema = sym.schema["_s"].dataType.simpleString()
+            rows = _driver_union_find((r["_s"], r["_d"]) for r in probe)
+            schema = sym_plan.schema["_s"].dataType.simpleString()
             return spark.createDataFrame(
                 rows, f"node {schema}, label {schema}"
             )
+    # materialize the edge list ONCE: it feeds a join in EVERY round, and
+    # without the checkpoint each round would re-execute the whole
+    # upstream pair-producing pipeline (measured: q44 8.1 s → 3.7 s)
+    sym = sym_plan.transform(materialize)
     labels = (
         sym.select(F.col("_s").alias("node")).distinct()
         .withColumn("label", F.col("node"))
