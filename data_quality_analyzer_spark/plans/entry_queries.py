@@ -4570,35 +4570,44 @@ def q88(spark, sf_dir):
         "_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
     keys = ["user_id", "session_idx"]
-    s1 = r.groupBy(*keys).agg(
-        F.min(F.when(F.col("event_type") == a, F.col("_us"))).alias("t1")
+    # ONE aggregation instead of the step-wise `r ⋈ s1 ⋈ s2` chain
+    # (round-6, guide §2.4): the sessionize window already hash-
+    # partitions by user_id, which clusters (user_id, session_idx), so
+    # this groupBy adds NO exchange — the old form recomputed the
+    # sessionize window three times and re-exchanged per step.  Each
+    # step-k time is a min over the session's events filtered by
+    # "step-k type AND at/after step k−1's time" — a pure min, so the
+    # collected event list needs no ordering, and NULL thresholds or
+    # NULL timestamps drop out of the HOF filter exactly as they
+    # dropped out of the old `min(when(...))` (null predicate ⇒ row
+    # excluded ⇒ min over the empty set is NULL).  Step-by-step
+    # equality with the old join chain is pinned by the q88 oracle
+    # (unchanged) which still computes the three staged joins.
+    ev = F.filter(
+        F.collect_list(F.struct(F.col("_us").alias("us"),
+                                F.col("event_type").alias("t"))),
+        lambda x: x["us"].isNotNull(),
     )
-    s2 = (
-        r.join(s1, keys)
-        .groupBy(*keys)
-        .agg(
-            F.max("t1").alias("t1"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == b) & (F.col("_us") >= F.col("t1")),
-                    F.col("_us"),
-                )
-            ).alias("t2"),
+    step = lambda lst, typ, thr: F.array_min(  # noqa: E731
+        F.transform(
+            F.filter(lst, lambda x: (x["t"] == typ) & (x["us"] >= thr)),
+            lambda x: x["us"],
         )
     )
     s3 = (
-        r.join(s2, keys)
-        .groupBy(*keys)
-        .agg(
-            F.max("t2").alias("t2"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == c) & (F.col("_us") >= F.col("t2")),
-                    F.col("_us"),
+        r.groupBy(*keys)
+        .agg(ev.alias("_ev"))
+        .withColumn(
+            "t1",
+            F.array_min(
+                F.transform(
+                    F.filter(F.col("_ev"), lambda x: x["t"] == a),
+                    lambda x: x["us"],
                 )
-            ).alias("t3"),
+            ),
         )
-        .join(s1, keys)
+        .withColumn("t2", step(F.col("_ev"), b, F.col("t1")))
+        .withColumn("t3", step(F.col("_ev"), c, F.col("t2")))
     )
     return s3.agg(
         F.count("*").alias("n_sessions"),
