@@ -131,6 +131,97 @@ def _init_order(id_col: str):
     )
 
 
+# ---------------------------------------------------------------------------
+# Bounded driver fast path for the FIT (round 6).
+#
+# The fit is a driver-SEQUENCED job chain by nature (seed scan, k−1
+# farthest-point scans, one stats aggregate per Lloyd iteration — every
+# step needs the previous step's result on the driver).  On a small
+# valid-vector relation that chain is pure job-scheduling latency, so —
+# exactly like the union-find fast path in operators/dedup.py
+# (DRIVER_CC_MAX_EDGES) — when the relation fits a bounded driver cap we
+# collect (id, vec) ONCE and run the SAME arithmetic driver-side:
+# `_sq_dists` is the very function the Arrow kernels call, orderings
+# replicate the (hash, id) / (dist desc, id) sort keys with integer /
+# exact-double keys, and the decimal(38,12) centroid sums are replayed
+# with exact scaled-int arithmetic (`_dec12_scaled`).  Distributed path
+# unchanged and still the default above the cap; `driver_max_rows=0`
+# forces it (how the equality test pins the two paths to the bit).
+# ---------------------------------------------------------------------------
+
+KMEANS_DRIVER_MAX_ROWS = 100_000  # ~64 MB of 64-dim float64 on the driver
+_DEC12_MAX_ABS = 16.0  # |x| bound: 1e5 rows × 1.6e13 scaled ≈ 1.6e18 < 2^63
+
+
+def _dec12_scaled(xs: np.ndarray) -> np.ndarray:
+    """int64 of ``cast(x as decimal(38,12)) × 1e12`` — Spark rounds the
+    double's shortest decimal repr HALF_UP at 12 dp.  Vectorized
+    float64 product with an EXACT ``decimal.Decimal(repr(x))`` recheck
+    on every value whose product rounding is within a few ulp of a tie
+    boundary, so the result is exact for every element."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    m = xs * 1e12
+    am = np.abs(m)
+    r = np.floor(am + 0.5)
+    frac = am + 0.5 - r
+    eps = np.maximum(am, 1.0) * 4e-16
+    unsure = (frac <= eps) | (frac >= 1.0 - eps)
+    out = (np.sign(xs) * r).astype(np.int64)
+    if unsure.any():
+        q = Decimal("1E-12")
+        for i in np.nonzero(unsure)[0]:
+            d = Decimal(repr(float(xs[i]))).quantize(q, ROUND_HALF_UP)
+            out[i] = int(d.scaleb(12))
+    return out
+
+
+def _fit_driver(
+    rows, k: int, iters: int, id_col: str, vec_col: str, init: str
+) -> list[list[float]]:
+    """The init + Lloyd chain of :func:`kmeans_fit_assign` on collected
+    rows — every comparison, fold and rounding mirrors the distributed
+    form (see the fast-path note above)."""
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    X = np.vstack(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+    )
+    # Spark long multiplication wraps mod 2^64; uint64 replays the wrap,
+    # and numpy's floored % equals Spark's pmod for positive modulus
+    h = (ids.astype(np.uint64) * np.uint64(KNUTH)).astype(np.int64) % MOD31
+    order = np.lexsort((ids, h))  # (h asc, id asc)
+    n_seeds = k if init == "hash" else 1
+    centroids = [[float(x) for x in X[i]] for i in order[:n_seeds]]
+    while len(centroids) < k:  # farthest-point traversal
+        d = np.min(_sq_dists(X, np.asarray(centroids)), axis=0)
+        # orderBy(dist desc, id asc).limit(1)
+        best = np.lexsort((ids, -d))[0]
+        cand = [float(x) for x in X[best]]
+        if cand in centroids:
+            raise ValueError(
+                f"k={k} but only {len(centroids)} distinct vectors"
+            )
+        centroids.append(cand)
+    dim = X.shape[1]
+    for _ in range(iters):
+        assign = np.argmin(_sq_dists(X, np.asarray(centroids)), axis=0)
+        new = {}
+        for j in range(k):
+            member = X[assign == j]
+            if member.shape[0] == 0:
+                continue
+            n = member.shape[0]
+            for p in range(dim):
+                s = int(_dec12_scaled(member[:, p]).sum())
+                # float(decimal(38,12)) then the same double division
+                new[(j, p)] = (s / 10**12) / n
+        centroids = [
+            [new.get((j, p), centroids[j][p]) for p in range(dim)]
+            for j in range(k)
+        ]
+    return centroids
+
+
 def _valid(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
     return df.filter(
         F.col(vec_col).isNotNull()
@@ -195,6 +286,7 @@ def kmeans_fit_assign(
     dim: int = 64,
     init: str = "farthest",
     use_arrow: bool = True,
+    driver_max_rows: int | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Run ``iters`` Lloyd iterations from the deterministic init and
     return ``(assignments, centroids)`` where assignments is
@@ -203,11 +295,15 @@ def kmeans_fit_assign(
     Arrow kernel / as literals) — write it, sample against it, or join
     it without re-clustering.  ``use_arrow=True`` (default) runs the
     order-exact numpy kernels; ``False`` runs the pure-Catalyst HOF
-    form — bit-identical outputs (tested), ~100× apart in speed."""
+    form — bit-identical outputs (tested), ~100× apart in speed.
+    ``driver_max_rows`` caps the driver fast path for the fit (None →
+    :data:`KMEANS_DRIVER_MAX_ROWS`, 0 → always distributed)."""
     if k < 1 or iters < 0:
         raise ValueError(f"need k >= 1 and iters >= 0, got {k=} {iters=}")
     if init not in ("farthest", "hash"):
         raise ValueError(f"init must be 'farthest' or 'hash', got {init!r}")
+    if driver_max_rows is None:
+        driver_max_rows = KMEANS_DRIVER_MAX_ROWS
 
     def assign(col, cents):
         if use_arrow:
@@ -228,6 +324,34 @@ def kmeans_fit_assign(
         _valid(vectors, vec_col, dim).select(id_col, vec_col)
     )
     n_seeds = k if init == "hash" else 1
+    # bounded driver fast path (see the note above _fit_driver): one
+    # probe-collect replaces the whole driver-sequenced fit job chain
+    # when the valid-vector relation is small; over the cap (or with
+    # values outside the exact-decimal envelope) the probe rows are
+    # discarded and the distributed chain below runs unchanged
+    probe = (
+        v.limit(driver_max_rows + 1).collect() if driver_max_rows else []
+    )
+    if driver_max_rows and len(probe) <= driver_max_rows:
+        vals = np.array(
+            [x for r in probe for x in r[vec_col]], dtype=np.float64
+        )
+        in_envelope = bool(
+            np.isfinite(vals).all()
+            and (np.abs(vals) <= _DEC12_MAX_ABS).all()
+        ) if len(vals) else True
+        if in_envelope:
+            if len(probe) < n_seeds:
+                raise ValueError(
+                    f"k={k} but only {len(probe)} valid vectors"
+                )
+            centroids = _fit_driver(
+                probe, k, iters, id_col, vec_col, init
+            )
+            out = v.select(
+                id_col, assign(F.col(vec_col), centroids).alias("cluster")
+            )
+            return out, centroids
     seed_rows = v.orderBy(*_init_order(id_col)).limit(n_seeds).collect()
     if len(seed_rows) < n_seeds:
         raise ValueError(

@@ -63,6 +63,49 @@ def test_deterministic_across_runs(vectors):
     )
 
 
+@pytest.mark.parametrize("init", ["farthest", "hash"])
+def test_driver_fit_matches_distributed(vectors, init):
+    """The round-6 bounded driver fast path for the fit must be
+    bit-identical to the distributed job chain: same centroids (exact
+    float equality, decimal-sum replication included) and the same
+    assignment, for both init modes.  driver_max_rows=0 forces the
+    distributed chain (the DRIVER_CC_MAX_EDGES pin idiom)."""
+    fast_a, fast_c = CL.kmeans_fit_assign(
+        vectors, k=3, iters=2, dim=DIM, init=init
+    )
+    dist_a, dist_c = CL.kmeans_fit_assign(
+        vectors, k=3, iters=2, dim=DIM, init=init, driver_max_rows=0
+    )
+    assert fast_c == dist_c
+    assert sorted(map(tuple, fast_a.collect())) == sorted(
+        map(tuple, dist_a.collect())
+    )
+
+
+def test_dec12_scaled_matches_decimal_exact():
+    """_dec12_scaled (the vectorized decimal(38,12) cast replica) must
+    equal the exact Decimal HALF_UP quantize on adversarial values:
+    midpoints, negatives, float32 promotions, tiny magnitudes."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    vals = [
+        0.0, -0.0, 1.0, -1.0, 0.1, -0.1, 1 / 3, -1 / 3,
+        5e-13, -5e-13, 1.5e-12, -1.5e-12, 2.5e-12,
+        0.019056066870689392, -0.1842859387397766,
+        float(np.float32(0.123456)), float(np.float32(-9.87654)),
+        15.999999999999, -15.999999999999,
+        1e-15, -1e-15, 0.0000000000005, -0.0000000000005,
+    ]
+    xs = np.array(vals, dtype=np.float64)
+    got = CL._dec12_scaled(xs)
+    q = Decimal("1E-12")
+    for v, g in zip(vals, got):
+        want = int(Decimal(repr(v)).quantize(q, ROUND_HALF_UP).scaleb(12))
+        assert g == want, (v, g, want)
+
+
 def test_k_exceeds_corpus(vectors, spark):
     with pytest.raises(ValueError, match="only"):
         CL.kmeans_fit_assign(vectors, k=50, iters=1, dim=DIM)
