@@ -332,6 +332,91 @@ def _dsir_bucket(tok, num_buckets: int):
     return F.pmod(h, F.lit(num_buckets))
 
 
+def _dsir_bucket_py(tok: str, num_buckets: int) -> int:
+    """Python twin of :func:`_dsir_bucket` — ``int(md5hex[:15], 16)`` is
+    bit-identical to Spark's ``conv(substring(md5(x),1,15),16,10)`` (60
+    bits, always positive, so ``pmod`` == ``%``; the dedup._h60_py
+    precedent)."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16) % num_buckets
+
+
+def _dsir_bucket_counts_arrow(tt: DataFrame, num_buckets: int):
+    """Pass-1 kernel (round 6, guide §4.2): per-task partial
+    (bucket, target_count, row_count) histograms over the pre-split
+    token arrays, replacing ``explode + md5-per-token + hash agg``.
+
+    Tokens are dictionary-encoded per batch at C level (no
+    per-occurrence Python object is ever created), md5 runs once per
+    DISTINCT token with a per-task cache (token frequencies are
+    Zipfian, so the cache absorbs almost every occurrence), and the
+    histogram is two ``bincount`` calls.  Counts are exact integers —
+    identical to the exploded aggregate (pinned by
+    test_dsir_pass1_kernel_matches_explode).  Each task emits
+    ≤ ``num_buckets`` rows, so the downstream aggregate keeps the old
+    partial-agg scale shape while the corpus-sized side loses the
+    explode entirely — measured 1.35 → 0.98 s on a 10× corpus and the
+    per-token slope is ~4× shallower (OPTIMIZATION_r06.md)."""
+
+    def part(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tc = np.zeros(num_buckets, np.int64)
+        rc = np.zeros(num_buckets, np.int64)
+        cache: dict[str, int] = {}
+        seen = False
+        for b in batches:
+            seen = True
+            t_np = b.column(0).to_numpy(zero_copy_only=False)
+            toks = b.column(1)
+            lens = np.asarray(
+                pc.fill_null(pc.list_value_length(toks), 0)
+            ).astype(np.int64)
+            flat = toks.flatten()
+            if len(flat) == 0:
+                continue
+            de = pc.dictionary_encode(flat)
+            codes = de.indices.to_numpy(zero_copy_only=False)
+            uniques = de.dictionary.to_pylist()
+            ub = np.empty(len(uniques), np.int64)
+            for i, u in enumerate(uniques):
+                v = cache.get(u)
+                if v is None:
+                    v = _dsir_bucket_py(u, num_buckets)
+                    if len(cache) < 1_000_000:
+                        cache[u] = v
+                ub[i] = v
+            buckets = ub[codes]
+            t_rep = np.repeat(np.asarray(t_np, dtype=bool), lens)
+            rc += np.bincount(buckets, minlength=num_buckets)
+            if t_rep.any():
+                tc += np.bincount(buckets[t_rep], minlength=num_buckets)
+        if seen:
+            import pyarrow as pa  # noqa: F811 — worker-side re-import
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.arange(num_buckets, dtype=np.int64)),
+                    pa.array(tc),
+                    pa.array(rc),
+                ],
+                names=["_b", "tc", "rc"],
+            )
+
+    return (
+        tt.mapInArrow(part, "_b long, tc long, rc long")
+        .groupBy("_b")
+        .agg(F.sum("tc").alias("tc"), F.sum("rc").alias("rc"))
+        # only buckets that actually occur, matching the exploded
+        # groupBy's key set exactly (absent buckets must stay absent —
+        # their ratio is defined as 0.0, not the Laplace log-ratio)
+        .filter(F.col("rc") > 0)
+    )
+
+
 def _dsir_bucket_sql(tok: str, num_buckets: int) -> str:
     return f"({HH.h60_sql(tok)}) % {num_buckets}"
 
@@ -350,24 +435,23 @@ def dsir_weights(
     import math
 
     toks = _dsir_tokens(F.col(text_col))
-    # _t is projected BELOW the explode: an expression sharing a SELECT
-    # with a generator lands in the post-Generate projection and gets
-    # re-evaluated once per TOKEN row — measured 34 s vs 1 s on sf0.1
-    # when the target is the full keep_verdict conjunction
-    counts = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(
+    # pass 1 via the Arrow histogram kernel: tokenization and the target
+    # conjunction stay JVM-side (the _t projection BELOW the kernel
+    # matters for the same reason it sat below the explode — a shared
+    # SELECT with the per-token stage would re-evaluate the full
+    # keep_verdict conjunction per token); only (_t, _toks) crosses the
+    # boundary and each task returns a ≤ num_buckets partial histogram.
+    # Counts are exact ints, so `ratio` is identical to the explode form
+    # (pass 2 below stays the pure-Catalyst O(1) array fold — measured
+    # FASTER than an Arrow twin up to ~30× the local bench corpus,
+    # OPTIMIZATION_r06.md).
+    counts = _dsir_bucket_counts_arrow(
+        df.filter(F.col(text_col).isNotNull()).select(
             F.coalesce(target, F.lit(False)).alias("_t"),
             toks.alias("_toks"),
-        )
-        .select("_t", F.explode(F.col("_toks")).alias("_tok"))
-        .groupBy(_dsir_bucket(F.col("_tok"), num_buckets).alias("_b"))
-        .agg(
-            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
-            F.count("*").alias("rc"),
-        )
-        .collect()  # bounded: ≤ num_buckets rows
-    )
+        ),
+        num_buckets,
+    ).collect()  # bounded: ≤ num_buckets rows
     t_tot = sum(r["tc"] for r in counts)
     r_tot = sum(r["rc"] for r in counts)
     ratio = {

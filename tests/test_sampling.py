@@ -322,6 +322,45 @@ def test_dsir_weight_is_partitioning_invariant(dsir_docs):
     assert a == b
 
 
+def test_dsir_pass1_kernel_matches_explode(spark, dsir_docs):
+    """The round-6 Arrow histogram kernel must return exactly the
+    (bucket, target_count, row_count) rows of the explode + md5 + hash
+    aggregate it replaces — including unicode tokens, empty/whitespace
+    text (the empty-string token), and NULL text exclusion."""
+    rows = [
+        (0, "", True),
+        (1, "   ", False),
+        (2, None, True),
+        (3, "répété répété RÉPÉTÉ café 東京 東京 naïve", True),
+        (4, "a a a a a b", False),
+    ]
+    extra = spark.createDataFrame(
+        rows, "doc_id long, text string, is_target boolean"
+    )
+    for df in (dsir_docs, extra):
+        tt = df.filter(F.col("text").isNotNull()).select(
+            F.coalesce(F.col("is_target"), F.lit(False)).alias("_t"),
+            SP._dsir_tokens(F.col("text")).alias("_toks"),
+        )
+        kernel = {
+            r["_b"]: (r["tc"], r["rc"])
+            for r in SP._dsir_bucket_counts_arrow(tt, 512).collect()
+        }
+        explode = {
+            r["_b"]: (r["tc"], r["rc"])
+            for r in tt.select(
+                "_t", F.explode(F.col("_toks")).alias("_tok")
+            )
+            .groupBy(SP._dsir_bucket(F.col("_tok"), 512).alias("_b"))
+            .agg(
+                F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("tc"),
+                F.count("*").alias("rc"),
+            )
+            .collect()
+        }
+        assert kernel == explode
+
+
 # ---------------------------------------------------------------------------
 # weighted_sample (DSIR importance resampling)
 # ---------------------------------------------------------------------------
