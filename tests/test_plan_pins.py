@@ -63,6 +63,18 @@ def test_round5_queries_stay_jvm_side(spark, name):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
+def test_q88_funnel_single_aggregate(spark):
+    """The round-6 funnel is ONE session-keyed collect_list aggregate
+    reusing the sessionize window's partitioning: no join anywhere, and
+    no exchange beyond the session hash + the single-row final agg —
+    a reappearing per-step join chain is the regression this pins."""
+    plan = _plan(spark, "q88_session_funnel")
+    assert "Join" not in plan, plan
+    import re
+
+    assert len(re.findall(r"\bExchange (hash|Single)", plan)) <= 2, plan
+
+
 def test_q93_salt_in_partial_aggregate(spark):
     """The phash layout audit must aggregate on (bucket, salt) before
     merging — if the salt vanishes from the plan the hot bucket lands
